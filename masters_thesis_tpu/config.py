@@ -1,0 +1,159 @@
+"""Config system.
+
+The public configuration surface is YAML with the same schema as the
+reference's ``AttemptFour/config.yaml`` (/root/reference/AttemptFour/config.yaml:1-60):
+run name, dataset paths, seed, training hyperparameters, dropout rates, L2
+regularisers, input sizes and model sizes. Extra TPU-specific keys (mesh shape,
+precision, pipeline options) live under the ``tpu:`` section and default
+sensibly so reference configs load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass
+class DatasetConfig:
+    """Data-store paths (reference config.yaml:16-22)."""
+
+    betas_path: str = ""
+    captions_path: str = ""
+    vgg16_path: str = ""
+    guse_path: str = ""
+    nsd_dir: str = ""
+
+
+@dataclass
+class InputConfig:
+    """Input-width options (reference config.yaml:48-53)."""
+
+    full: int = 327_684
+    vc: int = 62_756
+    pca: int = 5_000
+    mscoco: int = 4_096
+
+
+@dataclass
+class TPUConfig:
+    """TPU-native knobs; absent from the reference (new surface)."""
+
+    mesh_data: int = 1          # data-parallel axis size
+    mesh_model: int = 1         # model-parallel axis size (brain-region sharding)
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"   # bfloat16 for speed once parity is locked
+    donate_state: bool = True
+    prefetch_depth: int = 2
+    use_pallas: bool = False         # fused Pallas kernels on the hot path
+    remat: bool = False              # jax.checkpoint the per-step scan body
+
+
+@dataclass
+class Config:
+    """Full run configuration, schema-compatible with the reference."""
+
+    # Run identity (config.yaml:2-5)
+    run: str = "run"
+    info: str = ""
+    log: str = "./Log/"
+
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+
+    seed: int = 42
+
+    # Training (config.yaml:26-34)
+    epochs: int = 100
+    batch_size: int = 64
+    max_length: int = 15
+    top_k: int = 5_000
+    optimizer: str = "Adam"
+    alpha: float = 1.0e-4            # learning rate
+    clipnorm: float = 0.1            # per-tensor clipnorm (Keras semantics)
+    decay: float = 0.0
+    beta_1: float = 0.9
+    beta_2: float = 0.98
+    epsilon: float = 1.0e-8          # main.py:97 uses 10.0e-9
+
+    # Dropout (config.yaml:36-41)
+    dropout_input: float = 0.0
+    dropout_features: float = 0.2
+    dropout_text: float = 0.2
+    dropout_lstm: float = 0.2
+    dropout_attn: float = 0.2
+    dropout_out: float = 0.2
+
+    # L2 regularisers (config.yaml:43-46)
+    input_reg: float = 0.01
+    attn_reg: float = 0.001
+    lstm_reg: float = 3.0e-5
+    output_reg: float = 1.0e-5
+
+    input: InputConfig = field(default_factory=InputConfig)
+
+    # Model sizes (config.yaml:55-60)
+    units: int = 512
+    attn_units: int = 32
+    group_size: int = 32
+    embedding_features: int = 512
+    embedding_text: int = 512
+
+    # Model/data selection (new; the reference hard-codes these per script)
+    model: str = "lc_nic"            # lc_nic | ms_nic | ms2_nic | img_nic |
+    #                                  guse_nic | showtell | cnn_rnn
+    input_kind: str = "full"         # full | vc | pca | mscoco
+    attn_loss: bool = False          # train_step has it commented out (lc_NIC.py:384)
+    sam_rho: float = 0.0             # >0 enables SAM (lc_NIC.py:713-838)
+    agc_clip: float = 0.0            # >0 enables adaptive gradient clipping (agc.py)
+
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+
+    # ---- derived ----
+    @property
+    def vocab_size(self) -> int:
+        """top_k + 1, matching the reference (main.py: vocab_size = top_k + 1)."""
+        return self.top_k + 1
+
+    def input_dim(self) -> int:
+        return getattr(self.input, self.input_kind)
+
+    # ---- (de)serialisation ----
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str | os.PathLike) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "Config":
+        raw = dict(raw or {})
+        known = {f.name for f in dataclasses.fields(cls)}
+        sub = {
+            "dataset": DatasetConfig,
+            "input": InputConfig,
+            "tpu": TPUConfig,
+        }
+        kwargs: dict[str, Any] = {}
+        for key, val in raw.items():
+            if key not in known:
+                continue  # tolerate unknown reference keys
+            if key in sub and isinstance(val, dict):
+                fields = {f.name for f in dataclasses.fields(sub[key])}
+                kwargs[key] = sub[key](**{k: v for k, v in val.items() if k in fields})
+            else:
+                kwargs[key] = val
+        return cls(**kwargs)
+
+    @classmethod
+    def load(cls, path: str | os.PathLike) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+
+def load_config(path: str | os.PathLike) -> Config:
+    return Config.load(path)

@@ -1,0 +1,133 @@
+"""Host-side input pipeline producing device-ready batches.
+
+Replaces the reference's ``keras.utils.Sequence`` generators
+(AttemptFour/DataLoaders/data_generator_guse.py) with a prefetching,
+seed-deterministic batcher:
+
+- epoch-end shuffling with a dedicated ``np.random.Generator`` (reference
+  shuffles with the global RNG, data_generator_guse.py:67-71);
+- drops the ragged tail batch (``len(pairs) // batch_size`` batches per epoch,
+  reference __len__ :63-65);
+- captions are already tokenised (see data/pairs.py), so a batch is just an
+  index/token slice — betas either gathered on host or left as indices for
+  on-device gather from an HBM-resident store;
+- background-thread prefetch with a bounded queue so host work overlaps the
+  TPU step.
+
+Batches are dicts of numpy arrays:
+  ``idx``     (B,)   int32 — row indices into the beta/feature store
+  ``tokens``  (B,T)  int32 — input caption ids
+  ``target``  (B,T)  int32 — left-shifted ids (loss does one-hot on device)
+  ``subject`` (B,)   int32 — subject index (multi-subject models)
+  optional ``betas`` (B,D) float — only when the store is host-resident
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from masters_thesis_tpu.data.pairs import EncodedPairs, shift_target
+from masters_thesis_tpu.data.store import ArrayStore
+
+
+class BatchPipeline:
+    def __init__(
+        self,
+        pairs: EncodedPairs,
+        store: ArrayStore | None,
+        batch_size: int,
+        seed: int = 42,
+        shuffle: bool = True,
+        prefetch: int = 2,
+        drop_remainder: bool = True,
+    ):
+        self.pairs = pairs
+        self.store = store
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self.rng = np.random.Generator(np.random.PCG64(seed))
+        n = len(pairs)
+        self.steps_per_epoch = n // batch_size if drop_remainder else -(-n // batch_size)
+        self.targets = shift_target(pairs.tokens)
+        if store is not None:
+            self.store_idx = store.indices_for(pairs.keys)
+        else:
+            self.store_idx = np.zeros(n, dtype=np.int32)
+
+    def _order(self) -> np.ndarray:
+        order = np.arange(len(self.pairs))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        return order
+
+    def _make_batch(self, sel: np.ndarray) -> dict:
+        batch = {
+            "idx": self.store_idx[sel],
+            "tokens": self.pairs.tokens[sel],
+            "target": self.targets[sel],
+            "subject": self.pairs.subjects[sel],
+        }
+        if self.store is not None and not self.store.device_resident:
+            batch["betas"] = self.store.gather_host(batch["idx"])
+        return batch
+
+    def epoch(self):
+        """Iterate one epoch of batches, prefetched on a background thread."""
+        order = self._order()
+        bs = self.batch_size
+        n_steps = self.steps_per_epoch
+
+        if self.prefetch <= 0:
+            for step in range(n_steps):
+                yield self._make_batch(order[step * bs : (step + 1) * bs])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for step in range(n_steps):
+                    q.put(self._make_batch(order[step * bs : (step + 1) * bs]))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch
+
+
+class EvalPipeline(BatchPipeline):
+    """Deterministic, unshuffled iteration (keeps the tail batch padded).
+
+    Pads the final ragged batch by repeating its last row so every batch has a
+    static shape for jit; ``valid`` marks real rows.
+    """
+
+    def __init__(self, pairs, store, batch_size, **kw):
+        kw.setdefault("shuffle", False)
+        kw.setdefault("drop_remainder", False)
+        super().__init__(pairs, store, batch_size, **kw)
+
+    def _make_batch(self, sel: np.ndarray) -> dict:
+        bs = self.batch_size
+        valid = np.ones(bs, dtype=bool)
+        if len(sel) < bs:
+            valid[len(sel):] = False
+            sel = np.concatenate([sel, np.full(bs - len(sel), sel[-1], dtype=sel.dtype)])
+        batch = super()._make_batch(sel)
+        batch["valid"] = valid
+        batch["keys"] = self.pairs.keys[sel]
+        return batch

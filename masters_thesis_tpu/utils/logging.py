@@ -1,0 +1,66 @@
+"""Run-dir setup and metric sinks.
+
+Reference observability surface (SURVEY.md §5): python logging to
+``Log/{run}/log.log`` (main.py:52), per-epoch ``loss_history.csv``
+(Callbacks/EpochLoss.py:21-52), per-batch CSV (Callbacks/BatchLoss.py), config
+snapshot copied into the run dir (main.py:36-50). We reproduce that layout and
+add a JSONL metrics stream (one line per step/epoch) for machine consumption.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+
+def setup_run_dir(log_root: str, run: str, config=None) -> str:
+    """Create Log/{run}/, snapshot the config, attach a file logger."""
+    run_path = os.path.join(log_root, run)
+    os.makedirs(run_path, exist_ok=True)
+    if config is not None:
+        config.save(os.path.join(run_path, "config.yaml"))
+    handler = logging.FileHandler(os.path.join(run_path, "log.log"))
+    handler.setFormatter(
+        logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
+    )
+    logging.getLogger().addHandler(handler)
+    return run_path
+
+
+class CSVLogger:
+    """Append-only CSV with a fixed header, flushed per row (cf. EpochLoss.py)."""
+
+    def __init__(self, path: str, fieldnames: list[str]):
+        self.path = path
+        self.fieldnames = fieldnames
+        exists = os.path.exists(path)
+        self._f = open(path, "a")
+        if not exists:
+            self._f.write(",".join(fieldnames) + "\n")
+            self._f.flush()
+
+    def write(self, row: dict) -> None:
+        self._f.write(",".join(str(row.get(k, "")) for k in self.fieldnames) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class MetricLogger:
+    """JSONL metric stream: one record per event with wall time."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "a")
+
+    def log(self, kind: str, **metrics) -> None:
+        rec = {"kind": kind, "ts": time.time()}
+        for k, v in metrics.items():
+            rec[k] = float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()

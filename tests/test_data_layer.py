@@ -1,0 +1,78 @@
+import numpy as np
+
+from masters_thesis_tpu.data.pairs import clean_caption, encode_pairs, shift_target
+from masters_thesis_tpu.data.pipeline import BatchPipeline, EvalPipeline
+from masters_thesis_tpu.data.splits import get_nsd_keys
+from masters_thesis_tpu.data.synthetic import synthetic_dataset
+
+
+def test_clean_caption_matches_reference_semantics():
+    assert (
+        clean_caption("A dog, running. Fast")
+        == "<start> a dog  running  fast <end>"
+    )
+
+
+def test_splits_from_csv(tmp_path):
+    cond = tmp_path / "cond.csv"
+    lines = ["nsd_key,is_shared"]
+    lines += [f"{i},0" for i in range(100)]
+    lines += [f"{i},1" for i in range(100, 120)]
+    cond.write_text("\n".join(lines))
+    test = tmp_path / "test.csv"
+    test.write_text("\n".join(["nsd_key"] + [str(i) for i in range(100, 110)]))
+    split = get_nsd_keys(str(cond), str(test), strict=False)
+    assert len(split.train) == 100
+    assert len(split.val) == 10  # shared minus test
+    assert len(split.test) == 10
+    assert not set(split.val) & set(split.test)
+
+
+def test_shift_target():
+    tokens = np.array([[5, 6, 7, 0]], dtype=np.int32)
+    np.testing.assert_array_equal(shift_target(tokens), [[6, 7, 0, 0]])
+
+
+def test_pipeline_shapes_and_determinism():
+    split, pairs, tok, store, groups = synthetic_dataset(n_keys=20, n_voxels=64)
+    enc = encode_pairs(pairs["train"], tok, max_len=8)
+    pipe1 = BatchPipeline(enc, store, batch_size=8, seed=7, prefetch=2)
+    pipe2 = BatchPipeline(enc, store, batch_size=8, seed=7, prefetch=0)
+    b1 = list(pipe1.epoch())
+    b2 = list(pipe2.epoch())
+    assert len(b1) == len(pipe1) == len(enc) // 8
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x["tokens"], y["tokens"])
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+        assert x["betas"].shape == (8, 64)
+        assert x["tokens"].shape == (8, 8)
+        np.testing.assert_array_equal(
+            x["target"][:, :-1], x["tokens"][:, 1:]
+        )
+
+
+def test_pipeline_shuffles_between_epochs():
+    split, pairs, tok, store, _ = synthetic_dataset(n_keys=20, n_voxels=16)
+    enc = encode_pairs(pairs["train"], tok, max_len=8)
+    pipe = BatchPipeline(enc, store, batch_size=8, seed=3, prefetch=0)
+    e1 = np.concatenate([b["idx"] for b in pipe.epoch()])
+    e2 = np.concatenate([b["idx"] for b in pipe.epoch()])
+    assert not np.array_equal(e1, e2)
+
+
+def test_eval_pipeline_pads_tail():
+    split, pairs, tok, store, _ = synthetic_dataset(n_keys=20, n_voxels=16)
+    enc = encode_pairs(pairs["test"], tok, max_len=8)
+    pipe = EvalPipeline(enc, store, batch_size=7)
+    batches = list(pipe.epoch())
+    total_valid = sum(b["valid"].sum() for b in batches)
+    assert total_valid == len(enc)
+    for b in batches:
+        assert b["tokens"].shape == (7, 8)
+
+
+def test_store_key_lookup():
+    split, pairs, tok, store, _ = synthetic_dataset(n_keys=10, n_voxels=16)
+    idx = store.indices_for([3, 1])
+    rows = store.gather_host(idx)
+    np.testing.assert_array_equal(rows[0], np.asarray(store.data)[store.key_to_idx[3]])
