@@ -1,0 +1,91 @@
+"""Optimizers with Keras-compatible semantics.
+
+Reference setup (AttemptFour/main.py:96-104): Adam(lr=1e-4, beta_1=0.9,
+beta_2=0.98, epsilon=1e-8, clipnorm=0.1). Keras ``clipnorm`` clips each
+gradient TENSOR by its own norm (not the global norm) before the Adam update —
+replicated here as a per-leaf optax transform. SGD variant: momentum 0.9,
+non-Nesterov (main.py:101-102).
+
+Also provides NFNet-style adaptive gradient clipping (reference
+Model/agc.py:20-38, optional at lc_NIC.py:388) and a linear warmup schedule
+(Callbacks/WarmupScheduler.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def clip_by_per_tensor_norm(max_norm: float) -> optax.GradientTransformation:
+    """tf.clip_by_norm applied leaf-wise (Keras clipnorm semantics)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.linalg.norm(g.reshape(-1))
+            scale = jnp.where(norm > max_norm, max_norm / (norm + 1e-12), 1.0)
+            return g * scale
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adaptive_grad_clip(clip_factor: float, eps: float = 1e-3) -> optax.GradientTransformation:
+    """AGC: g <- g * min(1, clip * max(||w||, eps) / ||g||) per tensor."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "AGC needs params"
+
+        def clip(g, w):
+            wn = jnp.maximum(jnp.linalg.norm(w.reshape(-1)), eps)
+            gn = jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-6)
+            return g * jnp.minimum(1.0, clip_factor * wn / gn)
+
+        return jax.tree_util.tree_map(clip, updates, params), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def warmup_schedule(base_lr: float, warmup_steps: int) -> optax.Schedule:
+    """Linear warmup then constant (WarmupScheduler.py semantics)."""
+    if warmup_steps <= 0:
+        return optax.constant_schedule(base_lr)
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, base_lr, warmup_steps),
+            optax.constant_schedule(base_lr),
+        ],
+        [warmup_steps],
+    )
+
+
+def make_optimizer(cfg, schedule=None) -> optax.GradientTransformation:
+    """Build the configured optimizer chain (clip -> AGC -> Adam/SGD)."""
+    lr = schedule if schedule is not None else cfg.alpha
+    chain = []
+    if getattr(cfg, "clipnorm", 0):
+        chain.append(clip_by_per_tensor_norm(cfg.clipnorm))
+    if getattr(cfg, "agc_clip", 0):
+        chain.append(adaptive_grad_clip(cfg.agc_clip))
+    name = cfg.optimizer.lower()
+    if name == "adam":
+        chain.append(
+            optax.adam(lr, b1=cfg.beta_1, b2=cfg.beta_2, eps=cfg.epsilon)
+        )
+    elif name == "sgd":
+        chain.append(optax.sgd(lr, momentum=0.9, nesterov=False))
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    return optax.chain(*chain)

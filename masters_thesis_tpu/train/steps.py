@@ -1,0 +1,147 @@
+"""Jitted train / eval steps for the NIC family.
+
+Reference train_step (lc_NIC.py:328-408) runs EAGERLY; here the whole step —
+on-device beta gather (when the store is HBM-resident), forward (15-step
+teacher-forced loop), loss, backward, Adam update, BatchNorm stat update — is
+one compiled XLA program. SAM (lc_NIC.py:713-838, ThinkAndTell/model.py:167-233)
+is a two-pass variant selected by ``cfg.sam_rho > 0``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from masters_thesis_tpu.train.losses import (
+    accuracy,
+    attention_loss,
+    caption_loss,
+    l2_loss,
+)
+
+
+def _forward_loss(model, cfg, l2_rules, params, batch_stats, rng, betas,
+                  tokens, target, mask=None):
+    a0 = jnp.zeros((betas.shape[0], cfg.units), betas.dtype)
+    variables = {"params": params, "batch_stats": batch_stats}
+    (logits, alphas), mutated = model.apply(
+        variables,
+        betas,
+        tokens,
+        a0,
+        a0,
+        training=True,
+        rngs={"dropout": rng},
+        mutable=["batch_stats"],
+    )
+    cce = caption_loss(logits, target, mask)
+    l2 = l2_loss(params, l2_rules)
+    attn = attention_loss(alphas)
+    total = cce + l2
+    if cfg.attn_loss:
+        total = total + attn
+    metrics = {
+        "loss": cce,
+        "L2": l2,
+        "attention": attn,
+        "accuracy": accuracy(logits, target, mask),
+    }
+    return total, (metrics, mutated.get("batch_stats", batch_stats))
+
+
+def make_train_step(model, cfg, l2_rules, masked: bool = False, donate: bool = True):
+    """Returns jitted ``step(state, betas, tokens, target) -> (state, metrics)``."""
+
+    def loss_fn(params, state, rng, betas, tokens, target, mask):
+        return _forward_loss(
+            model, cfg, l2_rules, params, state.batch_stats, rng, betas,
+            tokens, target, mask
+        )
+
+    def step(state, betas, tokens, target):
+        mask = (target != 0) if masked else None
+        rng = jax.random.fold_in(state.rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if cfg.sam_rho > 0:
+            # SAM: perturb by rho * g / ||g||_global, re-evaluate gradient
+            (_, (_, _)), g1 = grad_fn(
+                state.params, state, rng, betas, tokens, target, mask
+            )
+            gnorm = optax_global_norm(g1)
+            scale = cfg.sam_rho / (gnorm + 1e-12)
+            perturbed = jax.tree_util.tree_map(
+                lambda p, g: p + g * scale, state.params, g1
+            )
+            (total, (metrics, new_stats)), grads = grad_fn(
+                perturbed, state, rng, betas, tokens, target, mask
+            )
+        else:
+            (total, (metrics, new_stats)), grads = grad_fn(
+                state.params, state, rng, betas, tokens, target, mask
+            )
+
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        metrics["total"] = total
+        return new_state, metrics
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_eval_step(model, cfg, l2_rules, masked: bool = False):
+    """Validation step (lc_NIC.test_step :410-459): forward in inference mode,
+    same loss composition, no update."""
+
+    def step(state, betas, tokens, target):
+        mask = (target != 0) if masked else None
+        a0 = jnp.zeros((betas.shape[0], cfg.units), betas.dtype)
+        logits, alphas = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            betas,
+            tokens,
+            a0,
+            a0,
+            training=False,
+        )
+        return {
+            "loss": caption_loss(logits, target, mask),
+            "L2": l2_loss(state.params, l2_rules),
+            "attention": attention_loss(alphas),
+            "accuracy": accuracy(logits, target, mask),
+        }
+
+    return jax.jit(step)
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_gathered_train_step(model, cfg, l2_rules, masked: bool = False):
+    """Train step taking (state, store, idx, tokens, target): the beta rows
+    are gathered from the HBM-resident store INSIDE the compiled step, so the
+    host only ships ~KB of token ids per step."""
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, store, idx, tokens, target):
+        betas = jnp.take(store, idx, axis=0)
+        mask = (target != 0) if masked else None
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            return _forward_loss(
+                model, cfg, l2_rules, params, state.batch_stats, rng, betas,
+                tokens, target, mask
+            )
+
+        (total, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        metrics["total"] = total
+        return new_state, metrics
+
+    return step

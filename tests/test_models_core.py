@@ -1,0 +1,126 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masters_thesis_tpu.models.attention import BahdanauAttention
+from masters_thesis_tpu.models.common import leaky_relu
+from masters_thesis_tpu.models.locally_dense import LocallyDense
+from masters_thesis_tpu.models.lstm import KerasGRUCell, KerasLSTMCell
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.data.synthetic import synthetic_groups
+
+
+def test_group_layout_buckets_cover_all_groups():
+    groups = synthetic_groups(n_voxels=1000, n_groups=10, seed=1)
+    layout = GroupLayout(groups, n_voxels=1000)
+    assert layout.n_groups == 10
+    covered = sorted(
+        g for b in layout.buckets for g in b.group_ids.tolist()
+    )
+    assert covered == list(range(10))
+    # every real index appears exactly once; padding points at n_voxels
+    all_idx = np.concatenate([b.indices.reshape(-1) for b in layout.buckets])
+    real = all_idx[all_idx < 1000]
+    assert sorted(real.tolist()) == list(range(1000))
+
+
+def test_locally_dense_matches_naive_per_group():
+    """Bucketed einsum == per-group ragged matmul (reference layers.py:43-52)."""
+    n_voxels, n_groups, out_dim, bs = 300, 5, 8, 4
+    groups = synthetic_groups(n_voxels, n_groups, seed=3)
+    layout = GroupLayout(groups, n_voxels)
+    model = LocallyDense(layout=layout, out_dim=out_dim, dropout=0.0, use_bn=False)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((bs, n_voxels)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, training=False)
+    out = model.apply(variables, x, training=False)
+    assert out.shape == (bs, n_groups, out_dim)
+
+    # naive recomputation from the same padded kernels
+    params = variables["params"]
+    expected = np.zeros((bs, n_groups, out_dim), np.float32)
+    for b, bucket in enumerate(layout.buckets):
+        w = np.asarray(params[f"kernel_{b}"])
+        bias = np.asarray(params[f"bias_{b}"])
+        for row, gid in enumerate(bucket.group_ids):
+            g = np.asarray(groups[gid])
+            xg = np.asarray(x)[:, g]
+            y = xg @ w[row, : len(g)] + bias[row]
+            expected[:, gid] = np.where(y >= 0, y, 0.2 * y)
+    np.testing.assert_allclose(out, expected, rtol=2e-5, atol=2e-5)
+
+
+def test_locally_dense_padded_weights_zero_and_zero_grad():
+    groups = [np.arange(0, 100), np.arange(100, 230)]
+    layout = GroupLayout(groups, 230)
+    model = LocallyDense(layout=layout, out_dim=4, dropout=0.0, use_bn=False)
+    x = jnp.ones((2, 230))
+    variables = model.init(jax.random.PRNGKey(1), x, training=False)
+    for b, bucket in enumerate(layout.buckets):
+        w = np.asarray(variables["params"][f"kernel_{b}"])
+        for row in range(w.shape[0]):
+            assert np.all(w[row, bucket.sizes[row]:] == 0.0)
+
+    def loss(p):
+        return model.apply({"params": p}, x, training=False).sum()
+
+    grads = jax.grad(loss)(variables["params"])
+    for b, bucket in enumerate(layout.buckets):
+        g = np.asarray(grads[f"kernel_{b}"])
+        for row in range(g.shape[0]):
+            assert np.all(g[row, bucket.sizes[row]:] == 0.0)
+
+
+def test_lstm_cell_semantics():
+    """Check i|f|c|o packing and unit forget bias against a hand computation."""
+    cell = KerasLSTMCell(units=3)
+    x = jnp.ones((2, 4))
+    h = jnp.zeros((2, 3))
+    c = jnp.zeros((2, 3))
+    variables = cell.init(jax.random.PRNGKey(0), (h, c), x)
+    p = variables["params"]
+    assert p["kernel"].shape == (4, 12)
+    assert p["recurrent_kernel"].shape == (3, 12)
+    b = np.asarray(p["bias"])
+    np.testing.assert_array_equal(b[3:6], 1.0)  # forget slice
+    assert np.all(b[:3] == 0) and np.all(b[6:] == 0)
+
+    (h1, c1), out = cell.apply(variables, (h, c), x)
+    k, r, bias = np.asarray(p["kernel"]), np.asarray(p["recurrent_kernel"]), b
+    z = np.asarray(x) @ k + np.asarray(h) @ r + bias
+    i_, f_, g_, o_ = np.split(z, 4, axis=-1)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    c_ref = sig(f_) * 0 + sig(i_) * np.tanh(g_)
+    h_ref = sig(o_) * np.tanh(c_ref)
+    np.testing.assert_allclose(h1, h_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(c1, c_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out, h_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gru_cell_shapes():
+    cell = KerasGRUCell(units=5)
+    x = jnp.ones((2, 7))
+    h = jnp.zeros((2, 5))
+    variables = cell.init(jax.random.PRNGKey(0), h, x)
+    h1, out = cell.apply(variables, h, x)
+    assert h1.shape == (2, 5)
+    np.testing.assert_allclose(h1, out)
+
+
+def test_attention_weights_sum_to_one_and_context():
+    attn = BahdanauAttention(units=6, dropout=0.0)
+    hidden = jnp.asarray(np.random.default_rng(0).standard_normal((3, 8)), jnp.float32)
+    feats = jnp.asarray(np.random.default_rng(1).standard_normal((3, 11, 4)), jnp.float32)
+    variables = attn.init(jax.random.PRNGKey(0), hidden, feats)
+    ctx, alpha = attn.apply(variables, hidden, feats)
+    assert ctx.shape == (3, 4)
+    assert alpha.shape == (3, 11, 1)
+    np.testing.assert_allclose(alpha.sum(axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        ctx, (alpha * feats).sum(axis=1), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_leaky_relu():
+    x = jnp.asarray([-1.0, 0.0, 2.0])
+    np.testing.assert_allclose(leaky_relu(x), [-0.2, 0.0, 2.0])
