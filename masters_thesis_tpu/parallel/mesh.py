@@ -1,0 +1,39 @@
+"""Device-mesh bootstrap.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2.7): it picks
+one GPU by parsing nvidia-smi (nv_monitor.py, check_mem.py) and has no
+communication backend at all. The TPU-native equivalent is an SPMD mesh:
+
+  axes = ('data', 'model')
+    data  — batch sharding (pure DP)
+    model — brain-region / vocab sharding (the 327k-voxel input axis is the
+            natural "long" dimension of this workload; SURVEY.md §5)
+
+XLA inserts all collectives; there is no hand-written comm layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(data: int = 0, model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. data=0 means "all remaining devices"."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data <= 0:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def maybe_distributed_init() -> None:
+    """Multi-host bootstrap (jax.distributed). No-op on a single host."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

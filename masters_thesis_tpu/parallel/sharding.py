@@ -1,0 +1,147 @@
+"""Sharding rules and the sharded train step.
+
+Layout (new surface; the reference has no parallelism — SURVEY.md §2.7):
+
+- batch arrays (betas/tokens/targets):          P('data', ...)
+- LocallyDense bucket kernels (G, P, D):        P(None, 'model', None)
+  — the padded voxel axis is sharded, so each model shard holds a slice of
+  every region's input weights and the per-region matmul partial-sums are
+  reduced by an XLA psum (contraction-dim sharding). The 327k-voxel input
+  batch is likewise sharded on its voxel axis, so the huge activation never
+  needs to be fully replicated.
+- embedding (V, E) and dense_out kernel (·, V): vocab axis over 'model'
+- LSTM / attention / small params:              replicated
+
+GSPMD propagates everything else; collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_pspec(path_names, leaf, model_size: int = 1) -> P:
+    """PartitionSpec for one parameter leaf (by flax path).
+
+    Dims that are not divisible by the 'model' axis size fall back to
+    replication (pad the vocab/voxel dims to multiples of the mesh for full
+    sharding)."""
+    names = [str(n) for n in path_names]
+    joined = "/".join(names)
+    shape = getattr(leaf, "shape", ())
+
+    def ok(dim):
+        return model_size > 0 and len(shape) > dim and shape[dim] % model_size == 0
+
+    if "encoder" in joined and names[-1].startswith("kernel") and ok(1):
+        # (G, P_pad, D): shard padded voxel axis
+        return P(None, "model", None)
+    if names[-1] == "embedding" and ok(0):
+        return P("model", None)
+    if "dense_out" in joined and names[-1] == "kernel" and ok(1):
+        return P(None, "model")
+    return P()
+
+
+def _name_of(p):
+    return getattr(p, "key", getattr(p, "name", str(p)))
+
+
+def params_pspec_tree(params, model_size: int = 1):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: param_pspec(
+            [_name_of(x) for x in path], leaf, model_size
+        ),
+        params,
+    )
+
+
+def state_shardings(state, mesh: Mesh):
+    """NamedShardings for a full TrainState (opt state mirrors params)."""
+    model_size = mesh.shape.get("model", 1)
+    pspecs = params_pspec_tree(state.params, model_size)
+
+    def to_sharding(spec):
+        return NamedSharding(mesh, spec)
+
+    param_sh = jax.tree_util.tree_map(to_sharding, pspecs)
+
+    def opt_sharding(leaf):
+        # Adam moments have param shapes; anything else replicated
+        return NamedSharding(mesh, P())
+
+    # match opt-state leaves to param shapes where possible
+    param_leaves = {
+        tuple(_name_of(p) for p in path): NamedSharding(
+            mesh, param_pspec([_name_of(p) for p in path], leaf, model_size)
+        )
+        for path, leaf in jax.tree_util.tree_leaves_with_path(state.params)
+    }
+
+    def opt_state_sharding(path, leaf):
+        key = tuple(_name_of(p) for p in path)
+        # opt-state paths end with the same param path suffix
+        for plen in range(len(key), 0, -1):
+            suffix = key[-plen:]
+            for pkey, sh in param_leaves.items():
+                if pkey == suffix:
+                    return sh
+        return NamedSharding(mesh, P())
+
+    opt_sh = jax.tree_util.tree_map_with_path(opt_state_sharding, state.opt_state)
+    rep = NamedSharding(mesh, P())
+    return state.replace(
+        step=rep,
+        params=param_sh,
+        batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),
+        opt_state=opt_sh,
+        rng=rep,
+    )
+
+
+def shard_params(state, mesh: Mesh):
+    """Place a TrainState onto the mesh according to the rules."""
+    sh = state_shardings(state, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s),
+        state,
+        sh,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def batch_sharding(mesh: Mesh, with_voxel_axis: bool = False) -> dict:
+    """Shardings for (betas, tokens, target)."""
+    betas = (
+        NamedSharding(mesh, P("data", "model"))
+        if with_voxel_axis
+        else NamedSharding(mesh, P("data"))
+    )
+    tok = NamedSharding(mesh, P("data"))
+    return {"betas": betas, "tokens": tok, "target": tok}
+
+
+def make_sharded_train_step(model, cfg, l2_rules, mesh: Mesh, state,
+                            masked: bool = False):
+    """jit the train step with explicit in/out shardings over the mesh.
+
+    ``state`` is only used to derive the sharding pytree (via eval_shape-like
+    mapping); the returned step has the same signature as make_train_step.
+    """
+    from masters_thesis_tpu.train.steps import make_train_step
+
+    base = make_train_step(model, cfg, l2_rules, masked=masked, jit=False)
+    st_sh = state_shardings(state, mesh)
+    b_sh = batch_sharding(mesh, with_voxel_axis=True)
+    rep = NamedSharding(mesh, P())
+
+    step = jax.jit(
+        base,
+        in_shardings=(st_sh, b_sh["betas"], b_sh["tokens"], b_sh["target"]),
+        out_shardings=(st_sh, rep),
+        donate_argnums=(0,),
+    )
+    return step

@@ -1,0 +1,124 @@
+"""Training callbacks: loss history CSV, batch CSV, epoch-end caption preview.
+
+Reference observability (AttemptFour/Callbacks/): LossHistory writes per-epoch
+train/val metrics to loss_history.csv plus modelsummary.txt (EpochLoss.py:12-52),
+BatchLoss streams per-batch CSV (BatchLoss.py:8-48), Predict renders epoch-end
+greedy captions (Predict.py:6-59), WarmupScheduler ramps the LR
+(WarmupScheduler.py:4-36).
+"""
+
+from __future__ import annotations
+
+import os
+
+from masters_thesis_tpu.utils.logging import CSVLogger
+
+
+class Callback:
+    def on_train_begin(self, trainer):
+        pass
+
+    def on_epoch_end(self, trainer, epoch: int, logs: dict):
+        pass
+
+    def on_batch_end(self, trainer, step: int, logs: dict):
+        pass
+
+    def on_train_end(self, trainer):
+        pass
+
+
+class LossHistory(Callback):
+    """Per-epoch CSV (loss_history.csv) — EpochLoss.LossHistory equivalent."""
+
+    FIELDS = ["epoch", "loss", "accuracy", "L2", "val_loss", "val_accuracy"]
+
+    def __init__(self, run_path: str):
+        self.csv = CSVLogger(os.path.join(run_path, "loss_history.csv"), self.FIELDS)
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        row = {"epoch": epoch}
+        row.update({k: f"{float(v):.6f}" for k, v in logs.items() if k in self.FIELDS})
+        self.csv.write(row)
+
+
+class BatchLoss(Callback):
+    """Per-batch CSV — BatchLoss equivalent."""
+
+    FIELDS = ["step", "loss", "accuracy", "L2"]
+
+    def __init__(self, run_path: str, every: int = 1):
+        self.csv = CSVLogger(
+            os.path.join(run_path, "batch_training_log.csv"), self.FIELDS
+        )
+        self.every = every
+
+    def on_batch_end(self, trainer, step, logs):
+        if step % self.every == 0:
+            row = {"step": step}
+            row.update(
+                {k: f"{float(v):.6f}" for k, v in logs.items() if k in self.FIELDS}
+            )
+            self.csv.write(row)
+
+
+class PredictPreview(Callback):
+    """Epoch-end greedy captions on a fixed validation batch (Predict.py)."""
+
+    def __init__(self, run_path: str, decoder, batch, tokenizer, every: int = 1):
+        self.path = os.path.join(run_path, "caption_previews.txt")
+        self.decoder = decoder
+        self.batch = batch
+        self.tokenizer = tokenizer
+        self.every = every
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        if epoch % self.every:
+            return
+        import jax.numpy as jnp
+
+        variables = {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        }
+        words, _, _ = self.decoder(
+            variables, jnp.asarray(self.batch["betas"]), self.tokenizer.start_id
+        )
+        texts = self.tokenizer.sequences_to_texts(list(words))
+        with open(self.path, "a") as f:
+            f.write(f"=== epoch {epoch} ===\n")
+            for t in texts[:8]:
+                f.write(t + "\n")
+
+
+class Checkpointing(Callback):
+    def __init__(self, manager):
+        self.manager = manager
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        self.manager.save(trainer.state, epoch, val_loss=logs.get("val_loss"))
+
+
+class EarlyStopping(Callback):
+    """EarlyStoppingByLossVal equivalent (soloist callbacks.py:5-77)."""
+
+    def __init__(self, monitor: str = "val_loss", min_delta: float = 1e-3,
+                 patience: int = 5):
+        self.monitor = monitor
+        self.min_delta = min_delta
+        self.patience = patience
+        self.best = None
+        self.bad = 0
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        val = logs.get(self.monitor)
+        if val is None:
+            return
+        val = float(val)
+        if self.best is None or val < self.best - self.min_delta:
+            self.best = val
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad >= self.patience:
+                trainer.stop_training = True

@@ -1,0 +1,110 @@
+"""Checkpoint manager: best-by-val-loss + latest, with resume.
+
+Mirrors the reference's three mechanisms (SURVEY.md §5): Keras ModelCheckpoint
+h5 best+latest (main.py:167-190), tf.train.CheckpointManager with max_to_keep
+and epoch-parse resume (CNN_RNN/train.py:272-287), and warm-start partial
+loading (main.py:150-163). Implemented on orbax StandardCheckpointer over the
+TrainState pytree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.max_to_keep = max_to_keep
+        self._ckpt = ocp.StandardCheckpointer()
+        self._meta_path = os.path.join(self.directory, "meta.json")
+        self.meta = self._load_meta()
+
+    def _load_meta(self) -> dict:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f)
+        return {"best_val_loss": None, "best_epoch": None, "epochs": []}
+
+    def _save_meta(self) -> None:
+        with open(self._meta_path, "w") as f:
+            json.dump(self.meta, f)
+
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.directory, f"ep{epoch:03d}")
+
+    # ---- save ----
+    def save(self, state, epoch: int, val_loss: float | None = None) -> None:
+        """Save epoch checkpoint; update best/latest; prune old epochs."""
+        target = {"params": state.params, "batch_stats": state.batch_stats,
+                  "opt_state": state.opt_state,
+                  "step": np.asarray(state.step),
+                  "rng": np.asarray(state.rng)}
+        path = self._epoch_dir(epoch)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, target)
+        self._ckpt.wait_until_finished()
+        self.meta["epochs"].append(epoch)
+        self.meta["latest"] = epoch
+        if val_loss is not None and (
+            self.meta["best_val_loss"] is None
+            or val_loss < self.meta["best_val_loss"]
+        ):
+            self.meta["best_val_loss"] = float(val_loss)
+            self.meta["best_epoch"] = epoch
+        # prune: keep best + last max_to_keep
+        keep = set(self.meta["epochs"][-self.max_to_keep :])
+        if self.meta["best_epoch"] is not None:
+            keep.add(self.meta["best_epoch"])
+        for e in list(self.meta["epochs"]):
+            if e not in keep and os.path.exists(self._epoch_dir(e)):
+                shutil.rmtree(self._epoch_dir(e))
+        self.meta["epochs"] = [e for e in self.meta["epochs"] if e in keep]
+        self._save_meta()
+
+    # ---- restore ----
+    def latest_epoch(self) -> int | None:
+        return self.meta.get("latest")
+
+    def best_epoch(self) -> int | None:
+        return self.meta.get("best_epoch")
+
+    def restore(self, state, epoch: int | None = None, best: bool = False):
+        """Restore into a template TrainState; returns (state, epoch)."""
+        if epoch is None:
+            epoch = self.best_epoch() if best else self.latest_epoch()
+        if epoch is None:
+            return state, None
+        template = {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "rng": np.asarray(state.rng),
+        }
+        restored = self._ckpt.restore(self._epoch_dir(epoch), template)
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=int(np.asarray(restored["step"])),
+            rng=jax.numpy.asarray(restored["rng"]),
+        )
+        return state, epoch
+
+    def restore_params_only(self, params, epoch: int | None = None,
+                            best: bool = True):
+        """Warm-start path (cf. load_weights(by_name=True) eval.py:140)."""
+        if epoch is None:
+            epoch = self.best_epoch() if best else self.latest_epoch()
+        if epoch is None:
+            return params, None
+        full = self._ckpt.restore(self._epoch_dir(epoch))
+        return full["params"], epoch

@@ -1,0 +1,123 @@
+"""Trainer: epoch loop with callbacks, metrics, checkpointing, resume.
+
+The reference drives training either via Keras ``model.fit`` or a hand-rolled
+epoch loop over callbacks (AttemptFour/main.py:269-363). This Trainer is the
+framework's single train orchestrator: device-resident or host-resident beta
+stores, jitted steps, KeyboardInterrupt-safe partial-save (main.py:365-372),
+and per-epoch validation.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from masters_thesis_tpu.utils.timing import StepTimer
+
+logger = logging.getLogger(__name__)
+
+
+def _mean_metrics(all_metrics: list[dict]) -> dict:
+    if not all_metrics:
+        return {}
+    keys = all_metrics[0].keys()
+    return {k: float(np.mean([float(m[k]) for m in all_metrics])) for k in keys}
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg,
+        train_step,
+        eval_step,
+        state,
+        train_pipe,
+        val_pipe=None,
+        callbacks=(),
+        store=None,
+        metric_logger=None,
+    ):
+        self.cfg = cfg
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.state = state
+        self.train_pipe = train_pipe
+        self.val_pipe = val_pipe
+        self.callbacks = list(callbacks)
+        self.store = store
+        self.metric_logger = metric_logger
+        self.stop_training = False
+        self.timer = StepTimer(warmup=2)
+
+    def _batch_arrays(self, batch):
+        if "betas" in batch:
+            betas = jnp.asarray(batch["betas"])
+        else:
+            betas = jnp.take(
+                self.store.device_array(), jnp.asarray(batch["idx"]), axis=0
+            )
+        return betas, jnp.asarray(batch["tokens"]), jnp.asarray(batch["target"])
+
+    def fit(self, epochs: int | None = None, start_epoch: int = 0) -> dict:
+        epochs = epochs if epochs is not None else self.cfg.epochs
+        for cb in self.callbacks:
+            cb.on_train_begin(self)
+        logs: dict = {}
+        try:
+            for epoch in range(start_epoch, epochs):
+                logs = self._run_epoch(epoch)
+                for cb in self.callbacks:
+                    cb.on_epoch_end(self, epoch, logs)
+                if self.stop_training:
+                    logger.info("early stopping at epoch %d", epoch)
+                    break
+        except KeyboardInterrupt:
+            # partial-save semantics (main.py:365-372)
+            logger.warning("KeyboardInterrupt — stopping after partial epoch")
+        finally:
+            for cb in self.callbacks:
+                cb.on_train_end(self)
+        return logs
+
+    def _run_epoch(self, epoch: int) -> dict:
+        t0 = time.perf_counter()
+        train_metrics = []
+        for batch in self.train_pipe.epoch():
+            betas, tokens, target = self._batch_arrays(batch)
+            self.state, metrics = self.train_step(self.state, betas, tokens, target)
+            self.timer.tick()
+            train_metrics.append(metrics)
+            step = int(self.state.step)
+            for cb in self.callbacks:
+                cb.on_batch_end(self, step, metrics)
+
+        logs = _mean_metrics(
+            [{k: v for k, v in m.items()} for m in jax.device_get(train_metrics)]
+        )
+        if self.val_pipe is not None:
+            val_metrics = []
+            for batch in self.val_pipe.epoch():
+                betas, tokens, target = self._batch_arrays(batch)
+                val_metrics.append(
+                    self.eval_step(self.state, betas, tokens, target)
+                )
+            vlogs = _mean_metrics(jax.device_get(val_metrics))
+            logs.update({f"val_{k}": v for k, v in vlogs.items()})
+
+        logs["epoch_time"] = time.perf_counter() - t0
+        logs["steps_per_sec"] = self.timer.steps_per_sec
+        if self.metric_logger is not None:
+            self.metric_logger.log("epoch", epoch=epoch, **logs)
+        logger.info(
+            "epoch %d: loss=%.4f val_loss=%s (%.1fs, %.2f steps/s)",
+            epoch,
+            logs.get("loss", float("nan")),
+            f"{logs['val_loss']:.4f}" if "val_loss" in logs else "n/a",
+            logs["epoch_time"],
+            logs["steps_per_sec"],
+        )
+        return logs

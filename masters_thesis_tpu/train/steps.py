@@ -51,8 +51,12 @@ def _forward_loss(model, cfg, l2_rules, params, batch_stats, rng, betas,
     return total, (metrics, mutated.get("batch_stats", batch_stats))
 
 
-def make_train_step(model, cfg, l2_rules, masked: bool = False, donate: bool = True):
-    """Returns jitted ``step(state, betas, tokens, target) -> (state, metrics)``."""
+def make_train_step(model, cfg, l2_rules, masked: bool = False,
+                    donate: bool = True, jit: bool = True):
+    """Returns jitted ``step(state, betas, tokens, target) -> (state, metrics)``.
+
+    ``jit=False`` returns the raw python step (used by the sharded wrapper in
+    parallel/sharding.py, which jits it with explicit in/out shardings)."""
 
     def loss_fn(params, state, rng, betas, tokens, target, mask):
         return _forward_loss(
@@ -87,6 +91,8 @@ def make_train_step(model, cfg, l2_rules, masked: bool = False, donate: bool = T
         metrics["total"] = total
         return new_state, metrics
 
+    if not jit:
+        return step
     donate_args = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
 

@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.synthetic import synthetic_dataset
+from masters_thesis_tpu.decode.beam import make_beam_decoder
+from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+from masters_thesis_tpu.decode.sampling import make_sampling_decoder
+from masters_thesis_tpu.models.nic import LcNIC
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.train.state import init_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(top_k=40, batch_size=4, max_length=6, units=16,
+                 attn_units=8, group_size=4, embedding_text=8)
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=8, n_voxels=64, n_groups=4, top_k=cfg.top_k
+    )
+    layout = GroupLayout(groups, n_voxels=64)
+    model = LcNIC(
+        layout=layout, units=cfg.units, group_size=cfg.group_size,
+        embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+        vocab_size=cfg.vocab_size, max_length=cfg.max_length,
+    )
+    betas = store.gather_host(np.arange(4, dtype=np.int32))
+    tokens = np.zeros((4, cfg.max_length), np.int32)
+    params, batch_stats, rng = init_model(model, cfg, betas, tokens)
+    variables = {"params": params, "batch_stats": batch_stats}
+    return cfg, model, variables, jnp.asarray(betas), tok
+
+
+def test_greedy_shapes_and_determinism(setup):
+    cfg, model, variables, betas, tok = setup
+    dec = make_greedy_decoder(model, cfg.units, cfg.max_length)
+    words, logits, alphas = dec(variables, betas, tok.start_id)
+    assert words.shape == (4, cfg.max_length)
+    assert logits.shape == (4, cfg.max_length, cfg.vocab_size)
+    assert alphas.shape == (4, cfg.max_length, 4)
+    w2, _, _ = dec(variables, betas, tok.start_id)
+    np.testing.assert_array_equal(words, w2)
+    # greedy words equal argmax of returned logits
+    np.testing.assert_array_equal(np.asarray(words), np.argmax(logits, -1))
+
+
+def test_sampling_decoder(setup):
+    cfg, model, variables, betas, tok = setup
+    dec = make_sampling_decoder(model, cfg.units, cfg.max_length, temperature=1.0)
+    w1 = dec(variables, betas, tok.start_id, jax.random.PRNGKey(0))
+    w2 = dec(variables, betas, tok.start_id, jax.random.PRNGKey(0))
+    w3 = dec(variables, betas, tok.start_id, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(w1, w2)
+    assert not np.array_equal(np.asarray(w1), np.asarray(w3))
+
+
+def test_beam_width1_equals_greedy(setup):
+    cfg, model, variables, betas, tok = setup
+    greedy = make_greedy_decoder(model, cfg.units, cfg.max_length)
+    beam = make_beam_decoder(model, cfg.units, cfg.max_length, beam_width=1)
+    gw, _, _ = greedy(variables, betas, tok.start_id)
+    bw, _, _, _ = beam(variables, betas, tok.start_id, tok.end_id)
+    # beam-1 equals greedy up to <end> (greedy keeps decoding past <end>)
+    for b in range(4):
+        g = np.asarray(gw[b])
+        bb = np.asarray(bw[b])
+        for t in range(cfg.max_length):
+            if g[t] == tok.end_id:
+                break
+            assert g[t] == bb[t], (b, t, g, bb)
+
+
+def test_beam_scores_monotonic_in_width(setup):
+    cfg, model, variables, betas, tok = setup
+    s = {}
+    for w in (1, 3):
+        beam = make_beam_decoder(model, cfg.units, cfg.max_length, beam_width=w)
+        _, best_scores, _, _ = beam(variables, betas, tok.start_id, tok.end_id)
+        s[w] = np.asarray(best_scores)
+    # wider beam can only find equal-or-better normalised scores
+    assert np.all(s[3] >= s[1] - 1e-5)

@@ -1,0 +1,102 @@
+import numpy as np
+import pytest
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.pairs import encode_pairs
+from masters_thesis_tpu.data.pipeline import BatchPipeline
+from masters_thesis_tpu.data.synthetic import synthetic_dataset
+from masters_thesis_tpu.models.nic import LcNIC
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.train.callbacks import (
+    BatchLoss,
+    Checkpointing,
+    EarlyStopping,
+    LossHistory,
+)
+from masters_thesis_tpu.train.checkpoint import CheckpointManager
+from masters_thesis_tpu.train.loop import Trainer
+from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+from masters_thesis_tpu.train.optim import make_optimizer
+from masters_thesis_tpu.train.state import TrainState, init_model
+from masters_thesis_tpu.train.steps import make_eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def trainer_setup(tmp_path_factory):
+    run_path = str(tmp_path_factory.mktemp("run"))
+    cfg = Config(
+        run="t", top_k=40, batch_size=4, max_length=6, units=16, attn_units=8,
+        group_size=4, embedding_text=8, epochs=2,
+    )
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=16, n_voxels=128, n_groups=4, top_k=cfg.top_k
+    )
+    layout = GroupLayout(groups, n_voxels=128)
+    model = LcNIC(
+        layout=layout, units=cfg.units, group_size=cfg.group_size,
+        embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+        vocab_size=cfg.vocab_size, max_length=cfg.max_length,
+    )
+    train_enc = encode_pairs(pairs["train"], tok, cfg.max_length)
+    val_enc = encode_pairs(pairs["val"], tok, cfg.max_length)
+    train_pipe = BatchPipeline(train_enc, store, cfg.batch_size, seed=0, prefetch=0)
+    val_pipe = BatchPipeline(
+        val_enc, store, cfg.batch_size, seed=0, shuffle=False, prefetch=0
+    )
+    batch = next(iter(train_pipe.epoch()))
+    params, batch_stats, rng = init_model(model, cfg, batch["betas"], batch["tokens"])
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx, rng=rng)
+    rules = lc_nic_l2_rules(cfg)
+    return (
+        run_path, cfg, model, state, train_pipe, val_pipe,
+        make_train_step(model, cfg, rules, donate=False),
+        make_eval_step(model, cfg, rules),
+    )
+
+
+def test_trainer_runs_and_logs(trainer_setup):
+    run_path, cfg, model, state, train_pipe, val_pipe, tstep, estep = trainer_setup
+    mgr = CheckpointManager(run_path + "/ckpt", max_to_keep=2)
+    trainer = Trainer(
+        cfg, tstep, estep, state, train_pipe, val_pipe,
+        callbacks=[LossHistory(run_path), BatchLoss(run_path), Checkpointing(mgr)],
+    )
+    logs = trainer.fit(epochs=2)
+    assert "loss" in logs and "val_loss" in logs
+    assert np.isfinite(logs["loss"])
+    import os
+
+    assert os.path.exists(run_path + "/loss_history.csv")
+    with open(run_path + "/loss_history.csv") as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 epochs
+    assert mgr.latest_epoch() == 1
+    assert mgr.best_epoch() is not None
+
+
+def test_checkpoint_roundtrip(trainer_setup, tmp_path):
+    run_path, cfg, model, state, train_pipe, val_pipe, tstep, estep = trainer_setup
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=3)
+    mgr.save(state, epoch=0, val_loss=1.0)
+    mgr.save(state, epoch=1, val_loss=0.5)
+    mgr.save(state, epoch=2, val_loss=0.7)
+    assert mgr.best_epoch() == 1
+    assert mgr.latest_epoch() == 2
+    restored, ep = mgr.restore(state, best=True)
+    assert ep == 1
+    a = np.asarray(restored.params["attention"]["W1"]["kernel"])
+    b = np.asarray(state.params["attention"]["W1"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2, min_delta=0.0)
+
+    class T:
+        stop_training = False
+
+    t = T()
+    for epoch, v in enumerate([1.0, 0.9, 0.95, 0.96, 0.97]):
+        es.on_epoch_end(t, epoch, {"val_loss": v})
+    assert t.stop_training
