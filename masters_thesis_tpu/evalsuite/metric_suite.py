@@ -1,0 +1,78 @@
+"""Metric suite: the reference's pycocoevalcap surface in one call.
+
+Reference flow (AttemptFour/metric_suit.py:60-109): decode token arrays to
+text, collect the 5 ground-truth captions per key, run
+BLEU-1..4 / METEOR / ROUGE_L / CIDEr (SPICE requires the Java stanford
+pipeline — reported as None here) and return a score dict. Also exposes the
+NLTK-style 8-weight BLEU table of evaluate.py:178-226.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from masters_thesis_tpu.evalsuite.bleu import (
+    WEIGHT_SETS,
+    corpus_bleu,
+    sentence_bleu,
+)
+from masters_thesis_tpu.evalsuite.cider import CiderScorer
+from masters_thesis_tpu.evalsuite.meteor import corpus_meteor
+from masters_thesis_tpu.evalsuite.rouge import corpus_rouge_l
+from masters_thesis_tpu.evalsuite.tokens import ids_to_caption, postprocess_text
+
+
+def evaluate_captions(candidates: list[str], references_list: list[list[str]]) -> dict:
+    """COCOEvalCap-style score dict from plain text captions."""
+    cand_tok = [c.split() for c in candidates]
+    refs_tok = [[r.split() for r in refs] for refs in references_list]
+
+    bleu = corpus_bleu(refs_tok, cand_tok, max_n=4)
+    cider, _ = CiderScorer().compute(refs_tok, cand_tok)
+    return {
+        "Bleu_1": bleu[0],
+        "Bleu_2": bleu[1],
+        "Bleu_3": bleu[2],
+        "Bleu_4": bleu[3],
+        "METEOR": corpus_meteor(refs_tok, cand_tok),
+        "ROUGE_L": corpus_rouge_l(refs_tok, cand_tok),
+        "CIDEr": cider,
+        "SPICE": None,  # Java scene-graph pipeline; not available offline
+    }
+
+
+def evaluate_token_outputs(
+    output_ids: np.ndarray,
+    keys,
+    captions_by_key: dict,
+    tokenizer,
+) -> dict:
+    """From decoder token output + NSD keys to the score dict
+    (metric_suit.py main path)."""
+    candidates = [ids_to_caption(row, tokenizer) for row in np.asarray(output_ids)]
+    references = [
+        [postprocess_text(c) for c in map(_clean, captions_by_key[int(k)])]
+        for k in keys
+    ]
+    return evaluate_captions(candidates, references)
+
+
+def _clean(line: str) -> str:
+    from masters_thesis_tpu.data.pairs import clean_caption
+
+    # strip <start>/<end> wrapping for reference texts
+    return " ".join(clean_caption(line).split()[1:-1])
+
+
+def bleu_table(candidates: list[str], references_list: list[list[str]]) -> dict:
+    """The 8 BLEU variants of evaluate.py:178-226 (sentence-level means)."""
+    cand_tok = [c.split() for c in candidates]
+    refs_tok = [[r.split() for r in refs] for refs in references_list]
+    out = {}
+    for name, weights in WEIGHT_SETS.items():
+        vals = [
+            sentence_bleu(refs, hyp, weights, smoothing="method1")
+            for refs, hyp in zip(refs_tok, cand_tok)
+        ]
+        out[name] = float(np.mean(vals)) if vals else 0.0
+    return out

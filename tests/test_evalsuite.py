@@ -1,0 +1,151 @@
+import math
+
+import numpy as np
+import pytest
+
+from masters_thesis_tpu.evalsuite.bleu import (
+    corpus_bleu,
+    modified_precision,
+    sentence_bleu,
+)
+from masters_thesis_tpu.evalsuite.cider import CiderScorer
+from masters_thesis_tpu.evalsuite.guse_sim import HashEmbedder, guse_similarity
+from masters_thesis_tpu.evalsuite.meteor import meteor_lite
+from masters_thesis_tpu.evalsuite.metric_suite import bleu_table, evaluate_captions
+from masters_thesis_tpu.evalsuite.rouge import _lcs_len, rouge_l
+from masters_thesis_tpu.evalsuite.tokens import ids_to_caption, postprocess_text
+from masters_thesis_tpu.data.tokenizer import Tokenizer
+from masters_thesis_tpu.native.bleu_native import bleu_batch_native, native_available
+
+
+REF = "the cat sat on the mat".split()
+HYP_PERFECT = "the cat sat on the mat".split()
+HYP_PARTIAL = "the cat on mat".split()
+
+
+def test_modified_precision_clipping():
+    refs = [["the", "the", "cat"]]
+    hyp = ["the", "the", "the"]
+    num, den = modified_precision(refs, hyp, 1)
+    assert (num, den) == (2, 3)
+
+
+def test_sentence_bleu_perfect():
+    assert sentence_bleu([REF], HYP_PERFECT) == pytest.approx(1.0)
+
+
+def test_sentence_bleu_known_value():
+    # hand-computable: unigram only
+    s = sentence_bleu([REF], HYP_PARTIAL, weights=(1, 0, 0, 0))
+    # all 4 words in ref; bp = exp(1 - 6/4)
+    assert s == pytest.approx(math.exp(1 - 6 / 4) * 1.0, rel=1e-6)
+
+
+def test_sentence_bleu_smoothing_method2():
+    # bigram precision is 1/3 ('the cat', 'cat on'? 'cat on' not in ref ->
+    # matches: 'the cat'); smoothing adds 1/1
+    raw = sentence_bleu([REF], HYP_PARTIAL, weights=(0, 1, 0, 0))
+    sm = sentence_bleu([REF], HYP_PARTIAL, weights=(0, 1, 0, 0), smoothing="method2")
+    assert raw == pytest.approx(math.exp(1 - 6 / 4) * (1 / 3))
+    assert sm == pytest.approx(math.exp(1 - 6 / 4) * (2 / 4))
+
+
+def test_corpus_bleu_monotone():
+    refs = [[REF]] * 2
+    hyps = [HYP_PERFECT, HYP_PARTIAL]
+    b = corpus_bleu(refs, hyps)
+    assert 1 >= b[0] >= b[1] >= b[2] >= b[3] >= 0
+
+
+def test_lcs_and_rouge():
+    assert _lcs_len("abcde", "ace") == 3
+    assert rouge_l([REF], HYP_PERFECT) == pytest.approx(1.0)
+    assert 0 < rouge_l([REF], HYP_PARTIAL) < 1
+
+
+def test_meteor_perfect_and_fragmented():
+    perfect = meteor_lite([REF], HYP_PERFECT)
+    assert perfect == pytest.approx(1.0 - 0.5 * (1 / 6) ** 3)
+    assert meteor_lite([REF], ["zzz"]) == 0.0
+
+
+def test_cider_self_similarity_highest():
+    refs = [[REF], [["a", "dog", "runs"]]]
+    hyps = [HYP_PERFECT, ["a", "dog", "runs"]]
+    corpus, per = CiderScorer().compute(refs, hyps)
+    assert corpus > 0
+    bad_corpus, _ = CiderScorer().compute(refs, [["xyz"], ["qqq"]])
+    assert corpus > bad_corpus
+
+
+def test_evaluate_captions_keys():
+    scores = evaluate_captions(
+        ["the cat sat on the mat"], [["the cat sat on the mat", "a cat on a mat"]]
+    )
+    for k in ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+        assert scores[k] is not None
+    assert scores["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bleu_table_has_8_entries():
+    t = bleu_table(["a b c d e"], [["a b c d e"]])
+    assert len(t) == 8
+    assert t["Cumulative-4"] == pytest.approx(1.0)
+    # a 3-token hypothesis has no 4-grams: BLEU-4 must be 0
+    t3 = bleu_table(["a b c"], [["a b c"]])
+    assert t3["BLEU-4"] == 0.0 and t3["BLEU-1"] == pytest.approx(1.0)
+
+
+def test_ids_to_caption_truncates_at_end():
+    tok = Tokenizer(num_words=20)
+    tok.fit_on_texts(["<start> a dog runs <end>"])
+    tok.install_pad()
+    ids = tok.texts_to_sequences(["<start> a dog <end> runs"])[0]
+    assert ids_to_caption(ids, tok) == "a dog"
+    assert postprocess_text("<start> a dog <end> runs") == "a dog"
+
+
+def test_native_bleu_matches_python():
+    assert native_available(), "g++ should be present in this image"
+    rng = np.random.default_rng(0)
+    B, Lp, R, Lr = 6, 10, 3, 12
+    end_id = 99
+    preds = rng.integers(1, 20, (B, Lp)).astype(np.int32)
+    refs = rng.integers(1, 20, (B, R, Lr)).astype(np.int32)
+    preds[0, 5] = end_id  # truncation case
+    refs[1, 0, 4] = end_id
+
+    mean_nat, per_nat = bleu_batch_native(
+        preds, refs, end_id, return_per_sentence=True
+    )
+    # force the python fallback by calling through with lib disabled
+    import masters_thesis_tpu.native.bleu_native as bn
+
+    bn._lib.cache_clear()
+    orig = bn.build
+    bn.build = lambda force=False: None
+    try:
+        mean_py, per_py = bleu_batch_native(
+            preds, refs, end_id, return_per_sentence=True
+        )
+    finally:
+        bn.build = orig
+        bn._lib.cache_clear()
+    np.testing.assert_allclose(per_nat, per_py, rtol=1e-12, atol=1e-12)
+    assert mean_nat == pytest.approx(mean_py)
+
+
+def test_guse_similarity_prefers_matching_captions():
+    emb = HashEmbedder(dim=64)
+    refs = [
+        ["a dog runs in the park", "dog running in a park", "a dog in the park",
+         "the dog runs", "dog in park running"],
+        ["a red car on the street", "red car parked", "a car that is red",
+         "the red car", "car on the street"],
+    ]
+    good = ["a dog runs in the park", "a red car on the street"]
+    bad = ["purple elephants fly", "quantum mechanics lecture"]
+    g = guse_similarity(good, refs, emb)
+    b = guse_similarity(bad, refs, emb)
+    assert g["mean_brain_corr"] > b["mean_brain_corr"]
+    assert "pearson_r" in g
