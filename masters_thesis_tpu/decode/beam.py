@@ -19,7 +19,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from masters_thesis_tpu.models.nic import LcNIC
 
 NEG_INF = -1.0e9
 
@@ -35,12 +34,11 @@ def make_beam_decoder(
     W = beam_width
 
     def decode(variables, betas, start_id, end_id):
-        features = model.apply(variables, betas, False, method=LcNIC.encode)
+        features = model.apply(variables, betas, False, method="encode")
         B = features.shape[0]
 
         feat_t = jnp.repeat(features, W, axis=0)  # (B*W, R, D)
-        h = jnp.zeros((B * W, units), features.dtype)
-        c = jnp.zeros((B * W, units), features.dtype)
+        h, c = model.apply(variables, feat_t, method="init_carry")
         tok = jnp.full((B * W,), start_id, jnp.int32)
         # all beams start identical: only beam 0 live at t=0
         scores = jnp.tile(
@@ -53,7 +51,7 @@ def make_beam_decoder(
         def scan_step(carry, t):
             h, c, tok, scores, finished, lengths, hist = carry
             h2, c2, logits, _ = model.apply(
-                variables, h, c, feat_t, tok, method=LcNIC.decode_step
+                variables, h, c, feat_t, tok, method="decode_step"
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
             V = logp.shape[-1]

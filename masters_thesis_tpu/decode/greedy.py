@@ -16,21 +16,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from masters_thesis_tpu.models.nic import LcNIC
 
 
 def make_greedy_decoder(model, units: int, max_length: int):
     def decode(variables, betas, start_id):
-        features = model.apply(variables, betas, False, method=LcNIC.encode)
+        features = model.apply(variables, betas, False, method="encode")
         bs = betas.shape[0]
-        h = jnp.zeros((bs, units), features.dtype)
-        c = jnp.zeros((bs, units), features.dtype)
+        h, c = model.apply(variables, features, method="init_carry")
         tok = jnp.full((bs,), start_id, jnp.int32)
 
         def step(carry, _):
             h, c, tok = carry
             h, c, logits, alpha = model.apply(
-                variables, h, c, features, tok, method=LcNIC.decode_step
+                variables, h, c, features, tok, method="decode_step"
             )
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (h, c, nxt), (nxt, logits, alpha)

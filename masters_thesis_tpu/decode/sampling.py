@@ -11,23 +11,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from masters_thesis_tpu.models.nic import LcNIC
 
 
 def make_sampling_decoder(
     model, units: int, max_length: int, temperature: float = 1.0, top_k: int = 0
 ):
     def decode(variables, betas, start_id, rng):
-        features = model.apply(variables, betas, False, method=LcNIC.encode)
+        features = model.apply(variables, betas, False, method="encode")
         bs = betas.shape[0]
-        h = jnp.zeros((bs, units), features.dtype)
-        c = jnp.zeros((bs, units), features.dtype)
+        h, c = model.apply(variables, features, method="init_carry")
         tok = jnp.full((bs,), start_id, jnp.int32)
 
         def step(carry, key):
             h, c, tok = carry
             h, c, logits, _ = model.apply(
-                variables, h, c, features, tok, method=LcNIC.decode_step
+                variables, h, c, features, tok, method="decode_step"
             )
             logits = logits / temperature
             if top_k > 0:

@@ -1,0 +1,98 @@
+"""Feature encoders for the NIC family (besides LocallyDense).
+
+- PatchDense: per-patch projection of CNN conv features — the reference's
+  ``img_localDense`` (AttemptFour/Model/img_localDense.py) and CNN_Encoder
+  (CNN_RNN/model.py:23-36): a single Dense applied to the last dim of
+  (B, patches, C).
+- FullyConnectedEncoder: one Dense + BN + dropout over the full flat input
+  (AttemptFour/Model/fullyConnected.py:6-27); emits (B, 1, D) so it can feed
+  the same attention interface.
+- DeepLocallyDense: depth-n per-region stacks with BN between layers
+  (AttemptFour/Model/deep_layers.py:6-75), built on the bucketed layout.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from masters_thesis_tpu.models.common import (
+    BN_EPSILON,
+    BN_MOMENTUM,
+    he_normal,
+    leaky_relu,
+)
+from masters_thesis_tpu.models.locally_dense import LocallyDense
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+
+
+class PatchDense(nn.Module):
+    """(B, P, C) -> (B, P, D): shared Dense over patches."""
+
+    out_dim: int
+    dropout: float = 0.0
+    activation: str = "relu"  # CNN_RNN uses relu (model.py:33); img uses leaky
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = nn.Dense(self.out_dim, kernel_init=he_normal, name="proj")(x)
+        y = leaky_relu(y) if self.activation == "leaky_relu" else nn.relu(y)
+        return nn.Dropout(self.dropout, deterministic=not training)(y)
+
+
+class FullyConnectedEncoder(nn.Module):
+    """(B, N) -> (B, 1, D): Dense + BN + dropout on the whole input."""
+
+    out_dim: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = nn.Dense(self.out_dim, kernel_init=he_normal, name="fc")(x)
+        y = leaky_relu(y)
+        y = nn.BatchNorm(
+            use_running_average=not training,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPSILON,
+            name="bn",
+        )(y)
+        y = nn.Dropout(self.dropout, deterministic=not training)(y)
+        return y[:, None, :]
+
+
+class DeepLocallyDense(nn.Module):
+    """Stacked per-region projections: LocallyDense -> (BN, per-region Dense)^n."""
+
+    layout: GroupLayout
+    out_dim: int = 32
+    depth: int = 2
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = LocallyDense(
+            layout=self.layout,
+            out_dim=self.out_dim,
+            dropout=0.0,
+            use_bn=False,
+            name="block0",
+        )(x, training=training)
+        for d in range(1, self.depth):
+            y = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON,
+                name=f"bn{d}",
+            )(y)
+            # per-region Dense: einsum over (B, G, D) with (G, D, D)
+            w = self.param(
+                f"kernel{d}", he_normal, (y.shape[1], self.out_dim, self.out_dim)
+            )
+            b = self.param(
+                f"bias{d}", nn.initializers.zeros, (y.shape[1], self.out_dim)
+            )
+            y = leaky_relu(
+                jnp.einsum("bgd,gde->bge", y, w,
+                           preferred_element_type=jnp.float32) + b
+            )
+        return nn.Dropout(self.dropout, deterministic=not training)(y)

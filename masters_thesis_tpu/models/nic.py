@@ -1,25 +1,31 @@
-"""LcNIC — the flagship brain-to-caption model.
+"""NIC — the attention caption-decoder family (flagship: LcNIC).
 
-TPU-native rebuild of the reference ``lc_NIC.NIC``
-(AttemptFour/Model/lc_NIC.py:42-263):
+One TPU-native core covers three reference models that share the
+attention → recurrent-cell → head loop:
 
-  betas (B, 327k) --LocallyDense--> features (B, R, 32)
-  for t < max_len:   context_t = BahdanauAttention(h_t, features)
-                     h_{t+1}, c_{t+1} = LSTM([context_t ; emb(word_t)])
-  logits = Dense(vocab) (LeakyReLU Dense(256) (h_seq))
+- ``lc_NIC`` (AttemptFour/Model/lc_NIC.py:42-263): LocallyDense brain encoder,
+  LSTM(512), LeakyReLU Dense(256) + Dense(vocab) head       -> ``LcNIC(...)``
+- ``img_NIC`` (AttemptFour/Model/img_NIC.py): VGG16 conv patches through a
+  per-patch projection, same decoder                        -> ``ImgNIC(...)``
+- ``CNN_RNN`` (CNN_RNN/model.py:23-115): InceptionV3 patches, GRU decoder,
+  relu Dense(units) + Dense(vocab) head                     -> ``CnnRnnNIC(...)``
 
-Differences from the reference by design:
-- the model returns LOGITS; softmax lives in the loss/decoder (numerically
-  safer, mathematically identical to the reference's softmax + CCE);
-- the whole forward (including the 15-step loop and greedy decode) runs under
-  ``jax.jit`` — the reference runs eagerly (main.py:134);
-- attention weights are returned as (B, T, R) instead of a Python list.
+Forward:
+  features = encoder(x)                                  # (B, R, D)
+  for t < max_len:  ctx_t  = BahdanauAttention(h_t, features)
+                    h_t+1  = Cell([ctx_t ; emb(word_t)])
+  logits = head(h_seq)
 
-The per-step ``decode_step`` shares every submodule with the training forward,
-so the greedy/beam decode loops (decode/) reuse exactly the trained weights.
+Differences from the reference by design: logits out (softmax fused into the
+loss), the whole loop jit-compiled (reference runs eagerly, main.py:134), and
+attention weights returned as a dense (B, T, R) array. ``decode_step`` shares
+all submodules with the training forward so greedy/beam/sampling decoding
+reuses the trained weights exactly.
 """
 
 from __future__ import annotations
+
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -31,41 +37,39 @@ from masters_thesis_tpu.models.common import (
     leaky_relu,
 )
 from masters_thesis_tpu.models.locally_dense import LocallyDense
-from masters_thesis_tpu.models.lstm import KerasLSTMCell
+from masters_thesis_tpu.models.lstm import KerasGRUCell, KerasLSTMCell
 from masters_thesis_tpu.ops.group_layout import GroupLayout
 
 
-class LcNIC(nn.Module):
-    layout: GroupLayout
+class NIC(nn.Module):
+    encoder: nn.Module
     units: int = 512
-    group_size: int = 32          # per-region embedding dim
     embedding_text: int = 512
     attn_units: int = 32
     vocab_size: int = 5001
     max_length: int = 15
+    cell_type: str = "lstm"          # lstm | gru
+    head_dim: int = 256              # dense_inter width (CNN_RNN: units)
+    head_activation: str = "leaky_relu"  # leaky_relu | relu
     dropout_input: float = 0.0
-    dropout_features: float = 0.2
     dropout_text: float = 0.2
     dropout_attn: float = 0.2
     dropout_lstm: float = 0.2
     dropout_out: float = 0.2
 
     def setup(self):
-        self.encoder = LocallyDense(
-            layout=self.layout,
-            out_dim=self.group_size,
-            dropout=self.dropout_features,
-            name="encoder",
-        )
         self.attention = BahdanauAttention(
             self.attn_units, dropout=self.dropout_attn, name="attention"
         )
-        self.cell = KerasLSTMCell(self.units, name="lstm")
+        if self.cell_type == "lstm":
+            self.cell = KerasLSTMCell(self.units, name="lstm")
+        else:
+            self.cell = KerasGRUCell(self.units, name="gru")
         self.embedding = self.param(
             "embedding", embedding_init, (self.vocab_size, self.embedding_text)
         )
         self.dense_inter = nn.Dense(
-            256, kernel_init=glorot_normal, name="dense_inter"
+            self.head_dim, kernel_init=glorot_normal, name="dense_inter"
         )
         self.dense_out = nn.Dense(
             self.vocab_size, kernel_init=glorot_normal, name="dense_out"
@@ -76,33 +80,40 @@ class LcNIC(nn.Module):
         self.drop_out = nn.Dropout(self.dropout_out)
 
     # ---- pieces ----
-    def encode(self, betas, training: bool = False):
-        x = self.drop_input(betas, deterministic=not training)
+    def _carry(self, h, c):
+        return (h, c) if self.cell_type == "lstm" else h
+
+    def _split_carry(self, carry):
+        return carry if self.cell_type == "lstm" else (carry, carry)
+
+    def encode(self, x, training: bool = False):
+        x = self.drop_input(x, deterministic=not training)
         return self.encoder(x, training=training)  # (B, R, D)
 
     def embed(self, tokens):
         return jnp.take(self.embedding, tokens, axis=0)
 
     def head(self, h, training: bool = False):
-        """LSTM output -> vocab logits (dense_inter + dense_out)."""
-        x = leaky_relu(self.dense_inter(h))
+        x = self.dense_inter(h)
+        x = leaky_relu(x) if self.head_activation == "leaky_relu" else nn.relu(x)
         x = self.drop_out(x, deterministic=not training)
         return self.dense_out(x)
 
     # ---- training forward (teacher forcing; lc_NIC.call_attention) ----
-    def __call__(self, betas, tokens, a0, c0, training: bool = False):
+    def __call__(self, inputs, tokens, a0, c0, training: bool = False):
         """Returns (logits (B, T, V), attn (B, T, R))."""
-        features = self.encode(betas, training)
+        features = self.encode(inputs, training)
         emb = jnp.take(self.embedding, tokens, axis=0)  # (B, T, E)
         emb = self.drop_text(emb, deterministic=not training)
 
-        h, c = a0, c0
+        carry = self._carry(a0, c0)
         hs, alphas = [], []
         for t in range(self.max_length):
+            h = carry[0] if self.cell_type == "lstm" else carry
             context, alpha = self.attention(h, features, training=training)
             x = jnp.concatenate([context, emb[:, t, :]], axis=-1)
-            (h, c), _ = self.cell((h, c), x)
-            hs.append(self.drop_lstm(h, deterministic=not training))
+            carry, out = self.cell(carry, x)
+            hs.append(self.drop_lstm(out, deterministic=not training))
             alphas.append(alpha[..., 0])
 
         hseq = jnp.stack(hs, axis=1)                    # (B, T, U)
@@ -110,14 +121,112 @@ class LcNIC(nn.Module):
         return logits, jnp.stack(alphas, axis=1)        # (B, T, R)
 
     # ---- single decode step (shared by greedy / beam / sampling) ----
+    def init_carry(self, features):
+        """Zero initial state (the reference's a0/c0 zeros)."""
+        bs = features.shape[0]
+        z = jnp.zeros((bs, self.units), features.dtype)
+        return z, z
+
     def decode_step(self, h, c, features, token):
         """One inference step (no dropout). token: (B,) int32.
 
-        Returns (h', c', logits (B, V), alpha (B, R)).
+        Returns (h', c', logits (B, V), alpha (B, R)). For GRU cells ``c`` is
+        carried unchanged (ignored).
         """
         context, alpha = self.attention(h, features, training=False)
         emb = jnp.take(self.embedding, token, axis=0)
         x = jnp.concatenate([context, emb], axis=-1)
-        (h, c), _ = self.cell((h, c), x)
+        if self.cell_type == "lstm":
+            (h, c), _ = self.cell((h, c), x)
+        else:
+            h, _ = self.cell(h, x)
         logits = self.head(h, training=False)
         return h, c, logits, alpha[..., 0]
+
+
+# ---- factories for the three reference configurations ----
+
+def LcNIC(
+    layout: GroupLayout,
+    units: int = 512,
+    group_size: int = 32,
+    embedding_text: int = 512,
+    attn_units: int = 32,
+    vocab_size: int = 5001,
+    max_length: int = 15,
+    dropout_input: float = 0.0,
+    dropout_features: float = 0.2,
+    dropout_text: float = 0.2,
+    dropout_attn: float = 0.2,
+    dropout_lstm: float = 0.2,
+    dropout_out: float = 0.2,
+) -> NIC:
+    """Flagship brain-decoder (lc_NIC.py configuration)."""
+    return NIC(
+        encoder=LocallyDense(
+            layout=layout, out_dim=group_size, dropout=dropout_features,
+            name="encoder",
+        ),
+        units=units,
+        embedding_text=embedding_text,
+        attn_units=attn_units,
+        vocab_size=vocab_size,
+        max_length=max_length,
+        dropout_input=dropout_input,
+        dropout_text=dropout_text,
+        dropout_attn=dropout_attn,
+        dropout_lstm=dropout_lstm,
+        dropout_out=dropout_out,
+    )
+
+
+def ImgNIC(
+    embed_dim: int = 512,
+    units: int = 512,
+    attn_units: int = 32,
+    vocab_size: int = 5001,
+    max_length: int = 15,
+    embedding_text: int = 512,
+    dropout_features: float = 0.2,
+    **kw: Any,
+) -> NIC:
+    """Show-Attend-Tell on conv-feature patches (img_NIC.py path)."""
+    from masters_thesis_tpu.models.encoders import PatchDense
+
+    return NIC(
+        encoder=PatchDense(
+            out_dim=embed_dim, dropout=dropout_features,
+            activation="leaky_relu", name="encoder",
+        ),
+        units=units,
+        embedding_text=embedding_text,
+        attn_units=attn_units,
+        vocab_size=vocab_size,
+        max_length=max_length,
+        **kw,
+    )
+
+
+def CnnRnnNIC(
+    embed_dim: int = 256,
+    units: int = 512,
+    vocab_size: int = 5001,
+    max_length: int = 15,
+    **kw: Any,
+) -> NIC:
+    """The CNN_RNN GRU captioner (CNN_RNN/model.py): relu patch encoder,
+    GRU cell, relu Dense(units) head."""
+    from masters_thesis_tpu.models.encoders import PatchDense
+
+    return NIC(
+        encoder=PatchDense(out_dim=embed_dim, activation="relu", name="encoder"),
+        units=units,
+        embedding_text=embed_dim,
+        attn_units=units,
+        vocab_size=vocab_size,
+        max_length=max_length,
+        cell_type="gru",
+        head_dim=units,
+        head_activation="relu",
+        **kw,
+    )

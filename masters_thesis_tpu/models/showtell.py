@@ -1,0 +1,146 @@
+"""ShowTell — the Vinyals Show-and-Tell family (no attention).
+
+Covers four reference generations with one module (SURVEY.md §2.2-2.5):
+
+- ThinkAndTell (ThinkAndTell/model.py): Dense-tanh encoder over betas
+  (full / visual-cortex-masked / PCA-5000), LSTM decoder primed with the
+  feature vector as the first input, masked SCCE loss, relu vocab head.
+- ShowAndTell (ShowAndTell/model.py:10-75): same on VGG16 fc features.
+- soloist Modified-Show-And-Tell (soloist/.../NIC.py:29-113): the Keras-
+  functional original.
+- guse_NIC (AttemptFour/Model/guse_NIC.py:90-130): decoder conditioned on a
+  512-d GUSE sentence embedding instead of brain data (upper-bound probe) —
+  use ``input_dense=False`` to feed the GUSE vector through the same priming
+  path.
+
+Forward (Vinyals): x = [encode(input) ; emb(w_0..w_{T-1})] -> LSTM -> head,
+so logits[:, t] predicts target[:, t] (feature slot predicts the first word).
+
+Call signature matches the NIC family ((inputs, tokens, a0, c0, training) ->
+(logits, attn)) so the same train/eval steps work; ``attn`` is a zero
+placeholder. ``init_carry``/``decode_step`` implement the shared decode API
+(the feature priming step happens inside ``init_carry``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from masters_thesis_tpu.models.common import glorot_uniform
+from masters_thesis_tpu.models.lstm import KerasLSTMCell
+
+
+class ShowTell(nn.Module):
+    units: int = 512
+    embed_dim: int = 512             # feature-embedding width
+    embedding_text: int = 512
+    vocab_size: int = 5001
+    max_length: int = 15
+    input_dense: bool = True         # False: inputs are already embed_dim wide
+    encoder_activation: str = "tanh"  # ThinkAndTell Encoder (model.py:23)
+    head_activation: str = "linear"  # 'relu' for exact ThinkAndTell parity
+    dropout: float = 0.2
+
+    def setup(self):
+        # the feature prime and word embeddings share the LSTM input slot,
+        # so their widths must match (reference: both 512)
+        assert self.embed_dim == self.embedding_text, (
+            f"embed_dim ({self.embed_dim}) must equal embedding_text "
+            f"({self.embedding_text}) — both feed the same LSTM input"
+        )
+        if self.input_dense:
+            self.fc_embedding = nn.Dense(
+                self.embed_dim, kernel_init=glorot_uniform, name="fc_embedding"
+            )
+        self.embedding = self.param(
+            "embedding",
+            nn.initializers.uniform(scale=0.05),  # Keras Embedding 'uniform'
+            (self.vocab_size, self.embedding_text),
+        )
+        self.cell = KerasLSTMCell(self.units, name="lstm")
+        self.fc_vocab = nn.Dense(
+            self.vocab_size, kernel_init=glorot_uniform, name="fc_vocab"
+        )
+        self.drop = nn.Dropout(self.dropout)
+
+    # ---- pieces ----
+    def encode(self, x, training: bool = False):
+        if self.input_dense:
+            y = self.fc_embedding(x)
+            if self.encoder_activation == "tanh":
+                y = jnp.tanh(y)
+            y = self.drop(y, deterministic=not training)
+        else:
+            y = x
+        return y  # (B, E)
+
+    def head(self, h, training: bool = False):
+        x = self.drop(h, deterministic=not training) if training else h
+        logits = self.fc_vocab(x)
+        if self.head_activation == "relu":
+            logits = nn.relu(logits)
+        return logits
+
+    # ---- training forward ----
+    def __call__(self, inputs, tokens, a0, c0, training: bool = False):
+        feat = self.encode(inputs, training)                 # (B, E)
+        emb = jnp.take(self.embedding, tokens, axis=0)       # (B, T, E)
+
+        carry = (a0, c0)
+        outs = []
+        # feature slot first, then the T-1 first words (logits[t] predicts
+        # target[t]); total T steps to mirror the (B, T) target
+        carry, out0 = self.cell(carry, feat)
+        outs.append(out0)
+        for t in range(self.max_length - 1):
+            carry, out = self.cell(carry, emb[:, t, :])
+            outs.append(out)
+        hseq = jnp.stack(outs, axis=1)                       # (B, T, U)
+        logits = self.head(hseq, training=training)
+        bs = inputs.shape[0]
+        attn = jnp.zeros((bs, self.max_length, 1), logits.dtype)
+        return logits, attn
+
+    # ---- decode API (shared with NIC decoders) ----
+    def init_carry(self, features):
+        """Prime the LSTM with the encoded feature (zero start state)."""
+        bs = features.shape[0]
+        z = jnp.zeros((bs, self.units), features.dtype)
+        (h, c), _ = self.cell((z, z), features)
+        return h, c
+
+    def decode_step(self, h, c, features, token):
+        """(features unused after priming — kept for API parity)."""
+        emb = jnp.take(self.embedding, token, axis=0)
+        (h, c), out = self.cell((h, c), emb)
+        logits = self.head(out, training=False)
+        bs = token.shape[0]
+        return h, c, logits, jnp.zeros((bs, 1), logits.dtype)
+
+
+def showtell_l2_rules(cfg) -> list[tuple[tuple[str, ...], float]]:
+    """ThinkAndTell regularises the encoder kernel+bias and both LSTM kernels
+    (model.py:18-26, 62-63) with one coefficient (lstm_reg slot reused)."""
+    c = cfg.lstm_reg
+    return [
+        (("fc_embedding", "kernel"), cfg.input_reg),
+        (("fc_embedding", "bias"), cfg.input_reg),
+        (("lstm", "kernel"), c),
+        (("lstm", "recurrent_kernel"), c),
+    ]
+
+
+def GuseNIC(units: int = 512, vocab_size: int = 5001, max_length: int = 15,
+            **kw) -> ShowTell:
+    """GUSE-conditioned caption decoder (guse_NIC.py): the 512-d sentence
+    embedding is fed straight into the priming slot."""
+    kw.setdefault("embedding_text", 512)
+    return ShowTell(
+        units=units,
+        vocab_size=vocab_size,
+        max_length=max_length,
+        input_dense=False,
+        embed_dim=512,
+        **kw,
+    )
