@@ -34,7 +34,18 @@ MEASURE_STEPS = 20
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compile cache: first bench run pays ~5 min of XLA compiles
+    # (remote-compile tunnel), later runs start hot
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     import jax.numpy as jnp
 
     from masters_thesis_tpu.config import Config

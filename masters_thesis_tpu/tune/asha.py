@@ -1,0 +1,53 @@
+"""ASHA — asynchronous successive halving (Li et al. 2018).
+
+The reference's Ray Tune setup uses AsyncHyperBandScheduler with
+max_t=100, grace_period=8 (AttemptFour/tune.py:168-176). Same semantics:
+rungs at grace_period * reduction_factor^k; when a trial reaches a rung it
+continues only if its metric is in the top 1/reduction_factor of results seen
+at that rung so far (asynchronous — no waiting for full brackets).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+
+class ASHAScheduler:
+    def __init__(
+        self,
+        metric: str = "val_loss",
+        mode: str = "min",
+        max_t: int = 100,
+        grace_period: int = 8,
+        reduction_factor: int = 4,
+    ):
+        assert mode in ("min", "max")
+        self.metric = metric
+        self.mode = mode
+        self.max_t = max_t
+        self.grace = grace_period
+        self.rf = reduction_factor
+        self.rungs: list[int] = []
+        t = grace_period
+        while t < max_t:
+            self.rungs.append(t)
+            t *= reduction_factor
+        self._results: dict[int, list[float]] = defaultdict(list)
+
+    def _better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def on_result(self, trial_id, t: int, metrics: dict) -> str:
+        """Returns 'continue' or 'stop'. Call once per epoch (t = 1-based)."""
+        if t >= self.max_t:
+            return "stop"
+        if t not in self.rungs:
+            return "continue"
+        value = float(metrics[self.metric])
+        rung = self._results[t]
+        rung.append(value)
+        ranked = sorted(rung, reverse=(self.mode == "max"))
+        cutoff_idx = max(len(ranked) // self.rf, 1) - 1
+        cutoff = ranked[cutoff_idx]
+        keep = value <= cutoff if self.mode == "min" else value >= cutoff
+        return "continue" if keep else "stop"

@@ -1,0 +1,115 @@
+"""Trial runner: the multi-trial orchestration layer.
+
+Reference: ``tune.run(train_NIC, num_samples=200, AsyncHyperBandScheduler,
+resources_per_trial={cpu:2, gpu:0.33})`` (AttemptFour/tune.py:166-205) — Ray
+workers each running a full training. TPU equivalent: trials are executed
+either sequentially in-process (one chip, compiled train step reused across
+trials) or as spawned subprocesses over per-host CPU devices
+(``processes > 1``); each trial reports per-epoch metrics through a callback
+and ASHA decides continue/stop (the TuneReportCallback flow, tune.py:146-153).
+
+``trial_fn(config, report) -> float`` runs one trial, calling
+``report(t, metrics)`` each epoch and honouring its 'stop' return.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ProcessPoolExecutor
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TuneResult:
+    trials: list = field(default_factory=list)
+    metric: str = "val_loss"
+    mode: str = "min"
+
+    def best(self) -> dict:
+        key = lambda tr: tr["final_metric"]
+        return (
+            min(self.trials, key=key)
+            if self.mode == "min"
+            else max(self.trials, key=key)
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({"metric": self.metric, "trials": self.trials}, f, indent=1)
+
+
+def _run_one(args):
+    trial_fn, trial_id, config, metric = args
+    history = []
+
+    def report(t, metrics):
+        history.append({"t": t, **{k: float(v) for k, v in metrics.items()}})
+        return "continue"
+
+    final = trial_fn(config, report)
+    return trial_id, config, history, float(final)
+
+
+def run_experiment(
+    trial_fn,
+    search,
+    scheduler=None,
+    metric: str = "val_loss",
+    mode: str = "min",
+    processes: int = 1,
+    log_dir: str | None = None,
+) -> TuneResult:
+    result = TuneResult(metric=metric, mode=mode)
+
+    if processes > 1:
+        # independent trials in worker processes (no ASHA coupling):
+        # mirrors Ray's fully-async workers for cheap CPU trials
+        jobs = [
+            (trial_fn, i, cfg, metric) for i, cfg in enumerate(search)
+        ]
+        with ProcessPoolExecutor(max_workers=processes) as pool:
+            for trial_id, cfg, history, final in pool.map(_run_one, jobs):
+                result.trials.append(
+                    {
+                        "trial_id": trial_id,
+                        "config": cfg,
+                        "history": history,
+                        "final_metric": final,
+                    }
+                )
+    else:
+        for trial_id, config in enumerate(search):
+            history = []
+            stopped_early = False
+
+            def report(t, metrics):
+                nonlocal stopped_early
+                history.append(
+                    {"t": t, **{k: float(v) for k, v in metrics.items()}}
+                )
+                if scheduler is not None:
+                    decision = scheduler.on_result(trial_id, t, metrics)
+                    if decision == "stop":
+                        stopped_early = True
+                    return decision
+                return "continue"
+
+            t0 = time.time()
+            final = trial_fn(config, report)
+            result.trials.append(
+                {
+                    "trial_id": trial_id,
+                    "config": config,
+                    "history": history,
+                    "final_metric": float(final),
+                    "stopped_early": stopped_early,
+                    "wall_s": time.time() - t0,
+                }
+            )
+
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        result.save(os.path.join(log_dir, "tune_results.json"))
+    return result

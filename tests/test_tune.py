@@ -1,0 +1,79 @@
+import numpy as np
+
+from masters_thesis_tpu.tune.asha import ASHAScheduler
+from masters_thesis_tpu.tune.runner import run_experiment
+from masters_thesis_tpu.tune.search import (
+    Choice,
+    GridSearch,
+    LogUniform,
+    RandomSearch,
+    Uniform,
+)
+
+
+def test_random_search_deterministic_and_in_range():
+    space = {
+        "lr": LogUniform(1e-5, 1e-2),
+        "dropout": Uniform(0.0, 0.5),
+        "units": Choice([128, 256]),
+        "fixed": 42,
+    }
+    a = list(RandomSearch(space, 10, seed=3))
+    b = list(RandomSearch(space, 10, seed=3))
+    assert a == b
+    for cfg in a:
+        assert 1e-5 <= cfg["lr"] <= 1e-2
+        assert 0.0 <= cfg["dropout"] <= 0.5
+        assert cfg["units"] in (128, 256)
+        assert cfg["fixed"] == 42
+    lrs = [c["lr"] for c in a]
+    assert len(set(lrs)) == 10
+
+
+def test_grid_search_product():
+    g = list(GridSearch({"a": [1, 2], "b": ["x", "y"], "c": 7}))
+    assert len(g) == 4
+    assert {"a": 1, "b": "y", "c": 7} in g
+
+
+def test_asha_stops_bad_trials():
+    sched = ASHAScheduler(max_t=32, grace_period=2, reduction_factor=2)
+    assert sched.rungs == [2, 4, 8, 16]
+    # first trial at a rung is always kept
+    assert sched.on_result(0, 2, {"val_loss": 1.0}) == "continue"
+    # much worse trial at the same rung gets cut once enough results exist
+    assert sched.on_result(1, 2, {"val_loss": 5.0}) == "stop"
+    assert sched.on_result(2, 2, {"val_loss": 0.5}) == "continue"
+    assert sched.on_result(0, 32, {"val_loss": 0.1}) == "stop"  # max_t
+
+
+def test_run_experiment_with_asha():
+    def trial(config, report):
+        # quadratic bowl: converges to config-dependent floor
+        floor = (config["x"] - 0.3) ** 2
+        loss = None
+        for t in range(1, 21):
+            loss = floor + 1.0 / t
+            if report(t, {"val_loss": loss}) == "stop":
+                break
+        return loss
+
+    search = RandomSearch({"x": Uniform(0, 1)}, 12, seed=0)
+    sched = ASHAScheduler(max_t=20, grace_period=2, reduction_factor=2)
+    res = run_experiment(trial, search, sched)
+    assert len(res.trials) == 12
+    best = res.best()
+    assert abs(best["config"]["x"] - 0.3) < 0.25
+    assert any(t.get("stopped_early") for t in res.trials)
+
+
+def test_run_experiment_saves(tmp_path):
+    def trial(config, report):
+        report(1, {"val_loss": config["x"]})
+        return config["x"]
+
+    res = run_experiment(
+        trial, GridSearch({"x": [3.0, 1.0, 2.0]}), log_dir=str(tmp_path)
+    )
+    assert res.best()["final_metric"] == 1.0
+    assert (tmp_path / "tune_results.json").exists()
