@@ -79,6 +79,7 @@ def sentence_bleu(references, hypothesis, weights=(0.25,) * 4,
         if w == 0.0:
             continue
         num, den = modified_precision(references, hypothesis, i + 1)
+        den = max(den, 1)  # NLTK clamps the denominator before smoothing
         if smoothing == "method2" and i > 0:
             num, den = num + 1, den + 1
         if den == 0:

@@ -104,7 +104,8 @@ double sentence_bleu(const std::vector<Seq>& refs, const Seq& hyp, int max_n,
       auto it = max_ref.find(kv.first);
       if (it != max_ref.end()) clipped += std::min(kv.second, it->second);
     }
-    double num = clipped, den = total;
+    // NLTK clamps the denominator to >= 1 before smoothing
+    double num = clipped, den = std::max(total, 1);
     if (smooth2 && n > 1) {
       num += 1.0;
       den += 1.0;

@@ -91,9 +91,11 @@ def test_bleu_table_has_8_entries():
     t = bleu_table(["a b c d e"], [["a b c d e"]])
     assert len(t) == 8
     assert t["Cumulative-4"] == pytest.approx(1.0)
-    # a 3-token hypothesis has no 4-grams: BLEU-4 must be 0
+    # a 3-token hypothesis has no 4-grams: BLEU-4 falls to the method1
+    # epsilon (0.1 over the clamped denominator), as in NLTK
     t3 = bleu_table(["a b c"], [["a b c"]])
-    assert t3["BLEU-4"] == 0.0 and t3["BLEU-1"] == pytest.approx(1.0)
+    assert t3["BLEU-4"] == pytest.approx(0.1)
+    assert t3["BLEU-1"] == pytest.approx(1.0)
 
 
 def test_ids_to_caption_truncates_at_end():
