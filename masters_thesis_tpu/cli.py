@@ -1,0 +1,118 @@
+"""Command-line interface.
+
+Reference entry points and their equivalents here:
+
+  python AttemptFour/main.py           -> python -m masters_thesis_tpu train --config c.yaml
+  python AttemptFour/eval.py --dir R   -> python -m masters_thesis_tpu eval --config c.yaml
+  python AttemptFour/metric_suit.py    -> python -m masters_thesis_tpu metrics --config c.yaml
+  python AttemptFour/tune.py           -> python -m masters_thesis_tpu tune --config c.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from masters_thesis_tpu.config import Config
+
+
+def _add_common(p):
+    p.add_argument("--config", required=True, help="YAML config path")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--smoke-keys", type=int, default=48,
+                   help="synthetic dataset size when no real data mounted")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser("masters_thesis_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a model from a config")
+    _add_common(t)
+
+    e = sub.add_parser("eval", help="train (or restore) then decode test set")
+    _add_common(e)
+    e.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    e.add_argument("--beam-width", type=int, default=5)
+
+    m = sub.add_parser("metrics", help="train+eval+score in one go")
+    _add_common(m)
+
+    tu = sub.add_parser("tune", help="random-search + ASHA over L2 regs")
+    _add_common(tu)
+    tu.add_argument("--num-samples", type=int, default=8)
+    tu.add_argument("--smoke-test", action="store_true")
+
+    args = ap.parse_args(argv)
+    cfg = Config.load(args.config)
+
+    from masters_thesis_tpu.experiment import run_eval, run_metrics, run_training
+
+    if args.cmd == "train":
+        run_path, logs, _ = run_training(cfg, args.epochs, args.smoke_keys)
+        print(json.dumps({"run_path": run_path, **{
+            k: float(v) for k, v in logs.items()}}))
+        return 0
+
+    if args.cmd in ("eval", "metrics"):
+        run_path, logs, bundle = run_training(cfg, args.epochs, args.smoke_keys)
+        out = run_eval(
+            bundle, run_path,
+            decoder=getattr(args, "decoder", "greedy"),
+            beam_width=getattr(args, "beam_width", 5),
+        )
+        result = {"run_path": run_path, "n_captions": len(out["texts"])}
+        if args.cmd == "metrics":
+            scores = run_metrics(bundle, out)
+            result.update({k: v for k, v in scores.items() if v is not None})
+        print(json.dumps(result))
+        return 0
+
+    if args.cmd == "tune":
+        import dataclasses
+
+        from masters_thesis_tpu.tune.asha import ASHAScheduler
+        from masters_thesis_tpu.tune.runner import run_experiment
+        from masters_thesis_tpu.tune.search import LogUniform, RandomSearch
+
+        num = 2 if args.smoke_test else args.num_samples
+        epochs = args.epochs or (2 if args.smoke_test else cfg.epochs)
+
+        def trial(tc, report):
+            tcfg = dataclasses.replace(
+                cfg,
+                run=f"{cfg.run}_trial",
+                input_reg=tc["input_reg"],
+                attn_reg=tc["attn_reg"],
+                lstm_reg=tc["lstm_reg"],
+                output_reg=tc["output_reg"],
+            )
+            _, logs, _ = run_training(tcfg, epochs, args.smoke_keys)
+            final = logs.get("val_loss", logs.get("loss", 0.0))
+            report(epochs, {"val_loss": final})
+            return final
+
+        # the reference's loguniform L2 search space (tune.py:194-197)
+        space = {
+            "input_reg": LogUniform(1e-5, 1e-1),
+            "attn_reg": LogUniform(1e-5, 1e-1),
+            "lstm_reg": LogUniform(1e-7, 1e-3),
+            "output_reg": LogUniform(1e-7, 1e-3),
+        }
+        res = run_experiment(
+            trial,
+            RandomSearch(space, num, seed=cfg.seed),
+            ASHAScheduler(max_t=epochs, grace_period=max(1, epochs // 4)),
+            log_dir=cfg.log,
+        )
+        print(json.dumps({"best": res.best()["config"],
+                          "best_metric": res.best()["final_metric"],
+                          "n_trials": len(res.trials)}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

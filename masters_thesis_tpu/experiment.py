@@ -1,0 +1,263 @@
+"""Experiment wiring: config -> data -> model -> trainer/eval.
+
+The framework equivalent of the reference's entry scripts
+(AttemptFour/main.py, main_ms.py, main_images.py, eval.py, metric_suit.py):
+one config-driven path that selects the model family, builds the data
+pipelines, trains with callbacks/checkpointing, and evaluates with greedy (or
+beam) decoding + the metric suite.
+
+When the configured dataset paths don't exist (no NSD data mounted), a
+seeded synthetic dataset of the right shapes is used so every entry point is
+runnable end-to-end ("smoke" mode — the reference has no equivalent; its
+scripts hard-require the lab filesystem).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import numpy as np
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.pairs import encode_pairs
+from masters_thesis_tpu.data.pipeline import BatchPipeline, EvalPipeline
+from masters_thesis_tpu.data.synthetic import synthetic_dataset
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+from masters_thesis_tpu.train.optim import make_optimizer
+from masters_thesis_tpu.train.state import TrainState, init_model
+from masters_thesis_tpu.train.steps import make_eval_step, make_train_step
+from masters_thesis_tpu.utils.logging import MetricLogger, setup_run_dir
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------- data
+
+def build_data(cfg: Config, smoke_keys: int = 48):
+    """Returns (split, pairs, tokenizer, store, groups)."""
+    betas_path = cfg.dataset.betas_path
+    if betas_path and os.path.isdir(betas_path):
+        raise NotImplementedError(
+            "real NSD loading requires the offline-preprocessed stores; "
+            "use data.store.ArrayStore.from_npy_dir + data.splits.get_nsd_keys"
+        )
+    n_voxels = min(cfg.input_dim(), 2048) if smoke_keys <= 64 else cfg.input_dim()
+    if cfg.model.lower() == "guse_nic":
+        n_voxels = 512  # GUSE sentence-embedding width (get_guse.py)
+    n_groups = min(16, max(4, n_voxels // 128))
+    return synthetic_dataset(
+        n_keys=smoke_keys,
+        n_voxels=n_voxels,
+        n_groups=n_groups,
+        top_k=min(cfg.top_k, 200),
+        seed=cfg.seed,
+    )
+
+
+# ---------------------------------------------------------------- model
+
+def build_model(cfg: Config, groups, n_voxels: int):
+    """Select the model family from cfg.model; returns (model, l2_rules,
+    masked)."""
+    name = cfg.model.lower()
+    if name in ("lc_nic", "ms_nic"):
+        from masters_thesis_tpu.models.nic import LcNIC
+
+        layout = GroupLayout(groups, n_voxels)
+        model = LcNIC(
+            layout=layout,
+            units=cfg.units,
+            group_size=cfg.group_size,
+            embedding_text=cfg.embedding_text,
+            attn_units=cfg.attn_units,
+            vocab_size=cfg.vocab_size,
+            max_length=cfg.max_length,
+            dropout_input=cfg.dropout_input,
+            dropout_features=cfg.dropout_features,
+            dropout_text=cfg.dropout_text,
+            dropout_attn=cfg.dropout_attn,
+            dropout_lstm=cfg.dropout_lstm,
+            dropout_out=cfg.dropout_out,
+        )
+        return model, lc_nic_l2_rules(cfg), False
+    if name == "ms2_nic":
+        from masters_thesis_tpu.models.multisubject import Ms2NIC
+
+        layout = GroupLayout(groups, n_voxels)
+        model = Ms2NIC(
+            layout, layout,
+            units=cfg.units, group_size=cfg.group_size,
+            embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+            vocab_size=cfg.vocab_size, max_length=cfg.max_length,
+        )
+        return model, lc_nic_l2_rules(cfg), False
+    if name == "img_nic":
+        from masters_thesis_tpu.models.nic import ImgNIC
+
+        model = ImgNIC(
+            embed_dim=cfg.embedding_features, units=cfg.units,
+            attn_units=cfg.attn_units, vocab_size=cfg.vocab_size,
+            max_length=cfg.max_length, embedding_text=cfg.embedding_text,
+        )
+        return model, lc_nic_l2_rules(cfg), False
+    if name == "cnn_rnn":
+        from masters_thesis_tpu.models.nic import CnnRnnNIC
+
+        model = CnnRnnNIC(
+            embed_dim=256, units=cfg.units, vocab_size=cfg.vocab_size,
+            max_length=cfg.max_length,
+        )
+        return model, lc_nic_l2_rules(cfg), True
+    if name in ("showtell", "thinkandtell"):
+        from masters_thesis_tpu.models.showtell import ShowTell, showtell_l2_rules
+
+        model = ShowTell(
+            units=cfg.units,
+            embed_dim=cfg.embedding_features,
+            embedding_text=cfg.embedding_features,
+            vocab_size=cfg.vocab_size,
+            max_length=cfg.max_length,
+            head_activation="relu" if name == "thinkandtell" else "linear",
+        )
+        return model, showtell_l2_rules(cfg), True
+    if name == "guse_nic":
+        from masters_thesis_tpu.models.showtell import GuseNIC, showtell_l2_rules
+
+        model = GuseNIC(
+            units=cfg.units, vocab_size=cfg.vocab_size,
+            max_length=cfg.max_length,
+        )
+        return model, showtell_l2_rules(cfg), True
+    raise ValueError(f"unknown model {cfg.model!r}")
+
+
+# ---------------------------------------------------------------- train
+
+def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48):
+    """Full training run; returns (run_path, final logs, state bundle)."""
+    run_path = setup_run_dir(cfg.log, cfg.run, cfg)
+    split, pairs, tok, store, groups = build_data(cfg, smoke_keys)
+    tok.save(os.path.join(run_path, "tokenizer.json"))
+
+    n_voxels = store.row_shape[0]
+    model, l2_rules, masked = build_model(cfg, groups, n_voxels)
+
+    train_enc = encode_pairs(pairs["train"], tok, cfg.max_length)
+    val_enc = encode_pairs(pairs["val"], tok, cfg.max_length)
+    bs = min(cfg.batch_size, max(2, len(train_enc) // 2))
+    train_pipe = BatchPipeline(train_enc, store, bs, seed=cfg.seed)
+    val_pipe = BatchPipeline(val_enc, store, bs, seed=cfg.seed, shuffle=False)
+
+    batch = next(iter(BatchPipeline(train_enc, store, bs, seed=0, prefetch=0).epoch()))
+    params, batch_stats, rng = init_model(model, cfg, batch["betas"], batch["tokens"])
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx, rng=rng)
+
+    from masters_thesis_tpu.train.callbacks import (
+        BatchLoss,
+        Checkpointing,
+        LossHistory,
+    )
+    from masters_thesis_tpu.train.checkpoint import CheckpointManager
+    from masters_thesis_tpu.train.loop import Trainer
+
+    mgr = CheckpointManager(os.path.join(run_path, "model"))
+    trainer = Trainer(
+        cfg,
+        make_train_step(model, cfg, l2_rules, masked=masked, donate=False),
+        make_eval_step(model, cfg, l2_rules, masked=masked),
+        state,
+        train_pipe,
+        val_pipe,
+        callbacks=[LossHistory(run_path), BatchLoss(run_path), Checkpointing(mgr)],
+        store=store,
+        metric_logger=MetricLogger(os.path.join(run_path, "metrics.jsonl")),
+    )
+    logs = trainer.fit(epochs=epochs)
+    bundle = {
+        "model": model, "state": trainer.state, "tokenizer": tok,
+        "store": store, "split": split, "pairs": pairs, "cfg": cfg,
+        "manager": mgr,
+    }
+    return run_path, logs, bundle
+
+
+# ---------------------------------------------------------------- eval
+
+def run_eval(bundle, run_path: str, epoch: int | None = None,
+             decoder: str = "greedy", beam_width: int = 5):
+    """Test-set decoding (reference eval.py:147-193): writes
+    output_captions_{e}.npy, attention scores, and decoded text."""
+    import jax.numpy as jnp
+
+    cfg, model, tok = bundle["cfg"], bundle["model"], bundle["tokenizer"]
+    state, store = bundle["state"], bundle["store"]
+    pairs = bundle["pairs"]["test"] or bundle["pairs"]["val"]
+    enc = encode_pairs(pairs, tok, cfg.max_length)
+    bs = min(cfg.batch_size, len(enc))
+    pipe = EvalPipeline(enc, store, bs)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if decoder == "greedy":
+        from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+
+        dec = make_greedy_decoder(model, cfg.units, cfg.max_length)
+    else:
+        from masters_thesis_tpu.decode.beam import make_beam_decoder
+
+        dec = make_beam_decoder(
+            model, cfg.units, cfg.max_length, beam_width=beam_width
+        )
+
+    all_words, all_attn, all_keys = [], [], []
+    for batch in pipe.epoch():
+        betas = jnp.asarray(batch["betas"])
+        if decoder == "greedy":
+            words, _, attn = dec(variables, betas, tok.start_id)
+        else:
+            words, _, _, _ = dec(variables, betas, tok.start_id, tok.end_id)
+            attn = jnp.zeros((words.shape[0], cfg.max_length, 1))
+        valid = batch["valid"]
+        all_words.append(np.asarray(words)[valid])
+        all_attn.append(np.asarray(attn)[valid])
+        all_keys.append(batch["keys"][valid])
+
+    words = np.concatenate(all_words)
+    attn = np.concatenate(all_attn)
+    keys = np.concatenate(all_keys)
+    e = epoch if epoch is not None else bundle["manager"].latest_epoch() or 0
+    np.save(os.path.join(run_path, f"output_captions_{e}.npy"), words)
+    np.save(os.path.join(run_path, f"attention_scores_{e}.npy"), attn)
+    texts = [None] * len(words)
+    from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
+
+    with open(os.path.join(run_path, f"captions_{e}.txt"), "w") as f:
+        for i, row in enumerate(words):
+            texts[i] = ids_to_caption(row, tok)
+            f.write(f"{keys[i]}\t{texts[i]}\n")
+    return {"words": words, "keys": keys, "texts": texts, "epoch": e}
+
+
+def run_metrics(bundle, eval_out, captions_by_key=None) -> dict:
+    """Reference metric_suit.py + guse_sim.py on the eval output."""
+    from masters_thesis_tpu.data.pairs import clean_caption
+    from masters_thesis_tpu.evalsuite.guse_sim import guse_similarity
+    from masters_thesis_tpu.evalsuite.metric_suite import evaluate_captions
+
+    if captions_by_key is None:
+        # rebuild reference texts from the pair lists
+        captions_by_key = {}
+        for split_pairs in bundle["pairs"].values():
+            for key, cap, cid, count, subj in split_pairs:
+                captions_by_key.setdefault(int(key), []).append(
+                    " ".join(cap.split()[1:-1])  # strip <start>/<end>
+                )
+    refs = [captions_by_key[int(k)] for k in eval_out["keys"]]
+    scores = evaluate_captions(eval_out["texts"], refs)
+    guse = guse_similarity(eval_out["texts"], refs)
+    scores["GUSE_pearson_r"] = guse["pearson_r"]
+    scores["GUSE_mean_corr"] = guse["mean_brain_corr"]
+    return scores

@@ -76,6 +76,31 @@ class GroupLayout:
         return int(sum(b.padded * len(b.group_ids) for b in self.buckets))
 
     @property
+    def bucket_offsets(self) -> list[int]:
+        """Start offset of each bucket's segment in the grouped layout."""
+        offs, acc = [], 0
+        for b in self.buckets:
+            offs.append(acc)
+            acc += b.padded * len(b.group_ids)
+        return offs
+
+    def flat_indices(self) -> np.ndarray:
+        """(padded_total,) gather indices into the zero-padded input
+        (index n_voxels = the zero slot)."""
+        return np.concatenate([b.indices.reshape(-1) for b in self.buckets])
+
+    def permute_rows(self, data: np.ndarray) -> np.ndarray:
+        """Pre-gather rows into the grouped padded layout (N, padded_total).
+
+        Doing this ONCE at preprocessing time removes the per-step voxel
+        gather from the training hot path entirely — batches then slice
+        contiguous bucket segments (see LocallyDense(pregathered=True)).
+        """
+        data = np.asarray(data)
+        padded = np.pad(data, ((0, 0), (0, 1)))
+        return padded[:, self.flat_indices()]
+
+    @property
     def waste_fraction(self) -> float:
         true = int(self.group_sizes.sum())
         return 1.0 - true / self.padded_total

@@ -1,0 +1,68 @@
+import json
+
+import pytest
+
+from masters_thesis_tpu.cli import main
+
+
+def _smoke_cfg(tmp_path, **over):
+    from masters_thesis_tpu.config import Config
+
+    cfg = Config(
+        run="smoke", model="lc_nic", epochs=2, batch_size=8, max_length=8,
+        top_k=60, units=32, attn_units=8, group_size=8, embedding_text=16,
+        embedding_features=32, log=str(tmp_path / "logs"),
+    )
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    p = tmp_path / "cfg.yaml"
+    cfg.save(p)
+    return str(p)
+
+
+def test_cli_train_smoke(tmp_path, capsys):
+    cfg = _smoke_cfg(tmp_path)
+    assert main(["train", "--config", cfg, "--epochs", "2",
+                 "--smoke-keys", "16"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "loss" in out and "val_loss" in out
+    import os
+
+    run_path = out["run_path"]
+    assert os.path.exists(os.path.join(run_path, "loss_history.csv"))
+    assert os.path.exists(os.path.join(run_path, "tokenizer.json"))
+    assert os.path.exists(os.path.join(run_path, "config.yaml"))
+
+
+def test_cli_metrics_smoke(tmp_path, capsys):
+    cfg = _smoke_cfg(tmp_path)
+    assert main(["metrics", "--config", cfg, "--epochs", "1",
+                 "--smoke-keys", "16"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "Bleu_1" in out and "CIDEr" in out and "GUSE_pearson_r" in out
+    assert out["n_captions"] > 0
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(out["run_path"], "output_captions_*.npy"))
+
+
+@pytest.mark.parametrize("model", ["showtell", "cnn_rnn", "guse_nic"])
+def test_cli_train_other_families(tmp_path, capsys, model):
+    over = {"model": model}
+    if model == "guse_nic":
+        over["embedding_features"] = 512
+    cfg = _smoke_cfg(tmp_path, **over)
+    assert main(["train", "--config", cfg, "--epochs", "1",
+                 "--smoke-keys", "12"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "loss" in out
+
+
+def test_cli_tune_smoke(tmp_path, capsys):
+    cfg = _smoke_cfg(tmp_path)
+    assert main(["tune", "--config", cfg, "--smoke-test",
+                 "--smoke-keys", "12"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_trials"] == 2
+    assert "input_reg" in out["best"]
