@@ -62,29 +62,48 @@ class LocallyDense(nn.Module):
     dropout: float = 0.2
     use_bn: bool = True
     negative_slope: float = 0.2
+    pregathered: bool = False   # input already in grouped layout
+    #                             (GroupLayout.permute_rows — no hot-path gather)
+    use_pallas: bool = False    # fused Pallas block-dense kernel
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        # x: (B, N) -> pad a zero column for the padding gather slot
-        xpad = jnp.pad(x, ((0, 0), (0, 1)))
+        if self.pregathered:
+            assert x.shape[-1] == self.layout.padded_total, (
+                f"pregathered input must be {self.layout.padded_total} wide"
+            )
+        else:
+            # x: (B, N) -> pad a zero column for the padding gather slot
+            xpad = jnp.pad(x, ((0, 0), (0, 1)))
+        offsets = self.layout.bucket_offsets
 
         outs = []
         for b, bucket in enumerate(self.layout.buckets):
-            idx = jnp.asarray(bucket.indices)              # (G_b, P_b) static
-            xg = xpad[:, idx]                              # (B, G_b, P_b)
+            gb, pb = len(bucket.group_ids), bucket.padded
+            if self.pregathered:
+                xg = x[:, offsets[b] : offsets[b] + gb * pb].reshape(-1, gb, pb)
+            else:
+                idx = jnp.asarray(bucket.indices)          # (G_b, P_b) static
+                xg = xpad[:, idx]                          # (B, G_b, P_b)
             w = self.param(
                 f"kernel_{b}",
                 _bucket_kernel_init(bucket.sizes, bucket.padded, self.out_dim),
-                (len(bucket.group_ids), bucket.padded, self.out_dim),
+                (gb, pb, self.out_dim),
             )
             bias = self.param(
-                f"bias_{b}", nn.initializers.zeros,
-                (len(bucket.group_ids), self.out_dim),
+                f"bias_{b}", nn.initializers.zeros, (gb, self.out_dim),
             )
-            y = jnp.einsum(
-                "bgp,gpd->bgd", xg, w, preferred_element_type=jnp.float32
-            ) + bias
-            outs.append(leaky_relu(y, self.negative_slope))
+            if self.use_pallas:
+                from masters_thesis_tpu.ops.block_dense import block_dense_leaky
+
+                outs.append(
+                    block_dense_leaky(xg, w, bias, self.negative_slope)
+                )
+            else:
+                y = jnp.einsum(
+                    "bgp,gpd->bgd", xg, w, preferred_element_type=jnp.float32
+                ) + bias
+                outs.append(leaky_relu(y, self.negative_slope))
 
         out = jnp.concatenate(outs, axis=1)                 # (B, ΣG_b, D)
         out = jnp.take(out, jnp.asarray(self.layout.unpermute), axis=1)
