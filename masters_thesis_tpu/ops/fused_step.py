@@ -64,9 +64,10 @@ def _kernel(h_ref, c_ref, pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
     ctx = jnp.sum(alpha[:, :, None] * feat_ref[:], axis=1)   # (Bt, D)
 
     x = jnp.concatenate([ctx, emb_ref[:]], axis=-1)          # (Bt, D+E)
+    wdt = wx_ref.dtype                                       # bf16 on TPU
     z = (
-        jnp.dot(x, wx_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(x.astype(wdt), wx_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h.astype(wdt), wh_ref[:], preferred_element_type=jnp.float32)
         + b_ref[0]
     )                                                        # (Bt, 4U)
     i = jax.nn.sigmoid(z[:, :units])
@@ -80,15 +81,25 @@ def _kernel(h_ref, c_ref, pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
 
 
 def fused_decode_step(h, c, pre, features, w2, b2, v, bv, emb, wx, wh, b,
-                      n_regions: int, batch_tile: int = 32):
+                      n_regions: int, batch_tile: int = 8):
     """All-array args; shapes:
     h/c (B, U); pre/features (B, Rp, A)/(B, Rp, D); w2 (U, A); b2 (A,);
     v (A,); bv scalar; emb (B, E); wx (D+E, 4U); wh (U, 4U); b (4U,).
-    Returns (h', c', alpha (B, Rp))."""
+    Returns (h', c', alpha (B, Rp)).
+
+    On real TPU the two LSTM weight matrices are fed to the MXU in bf16
+    (fp32 accumulation via preferred_element_type) — they dominate the VMEM
+    budget (4.5 + 4 MB fp32, double-buffered) and bf16 is the MXU's native
+    input width anyway. Interpreter mode (CPU tests) stays fp32.
+    """
     B, U = h.shape
     Rp = pre.shape[1]
     bt = min(batch_tile, B)
     grid = (pl.cdiv(B, bt),)
+
+    if jax.default_backend() == "tpu":
+        wx = wx.astype(jnp.bfloat16)
+        wh = wh.astype(jnp.bfloat16)
 
     b2r = b2.reshape(1, -1)
     vr = v.reshape(1, -1)

@@ -22,10 +22,27 @@ from masters_thesis_tpu.train.losses import (
 )
 
 
+def _compute_dtype(cfg):
+    name = getattr(getattr(cfg, "tpu", None), "compute_dtype", "float32")
+    # bf16 matmuls with fp32 accumulation are TPU-native; the CPU backend
+    # lacks BF16xBF16=F32 dots, so fall back to fp32 off-TPU (tests)
+    if name == "bfloat16" and jax.default_backend() == "tpu":
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _forward_loss(model, cfg, l2_rules, params, batch_stats, rng, betas,
                   tokens, target, mask=None):
+    # mixed precision: master params fp32, forward in bf16 when configured
+    # (the cast is differentiable; grads land back on the fp32 masters)
+    cdt = _compute_dtype(cfg)
+    fwd_params = params
+    if cdt == jnp.bfloat16:
+        cast = lambda p: p.astype(cdt) if p.dtype == jnp.float32 else p
+        fwd_params = jax.tree_util.tree_map(cast, params)
+        betas = betas.astype(cdt)
     a0 = jnp.zeros((betas.shape[0], cfg.units), betas.dtype)
-    variables = {"params": params, "batch_stats": batch_stats}
+    variables = {"params": fwd_params, "batch_stats": batch_stats}
     (logits, alphas), mutated = model.apply(
         variables,
         betas,
@@ -36,9 +53,14 @@ def _forward_loss(model, cfg, l2_rules, params, batch_stats, rng, betas,
         rngs={"dropout": rng},
         mutable=["batch_stats"],
     )
-    cce = caption_loss(logits, target, mask)
+    new_stats = mutated.get("batch_stats", batch_stats)
+    if cdt == jnp.bfloat16:
+        new_stats = jax.tree_util.tree_map(
+            lambda s: s.astype(jnp.float32), new_stats
+        )
+    cce = caption_loss(logits.astype(jnp.float32), target, mask)
     l2 = l2_loss(params, l2_rules)
-    attn = attention_loss(alphas)
+    attn = attention_loss(alphas.astype(jnp.float32))
     total = cce + l2
     if cfg.attn_loss:
         total = total + attn
@@ -48,7 +70,7 @@ def _forward_loss(model, cfg, l2_rules, params, batch_stats, rng, betas,
         "attention": attn,
         "accuracy": accuracy(logits, target, mask),
     }
-    return total, (metrics, mutated.get("batch_stats", batch_stats))
+    return total, (metrics, new_stats)
 
 
 def make_train_step(model, cfg, l2_rules, masked: bool = False,
