@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+import jax
+import jax.numpy as jnp
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.synthetic import synthetic_groups
+from masters_thesis_tpu.models.nic import LcNIC
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.train.state import init_model
+from masters_thesis_tpu.utils.keras_import import (
+    import_bn_stats_h5,
+    import_lc_nic_h5,
+)
+
+
+def _write_fake_keras_h5(path, layout, cfg, rng):
+    """Emulate the reference's save_weights layout for lc_NIC."""
+    g = cfg.group_size
+    with h5py.File(path, "w") as f:
+
+        def ds(name, shape):
+            arr = rng.standard_normal(shape).astype(np.float32)
+            if "variance" in name:
+                arr = np.abs(arr) + 0.1  # variances must be positive
+            f.create_dataset(name, data=arr)
+            return arr
+
+        arrs = {}
+        arrs["emb"] = ds("emb_text/embeddings:0", (cfg.vocab_size, cfg.embedding_text))
+        arrs["lk"] = ds("lstm/lstm_cell/kernel:0",
+                        (g + cfg.embedding_text, 4 * cfg.units))
+        arrs["lr"] = ds("lstm/lstm_cell/recurrent_kernel:0",
+                        (cfg.units, 4 * cfg.units))
+        arrs["lb"] = ds("lstm/lstm_cell/bias:0", (4 * cfg.units,))
+        arrs["di_k"] = ds("time_distributed_nonlinear/dense/kernel:0",
+                          (cfg.units, 256))
+        arrs["di_b"] = ds("time_distributed_nonlinear/dense/bias:0", (256,))
+        arrs["do_k"] = ds("time_distributed_softmax/dense_1/kernel:0",
+                          (256, cfg.vocab_size))
+        arrs["do_b"] = ds("time_distributed_softmax/dense_1/bias:0",
+                          (cfg.vocab_size,))
+        arrs["w1"] = ds("attention/dense_2/kernel:0", (g, cfg.attn_units))
+        arrs["w1b"] = ds("attention/dense_2/bias:0", (cfg.attn_units,))
+        arrs["w2"] = ds("attention/dense_3/kernel:0", (cfg.units, cfg.attn_units))
+        arrs["w2b"] = ds("attention/dense_3/bias:0", (cfg.attn_units,))
+        arrs["v"] = ds("attention/dense_4/kernel:0", (cfg.attn_units, 1))
+        arrs["vb"] = ds("attention/dense_4/bias:0", (1,))
+        for i, grp in enumerate(layout_groups):
+            suffix = "" if i == 0 else f"_{i}"
+            arrs[f"g{i}k"] = ds(
+                f"locally_dense/dense{suffix}/kernel:0", (len(grp), g)
+            )
+            arrs[f"g{i}b"] = ds(f"locally_dense/dense{suffix}/bias:0", (g,))
+        arrs["bn_g"] = ds("locally_dense/input_bn/gamma:0", (g,))
+        arrs["bn_b"] = ds("locally_dense/input_bn/beta:0", (g,))
+        arrs["bn_mm"] = ds("locally_dense/input_bn/moving_mean:0", (g,))
+        arrs["bn_mv"] = ds("locally_dense/input_bn/moving_variance:0", (g,))
+    return arrs
+
+
+layout_groups = None
+
+
+def test_import_round_trips_into_params(tmp_path):
+    global layout_groups
+    cfg = Config(top_k=30, batch_size=2, max_length=5, units=12, attn_units=6,
+                 group_size=4, embedding_text=8)
+    layout_groups = synthetic_groups(96, 3, seed=0)
+    layout = GroupLayout(layout_groups, 96)
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    rng = np.random.default_rng(0)
+    betas = rng.standard_normal((2, 96)).astype(np.float32)
+    tokens = np.zeros((2, 5), np.int32)
+    params, bstats, _ = init_model(model, cfg, betas, tokens)
+
+    h5path = str(tmp_path / "model-ep001.h5")
+    arrs = _write_fake_keras_h5(h5path, layout, cfg, rng)
+
+    new = import_lc_nic_h5(h5path, params, layout)
+    np.testing.assert_array_equal(new["embedding"], arrs["emb"])
+    np.testing.assert_array_equal(new["lstm"]["kernel"], arrs["lk"])
+    np.testing.assert_array_equal(new["attention"]["W1"]["kernel"], arrs["w1"])
+    np.testing.assert_array_equal(new["attention"]["V"]["kernel"], arrs["v"])
+    np.testing.assert_array_equal(new["dense_out"]["bias"], arrs["do_b"])
+
+    # per-group kernels scattered into the right bucket rows, padding zero
+    for b, bucket in enumerate(layout.buckets):
+        for row, gid in enumerate(bucket.group_ids):
+            size = len(layout_groups[gid])
+            got = np.asarray(new["encoder"][f"kernel_{b}"][row])
+            np.testing.assert_array_equal(got[:size], arrs[f"g{gid}k"])
+            assert np.all(got[size:] == 0)
+
+    stats = import_bn_stats_h5(h5path, bstats)
+    np.testing.assert_array_equal(
+        stats["encoder"]["input_bn"]["mean"], arrs["bn_mm"]
+    )
+
+    # imported params must run through the model
+    a0 = jnp.zeros((2, cfg.units))
+    logits, _ = model.apply(
+        {"params": new, "batch_stats": stats},
+        jnp.asarray(betas), jnp.asarray(tokens), a0, a0, training=False,
+    )
+    assert np.isfinite(np.asarray(logits)).all()
