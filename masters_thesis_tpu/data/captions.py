@@ -1,0 +1,84 @@
+"""Caption stores and pretrained word-embedding tables.
+
+Reference surfaces:
+- per-key caption txt files ``KID{key}.txt`` with 5 lines, written by the
+  offline pipeline (ian_code/nsd_get_data.py:262-278) and read by
+  create_pairs (load_avg_betas.py:256);
+- the shared annotations JSON ``modified_annotations_dictionary.json``
+  (utils.py:35-95: image-id -> list of caption strings);
+- GloVe embedding loading for the glove_NIC variant
+  (DataLoaders/data_generator_guse.py:73-110: word->vec txt, synthetic
+  one-hot-ish vectors for <start>/<end>, zeros for unknown).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+
+from masters_thesis_tpu.data.tokenizer import END, START, Tokenizer
+
+_KID_RE = re.compile(r"KID(\d+)")
+
+
+def load_captions_dir(captions_path: str, keys=None) -> dict[int, list[str]]:
+    """Read KID{key}.txt files into {key: [caption, ...]}."""
+    wanted = None if keys is None else {int(k) for k in keys}
+    out: dict[int, list[str]] = {}
+    for entry in os.scandir(captions_path):
+        m = _KID_RE.search(entry.name)
+        if not m:
+            continue
+        key = int(m.group(1))
+        if wanted is not None and key not in wanted:
+            continue
+        with open(entry.path) as f:
+            out[key] = [line for line in f.read().splitlines() if line.strip()]
+    return out
+
+
+def save_annotations_json(path: str, captions_by_key: dict[int, list[str]]) -> None:
+    with open(path, "w") as f:
+        json.dump({str(k): v for k, v in captions_by_key.items()}, f)
+
+
+def load_annotations_json(path: str) -> dict[int, list[str]]:
+    with open(path) as f:
+        raw = json.load(f)
+    return {int(k): v for k, v in raw.items()}
+
+
+def build_glove_table(
+    glove_txt: str, tokenizer: Tokenizer, dim: int, seed: int = 0
+) -> np.ndarray:
+    """(vocab_size, dim) table from a GloVe txt for the tokenizer's vocab.
+
+    Words not in GloVe get zeros; <start>/<end> get the reference's synthetic
+    basis vectors (first/last dim = 1, data_generator_guse.py:89-100).
+    """
+    vocab_size = (tokenizer.num_words or len(tokenizer.word_index)) + 1
+    table = np.zeros((vocab_size, dim), np.float32)
+    vectors: dict[str, np.ndarray] = {}
+    with open(glove_txt) as f:
+        for line in f:
+            parts = line.rstrip().split(" ")
+            if len(parts) != dim + 1:
+                continue
+            vectors[parts[0]] = np.asarray(parts[1:], np.float32)
+    for word, idx in tokenizer.word_index.items():
+        if idx >= vocab_size:
+            continue
+        if word == START:
+            v = np.zeros(dim, np.float32)
+            v[0] = 1.0
+        elif word == END:
+            v = np.zeros(dim, np.float32)
+            v[-1] = 1.0
+        else:
+            v = vectors.get(word)
+        if v is not None:
+            table[idx] = v
+    return table

@@ -37,13 +37,19 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------- data
 
 def build_data(cfg: Config, smoke_keys: int = 48):
-    """Returns (split, pairs, tokenizer, store, groups)."""
+    """Returns (split, pairs, tokenizer, store, groups).
+
+    Real-data mode activates when cfg.dataset.betas_path exists. Expected
+    layout (produced by the offline preprocessing, see data/preprocess and
+    data/pack):
+      betas_path/           a pack dir (meta.json) OR subj0X_KID{key}.npy files
+      captions_path/        KID{key}.txt (5 captions per key)
+      nsd_dir/subj0X_conditions.csv + test_conditions.csv  (key split)
+      nsd_dir/glasser_lh.npy + glasser_rh.npy              (atlas labels)
+    """
     betas_path = cfg.dataset.betas_path
     if betas_path and os.path.isdir(betas_path):
-        raise NotImplementedError(
-            "real NSD loading requires the offline-preprocessed stores; "
-            "use data.store.ArrayStore.from_npy_dir + data.splits.get_nsd_keys"
-        )
+        return _build_real_data(cfg)
     n_voxels = min(cfg.input_dim(), 2048) if smoke_keys <= 64 else cfg.input_dim()
     if cfg.model.lower() == "guse_nic":
         n_voxels = 512  # GUSE sentence-embedding width (get_guse.py)
@@ -55,6 +61,58 @@ def build_data(cfg: Config, smoke_keys: int = 48):
         top_k=min(cfg.top_k, 200),
         seed=cfg.seed,
     )
+
+
+def _build_real_data(cfg: Config):
+    """NSD loading: key split, captions, beta store, Glasser groups."""
+    import glob
+
+    from masters_thesis_tpu.data.captions import load_captions_dir
+    from masters_thesis_tpu.data.pairs import create_pairs
+    from masters_thesis_tpu.data.pack import open_pack
+    from masters_thesis_tpu.data.preprocess.glasser import groups_from_atlas
+    from masters_thesis_tpu.data.splits import get_nsd_keys
+    from masters_thesis_tpu.data.store import ArrayStore
+    from masters_thesis_tpu.data.tokenizer import Tokenizer
+
+    nsd_dir = cfg.dataset.nsd_dir
+    cond_csvs = sorted(glob.glob(os.path.join(nsd_dir, "subj0*_conditions.csv")))
+    assert cond_csvs, f"no subj0*_conditions.csv under {nsd_dir}"
+    split = get_nsd_keys(
+        cond_csvs[0], os.path.join(nsd_dir, "test_conditions.csv"),
+        strict=False,  # the reference's 9000/1000/515 asserts only hold for
+        #                full NSD subjects (load_avg_betas.py:221-223)
+    )
+    all_keys = np.concatenate([split.train, split.val, split.test])
+
+    caps = load_captions_dir(cfg.dataset.captions_path, keys=all_keys)
+    pairs = {
+        name: create_pairs(getattr(split, name), caps)
+        for name in ("train", "val", "test")
+    }
+
+    tok_path = os.path.join(nsd_dir, "tokenizer.json")
+    if os.path.exists(tok_path):
+        tok = Tokenizer.load(tok_path)
+    else:
+        tok = Tokenizer(num_words=cfg.top_k)
+        tok.fit_on_texts([p[1] for p in pairs["train"] + pairs["val"]])
+        tok.install_pad()
+
+    if os.path.exists(os.path.join(cfg.dataset.betas_path, "meta.json")):
+        store = open_pack(cfg.dataset.betas_path, device_resident=False)
+    else:
+        npys = glob.glob(os.path.join(cfg.dataset.betas_path, "*_KID*.npy"))
+        prefix = os.path.basename(npys[0]).split("_KID")[0]
+        store = ArrayStore.from_npy_dir(
+            cfg.dataset.betas_path, list(all_keys),
+            lambda key: f"{prefix}_KID{key}.npy",
+        )
+
+    lh = np.load(os.path.join(nsd_dir, "glasser_lh.npy"))
+    rh = np.load(os.path.join(nsd_dir, "glasser_rh.npy"))
+    groups = groups_from_atlas(lh, rh)
+    return split, pairs, tok, store, groups
 
 
 # ---------------------------------------------------------------- model

@@ -51,6 +51,11 @@ class NIC(nn.Module):
     cell_type: str = "lstm"          # lstm | gru
     head_dim: int = 256              # dense_inter width (CNN_RNN: units)
     head_activation: str = "leaky_relu"  # leaky_relu | relu
+    pretrained_embedding: Any = None  # (V, E) array — glove_NIC.py variant
+    embedding_trainable: bool = True
+    learned_init_state: bool = False  # Xu et al. h0,c0 = MLP(mean(features))
+    #                                   (lc_NIC.learn_init_state :169-173,
+    #                                    tmp_lc_NIC.py:191)
     dropout_input: float = 0.0
     dropout_text: float = 0.2
     dropout_attn: float = 0.2
@@ -65,9 +70,23 @@ class NIC(nn.Module):
             self.cell = KerasLSTMCell(self.units, name="lstm")
         else:
             self.cell = KerasGRUCell(self.units, name="gru")
-        self.embedding = self.param(
-            "embedding", embedding_init, (self.vocab_size, self.embedding_text)
-        )
+        if self.pretrained_embedding is not None:
+            table = jnp.asarray(self.pretrained_embedding)
+            assert table.shape == (self.vocab_size, self.embedding_text)
+            if self.embedding_trainable:
+                self.embedding = self.param(
+                    "embedding", lambda key, shape: table, table.shape
+                )
+            else:
+                self.embedding = table
+        else:
+            self.embedding = self.param(
+                "embedding", embedding_init,
+                (self.vocab_size, self.embedding_text),
+            )
+        if self.learned_init_state:
+            self.hidden_init = nn.Dense(self.units, name="hidden_init")
+            self.carry_init = nn.Dense(self.units, name="carry_init")
         self.dense_inter = nn.Dense(
             self.head_dim, kernel_init=glorot_normal, name="dense_inter"
         )
@@ -106,6 +125,8 @@ class NIC(nn.Module):
         emb = jnp.take(self.embedding, tokens, axis=0)  # (B, T, E)
         emb = self.drop_text(emb, deterministic=not training)
 
+        if self.learned_init_state:
+            a0, c0 = self.init_carry(features)
         carry = self._carry(a0, c0)
         hs, alphas = [], []
         for t in range(self.max_length):
@@ -122,7 +143,11 @@ class NIC(nn.Module):
 
     # ---- single decode step (shared by greedy / beam / sampling) ----
     def init_carry(self, features):
-        """Zero initial state (the reference's a0/c0 zeros)."""
+        """Initial state: zeros (reference a0/c0) or MLP(mean(features))
+        when learned_init_state is on."""
+        if self.learned_init_state:
+            mean = features.mean(axis=1)
+            return self.hidden_init(mean), self.carry_init(mean)
         bs = features.shape[0]
         z = jnp.zeros((bs, self.units), features.dtype)
         return z, z
@@ -160,8 +185,11 @@ def LcNIC(
     dropout_attn: float = 0.2,
     dropout_lstm: float = 0.2,
     dropout_out: float = 0.2,
+    **kw: Any,
 ) -> NIC:
-    """Flagship brain-decoder (lc_NIC.py configuration)."""
+    """Flagship brain-decoder (lc_NIC.py configuration). Extra kwargs pass
+    through to NIC (e.g. pretrained_embedding for the glove_NIC variant,
+    learned_init_state for the tmp_lc_NIC init-from-features variant)."""
     return NIC(
         encoder=LocallyDense(
             layout=layout, out_dim=group_size, dropout=dropout_features,
@@ -177,6 +205,20 @@ def LcNIC(
         dropout_attn=dropout_attn,
         dropout_lstm=dropout_lstm,
         dropout_out=dropout_out,
+        **kw,
+    )
+
+
+def GloveNIC(layout: GroupLayout, embedding_table, trainable: bool = True,
+             **kw: Any) -> NIC:
+    """lc_NIC with pretrained text embeddings (glove_NIC.py variant):
+    pass a (vocab, embedding_text) GloVe table built offline."""
+    return LcNIC(
+        layout,
+        pretrained_embedding=embedding_table,
+        embedding_trainable=trainable,
+        embedding_text=int(embedding_table.shape[1]),
+        **kw,
     )
 
 

@@ -1,0 +1,73 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.captions import (
+    build_glove_table,
+    load_annotations_json,
+    load_captions_dir,
+    save_annotations_json,
+)
+from masters_thesis_tpu.data.synthetic import synthetic_groups
+from masters_thesis_tpu.data.tokenizer import Tokenizer
+from masters_thesis_tpu.models.nic import GloveNIC, LcNIC
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.train.state import init_model
+
+
+def test_captions_dir_round_trip(tmp_path):
+    d = tmp_path / "caps"
+    d.mkdir()
+    (d / "subj02_KID7.txt").write_text("a dog.\nthe dog runs.\n")
+    (d / "subj02_KID9.txt").write_text("a cat.\n")
+    caps = load_captions_dir(str(d))
+    assert caps[7] == ["a dog.", "the dog runs."]
+    caps2 = load_captions_dir(str(d), keys=[9])
+    assert list(caps2) == [9]
+    p = tmp_path / "ann.json"
+    save_annotations_json(str(p), caps)
+    assert load_annotations_json(str(p)) == caps
+
+
+def test_glove_table_and_glove_nic(tmp_path):
+    tok = Tokenizer(num_words=10)
+    tok.fit_on_texts(["<start> dog cat <end>"])
+    tok.install_pad()
+    g = tmp_path / "glove.txt"
+    g.write_text("dog 1.0 2.0 3.0 4.0\ncat 5.0 6.0 7.0 8.0\n")
+    table = build_glove_table(str(g), tok, dim=4)
+    np.testing.assert_allclose(table[tok.word_index["dog"]], [1, 2, 3, 4])
+    np.testing.assert_allclose(table[tok.start_id], [1, 0, 0, 0])
+    np.testing.assert_allclose(table[tok.end_id], [0, 0, 0, 1])
+
+    vocab = table.shape[0]
+    layout = GroupLayout(synthetic_groups(64, 2, seed=0), 64)
+    model = GloveNIC(layout, table, units=8, attn_units=4, group_size=4,
+                     vocab_size=vocab, max_length=4)
+    cfg = Config(units=8, max_length=4, top_k=vocab - 1)
+    betas = np.zeros((2, 64), np.float32)
+    tokens = np.zeros((2, 4), np.int32)
+    params, bstats, _ = init_model(model, cfg, betas, tokens)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), table, atol=1e-6
+    )
+
+
+def test_learned_init_state_changes_initial_logits():
+    layout = GroupLayout(synthetic_groups(64, 2, seed=0), 64)
+    kw = dict(units=8, attn_units=4, group_size=4, vocab_size=21, max_length=4,
+              embedding_text=8)
+    m0 = LcNIC(layout, **kw)
+    m1 = LcNIC(layout, learned_init_state=True, **kw)
+    cfg = Config(units=8, max_length=4, top_k=20, embedding_text=8)
+    rng = np.random.default_rng(0)
+    betas = rng.standard_normal((2, 64)).astype(np.float32)
+    tokens = np.zeros((2, 4), np.int32)
+    p1, b1, _ = init_model(m1, cfg, betas, tokens)
+    assert "hidden_init" in p1
+    feats = m1.apply({"params": p1, "batch_stats": b1}, jnp.asarray(betas),
+                     False, method="encode")
+    h, c = m1.apply({"params": p1, "batch_stats": b1}, feats,
+                    method="init_carry")
+    assert not np.allclose(np.asarray(h), 0.0)

@@ -1,0 +1,71 @@
+"""End-to-end real-data layout test: synthesize an on-disk NSD-shaped dataset
+(conditions CSVs, KID caption txts, beta pack, atlas label vectors) and train
+through the real-data branch of experiment.build_data."""
+
+import numpy as np
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.pack import write_pack
+from masters_thesis_tpu.experiment import build_data, run_training
+
+
+def _make_dataset(root, n_unique=20, n_shared=6, n_test=3, n_voxels=96):
+    nsd = root / "nsd"
+    caps = root / "caps"
+    betas = root / "betas"
+    nsd.mkdir()
+    caps.mkdir()
+    rng = np.random.default_rng(0)
+
+    unique = list(range(1, n_unique + 1))
+    shared = list(range(100, 100 + n_shared))
+    test = shared[:n_test]
+    lines = ["nsd_key,is_shared"]
+    lines += [f"{k},0" for k in unique]
+    lines += [f"{k},1" for k in shared]
+    (nsd / "subj02_conditions.csv").write_text("\n".join(lines))
+    (nsd / "test_conditions.csv").write_text(
+        "\n".join(["nsd_key"] + [str(k) for k in test])
+    )
+
+    words = "a the dog cat runs sits park red blue".split()
+    for k in unique + shared:
+        caps_lines = [
+            " ".join(rng.choice(words, size=5)) + "." for _ in range(5)
+        ]
+        (caps / f"KID{k}.txt").write_text("\n".join(caps_lines))
+
+    all_keys = unique + shared
+    rows = rng.standard_normal((len(all_keys), n_voxels)).astype(np.float32)
+    write_pack(str(betas), all_keys, rows)
+
+    # 2-hemisphere atlas labels over n_voxels concatenated vertices
+    half = n_voxels // 2
+    lh = np.repeat([0, 1, 2], [half - 8, 4, 4])
+    rh = np.repeat([0, 1], [half - 6, 6])
+    np.save(nsd / "glasser_lh.npy", lh)
+    np.save(nsd / "glasser_rh.npy", rh)
+    return nsd, caps, betas
+
+
+def test_real_data_build_and_train(tmp_path):
+    nsd, caps, betas = _make_dataset(tmp_path)
+    cfg = Config(
+        run="real", model="lc_nic", epochs=1, batch_size=8, max_length=8,
+        top_k=30, units=16, attn_units=8, group_size=4, embedding_text=8,
+        log=str(tmp_path / "logs"),
+    )
+    cfg.dataset.betas_path = str(betas)
+    cfg.dataset.captions_path = str(caps)
+    cfg.dataset.nsd_dir = str(nsd)
+
+    split, pairs, tok, store, groups = build_data(cfg)
+    assert len(split.train) == 20
+    assert len(split.val) == 3   # shared minus test
+    assert len(split.test) == 3
+    assert len(groups) == 3      # labels {1,2} LH + {1} RH
+    assert store.row_shape == (96,)
+    assert len(pairs["train"]) == 100  # 20 keys x 5 captions
+
+    run_path, logs, bundle = run_training(cfg, epochs=1)
+    assert np.isfinite(logs["loss"])
