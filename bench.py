@@ -103,6 +103,63 @@ def main() -> None:
     dt = time.perf_counter() - t0
     steps_per_sec = MEASURE_STEPS / dt
 
+    # ---- bf16 mixed-precision variant ----
+    import dataclasses
+
+    # NOTE: the original params were donated to the fp32 loop; take fresh
+    # references from the live state
+    params_now, stats_now = state.params, state.batch_stats
+
+    bf16_steps_per_sec = None
+    try:
+        bcfg = dataclasses.replace(cfg)
+        bcfg.tpu = dataclasses.replace(cfg.tpu, compute_dtype="bfloat16")
+        bstate = TrainState.create(
+            params=params_now, batch_stats=stats_now, tx=tx, rng=prng
+        )
+        bstep = make_train_step(model, bcfg, rules, donate=False)
+        for _ in range(WARMUP_STEPS):
+            bstate, bm = bstep(bstate, betas, tokens, target)
+        jax.block_until_ready(bm["loss"])
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            bstate, bm = bstep(bstate, betas, tokens, target)
+        jax.block_until_ready(bm["loss"])
+        bf16_steps_per_sec = MEASURE_STEPS / (time.perf_counter() - t0)
+        del bstate
+    except Exception:
+        pass
+
+    # ---- on-device gather variant (HBM-resident store, idx-only batches) ----
+    from masters_thesis_tpu.train.steps import make_gathered_train_step
+
+    gathered_steps_per_sec = None
+    try:
+        n_store = 512
+        store = jnp.asarray(
+            rng.standard_normal((n_store, N_VOXELS)), jnp.float32
+        )
+        idx = jnp.asarray(rng.integers(0, n_store, cfg.batch_size), jnp.int32)
+        # the gathered step donates its state: give it private copies so the
+        # live state's buffers survive for the decode benchmark below
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        gstate = TrainState.create(
+            params=copy(params_now), batch_stats=copy(stats_now), tx=tx,
+            rng=prng,
+        )
+        gstep = make_gathered_train_step(model, cfg, rules)
+        for _ in range(WARMUP_STEPS):
+            gstate, gm = gstep(gstate, store, idx, tokens, target)
+        jax.block_until_ready(gm["loss"])
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            gstate, gm = gstep(gstate, store, idx, tokens, target)
+        jax.block_until_ready(gm["loss"])
+        gathered_steps_per_sec = MEASURE_STEPS / (time.perf_counter() - t0)
+        del gstate, store
+    except Exception:
+        pass
+
     # ---- greedy caption throughput (eval.py:147-193 path) ----
     decoder = make_greedy_decoder(model, cfg.units, cfg.max_length)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -127,6 +184,11 @@ def main() -> None:
                     "batch_size": cfg.batch_size,
                     "device": str(jax.devices()[0]),
                     "loss": float(metrics["loss"]),
+                    "bf16_steps_per_sec": None if bf16_steps_per_sec is None
+                    else round(bf16_steps_per_sec, 1),
+                    "gathered_steps_per_sec": None
+                    if gathered_steps_per_sec is None
+                    else round(gathered_steps_per_sec, 1),
                 },
             }
         )

@@ -44,10 +44,25 @@ def main(argv=None) -> int:
     tu.add_argument("--num-samples", type=int, default=8)
     tu.add_argument("--smoke-test", action="store_true")
 
+    pp = sub.add_parser("preprocess", help="pack betas, stats, PCA, tokenizer")
+    pp.add_argument("--config", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--pca", type=int, default=0)
+
     args = ap.parse_args(argv)
     cfg = Config.load(args.config)
 
-    from masters_thesis_tpu.experiment import run_eval, run_metrics, run_training
+    from masters_thesis_tpu.experiment import (
+        run_eval,
+        run_metrics,
+        run_preprocess,
+        run_training,
+    )
+
+    if args.cmd == "preprocess":
+        report = run_preprocess(cfg, args.out, pca_components=args.pca)
+        print(json.dumps(report))
+        return 0
 
     if args.cmd == "train":
         run_path, logs, _ = run_training(cfg, args.epochs, args.smoke_keys)

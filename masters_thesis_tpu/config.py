@@ -75,6 +75,7 @@ class Config:
     alpha: float = 1.0e-4            # learning rate
     clipnorm: float = 0.1            # per-tensor clipnorm (Keras semantics)
     decay: float = 0.0
+    warmup_steps: int = 0            # linear LR warmup (WarmupScheduler.py)
     beta_1: float = 0.9
     beta_2: float = 0.98
     epsilon: float = 1.0e-8          # main.py:97 uses 10.0e-9

@@ -243,6 +243,69 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48):
     return run_path, logs, bundle
 
 
+# ---------------------------------------------------------------- preprocess
+
+def run_preprocess(cfg: Config, out_dir: str, pca_components: int = 0) -> dict:
+    """Offline preprocessing driver (the reference's ian_code/nsd_get_data +
+    data_mean + SVD/svd.py stage): per-key npy betas -> pack; per-voxel
+    mean/std; optional PCA model; tokenizer from the captions dir."""
+    import glob
+
+    from masters_thesis_tpu.data.captions import load_captions_dir
+    from masters_thesis_tpu.data.pack import open_pack, write_pack
+    from masters_thesis_tpu.data.pairs import clean_caption
+    from masters_thesis_tpu.data.preprocess.pca import fit_pca
+    from masters_thesis_tpu.data.preprocess.zscore import voxelwise_stats
+    from masters_thesis_tpu.data.tokenizer import Tokenizer
+
+    os.makedirs(out_dir, exist_ok=True)
+    report: dict = {}
+
+    npys = sorted(glob.glob(os.path.join(cfg.dataset.betas_path, "*_KID*.npy")))
+    assert npys, f"no *_KID*.npy under {cfg.dataset.betas_path}"
+
+    def rows():
+        import re
+
+        for p in npys:
+            key = int(re.search(r"KID(\d+)", p).group(1))
+            yield key, np.load(p)
+
+    pack_dir = os.path.join(out_dir, "betas_pack")
+    meta = write_pack(pack_dir, None, rows())
+    report["pack"] = meta
+
+    store = open_pack(pack_dir)
+    mean, std = voxelwise_stats(np.asarray(store.data))
+    np.savez(os.path.join(out_dir, "voxel_stats.npz"), mean=mean, std=std)
+    report["voxel_stats"] = {"n_voxels": int(mean.shape[0])}
+
+    if pca_components > 0:
+        model = fit_pca(np.asarray(store.data), pca_components)
+        model.save(os.path.join(out_dir, "pca_model.npz"))
+        report["pca"] = {"components": int(model.components.shape[0])}
+
+    if cfg.dataset.captions_path and os.path.isdir(cfg.dataset.captions_path):
+        caps = load_captions_dir(cfg.dataset.captions_path)
+        texts = [clean_caption(line) for lines in caps.values() for line in lines]
+        tok = Tokenizer(num_words=cfg.top_k)
+        tok.fit_on_texts(texts)
+        tok.install_pad()
+        tok.save(os.path.join(out_dir, "tokenizer.json"))
+        report["tokenizer"] = corpus_stats(texts)
+    return report
+
+
+def corpus_stats(texts: list[str]) -> dict:
+    """Word/vocab counts (reference CNN_RNN/count_words.py)."""
+    words = [w for t in texts for w in t.split()]
+    return {
+        "n_captions": len(texts),
+        "n_words": len(words),
+        "n_unique": len(set(words)),
+    }
+
+
 # ---------------------------------------------------------------- eval
 
 def run_eval(bundle, run_path: str, epoch: int | None = None,

@@ -73,7 +73,12 @@ def warmup_schedule(base_lr: float, warmup_steps: int) -> optax.Schedule:
 
 def make_optimizer(cfg, schedule=None) -> optax.GradientTransformation:
     """Build the configured optimizer chain (clip -> AGC -> Adam/SGD)."""
-    lr = schedule if schedule is not None else cfg.alpha
+    if schedule is not None:
+        lr = schedule
+    elif getattr(cfg, "warmup_steps", 0):
+        lr = warmup_schedule(cfg.alpha, cfg.warmup_steps)
+    else:
+        lr = cfg.alpha
     chain = []
     if getattr(cfg, "clipnorm", 0):
         chain.append(clip_by_per_tensor_norm(cfg.clipnorm))

@@ -111,6 +111,7 @@ def make_train_step(model, cfg, l2_rules, masked: bool = False,
 
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         metrics["total"] = total
+        metrics["grad_norm"] = optax_global_norm(grads)  # df_grads.csv analogue
         return new_state, metrics
 
     if not jit:
