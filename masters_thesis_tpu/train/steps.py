@@ -150,6 +150,47 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
+def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False):
+    """Multi-step trainer: ONE device call runs K optimisation steps via
+    ``lax.scan`` over stacked index/token batches, gathering betas from the
+    HBM-resident store inside the loop.
+
+    With the store on device, an entire epoch's host traffic is a few KB of
+    int32 ids — the host dispatch overhead (significant over a tunneled TPU,
+    and nonzero everywhere) is amortised to one call. Returns stacked
+    per-step metrics (K, ...).
+
+    ``steps(state, store, idx (K,B), tokens (K,B,T), target (K,B,T))``.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def steps(state, store, idx, tokens, target):
+        def body(state, batch):
+            idx_, tok_, tgt_ = batch
+            betas = jnp.take(store, idx_, axis=0)
+            mask = (tgt_ != 0) if masked else None
+            rng = jax.random.fold_in(state.rng, state.step)
+
+            def loss_fn(params):
+                return _forward_loss(
+                    model, cfg, l2_rules, params, state.batch_stats, rng,
+                    betas, tok_, tgt_, mask
+                )
+
+            (total, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads).replace(
+                batch_stats=new_stats
+            )
+            metrics["total"] = total
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (idx, tokens, target))
+
+    return steps
+
+
 def make_gathered_train_step(model, cfg, l2_rules, masked: bool = False):
     """Train step taking (state, store, idx, tokens, target): the beta rows
     are gathered from the HBM-resident store INSIDE the compiled step, so the

@@ -1,0 +1,76 @@
+import jax.numpy as jnp
+import numpy as np
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.synthetic import synthetic_dataset
+from masters_thesis_tpu.models.nic import LcNIC
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+from masters_thesis_tpu.train.optim import make_optimizer
+from masters_thesis_tpu.train.state import TrainState, init_model
+from masters_thesis_tpu.train.steps import (
+    make_gathered_train_step,
+    make_scanned_train_steps,
+)
+
+
+def test_scanned_steps_match_sequential_gathered():
+    cfg = Config(top_k=30, batch_size=4, max_length=5, units=12, attn_units=6,
+                 group_size=4, embedding_text=8, dropout_features=0.0,
+                 dropout_text=0.0, dropout_lstm=0.0, dropout_attn=0.0,
+                 dropout_out=0.0)
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=12, n_voxels=64, n_groups=3, top_k=cfg.top_k,
+        device_resident=True,
+    )
+    layout = GroupLayout(groups, 64)
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length,
+                  dropout_features=0.0, dropout_text=0.0, dropout_attn=0.0,
+                  dropout_lstm=0.0, dropout_out=0.0)
+    rng = np.random.default_rng(0)
+    K, B = 3, cfg.batch_size
+    idx = rng.integers(0, 12, (K, B)).astype(np.int32)
+    tokens = rng.integers(1, cfg.vocab_size, (K, B, 5)).astype(np.int32)
+    target = np.concatenate(
+        [tokens[:, :, 1:], np.zeros((K, B, 1), np.int32)], axis=2
+    )
+
+    data = store.device_array()
+    betas0 = np.asarray(data)[idx[0]]
+    params, bstats, prng = init_model(model, cfg, betas0, tokens[0])
+    tx = make_optimizer(cfg)
+
+    import jax
+
+    def fresh_state():
+        # deep-copy everything: the donating steps delete their input buffers
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        return TrainState.create(
+            params=copy(params), batch_stats=copy(bstats), tx=tx,
+            rng=jnp.copy(prng),
+        )
+
+    # sequential gathered steps
+    s1 = fresh_state()
+    gstep = make_gathered_train_step(model, cfg, lc_nic_l2_rules(cfg))
+    seq_losses = []
+    for k in range(K):
+        s1, m = gstep(s1, data, jnp.asarray(idx[k]), jnp.asarray(tokens[k]),
+                      jnp.asarray(target[k]))
+        seq_losses.append(float(m["loss"]))
+
+    # one scanned call
+    s2 = fresh_state()
+    sstep = make_scanned_train_steps(model, cfg, lc_nic_l2_rules(cfg))
+    s2, metrics = sstep(s2, data, jnp.asarray(idx), jnp.asarray(tokens),
+                        jnp.asarray(target))
+    scan_losses = np.asarray(metrics["loss"])
+
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=2e-4, atol=2e-5)
+    assert int(s2.step) == K
+    # final params agree
+    a = np.asarray(s1.params["lstm"]["kernel"])
+    b = np.asarray(s2.params["lstm"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
