@@ -38,6 +38,15 @@ def main() -> None:
 
     import jax
 
+    # wall-clock budget: optional variant measurements are skipped when the
+    # remaining budget wouldn't cover their (first-run) compiles; the
+    # persistent cache makes them appear on subsequent runs
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("MTT_BENCH_BUDGET_S", "420"))
+
+    def time_left() -> float:
+        return budget_s - (time.perf_counter() - t_start)
+
     # persistent compile cache: first bench run pays ~5 min of XLA compiles
     # (remote-compile tunnel), later runs start hot
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -112,6 +121,8 @@ def main() -> None:
 
     bf16_steps_per_sec = None
     try:
+        if time_left() < 150:
+            raise TimeoutError
         bcfg = dataclasses.replace(cfg)
         bcfg.tpu = dataclasses.replace(cfg.tpu, compute_dtype="bfloat16")
         bstate = TrainState.create(
@@ -135,6 +146,8 @@ def main() -> None:
 
     gathered_steps_per_sec = None
     try:
+        if time_left() < 150:
+            raise TimeoutError
         n_store = 512
         store = jnp.asarray(
             rng.standard_normal((n_store, N_VOXELS)), jnp.float32

@@ -51,6 +51,8 @@ class TPUConfig:
     prefetch_depth: int = 2
     use_pallas: bool = False         # fused Pallas kernels on the hot path
     remat: bool = False              # jax.checkpoint the per-step scan body
+    scan_steps: int = 0              # >0: run K optimisation steps per device
+    #                                  call (needs a device-resident store)
 
 
 @dataclass

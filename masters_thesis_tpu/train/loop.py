@@ -52,6 +52,52 @@ class Trainer:
         self.metric_logger = metric_logger
         self.stop_training = False
         self.timer = StepTimer(warmup=2)
+        self.scanned_step = None  # set via use_scanned_steps()
+
+    def use_scanned_steps(self, scanned_step) -> None:
+        """Enable K-steps-per-device-call training (see
+        train.steps.make_scanned_train_steps); requires a device-resident
+        store. Activated when cfg.tpu.scan_steps > 1."""
+        self.scanned_step = scanned_step
+
+    def _run_epoch_scanned(self, scan_k: int) -> list[dict]:
+        assert self.store is not None and self.store.device_resident
+        data = self.store.device_array()
+        train_metrics = []
+        chunk: list[dict] = []
+
+        def flush(chunk):
+            k = len(chunk)
+            idx = jnp.stack([jnp.asarray(b["idx"]) for b in chunk])
+            tok = jnp.stack([jnp.asarray(b["tokens"]) for b in chunk])
+            tgt = jnp.stack([jnp.asarray(b["target"]) for b in chunk])
+            self.state, metrics = self.scanned_step(
+                self.state, data, idx, tok, tgt
+            )
+            for _ in range(k):
+                self.timer.tick()
+            # stacked (K, ...) metrics -> per-step dicts
+            host = jax.device_get(metrics)
+            for i in range(k):
+                m = {key: val[i] for key, val in host.items()}
+                train_metrics.append(m)
+                for cb in self.callbacks:
+                    cb.on_batch_end(self, int(self.state.step) - k + i + 1, m)
+
+        for batch in self.train_pipe.epoch():
+            chunk.append(batch)
+            if len(chunk) == scan_k:
+                flush(chunk)
+                chunk = []
+        if chunk:
+            # ragged tail: run singly through the per-step path
+            for batch in chunk:
+                betas, tokens, target = self._batch_arrays(batch)
+                self.state, metrics = self.train_step(
+                    self.state, betas, tokens, target
+                )
+                train_metrics.append(metrics)
+        return train_metrics
 
     def _batch_arrays(self, batch):
         if "betas" in batch:
@@ -85,15 +131,21 @@ class Trainer:
 
     def _run_epoch(self, epoch: int) -> dict:
         t0 = time.perf_counter()
-        train_metrics = []
-        for batch in self.train_pipe.epoch():
-            betas, tokens, target = self._batch_arrays(batch)
-            self.state, metrics = self.train_step(self.state, betas, tokens, target)
-            self.timer.tick()
-            train_metrics.append(metrics)
-            step = int(self.state.step)
-            for cb in self.callbacks:
-                cb.on_batch_end(self, step, metrics)
+        scan_k = getattr(getattr(self.cfg, "tpu", None), "scan_steps", 0)
+        if scan_k > 1 and self.scanned_step is not None:
+            train_metrics = self._run_epoch_scanned(scan_k)
+        else:
+            train_metrics = []
+            for batch in self.train_pipe.epoch():
+                betas, tokens, target = self._batch_arrays(batch)
+                self.state, metrics = self.train_step(
+                    self.state, betas, tokens, target
+                )
+                self.timer.tick()
+                train_metrics.append(metrics)
+                step = int(self.state.step)
+                for cb in self.callbacks:
+                    cb.on_batch_end(self, step, metrics)
 
         logs = _mean_metrics(
             [{k: v for k, v in m.items()} for m in jax.device_get(train_metrics)]

@@ -1,0 +1,53 @@
+import numpy as np
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.pairs import encode_pairs
+from masters_thesis_tpu.data.pipeline import BatchPipeline
+from masters_thesis_tpu.data.synthetic import synthetic_dataset
+from masters_thesis_tpu.models.nic import LcNIC
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.train.loop import Trainer
+from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+from masters_thesis_tpu.train.optim import make_optimizer
+from masters_thesis_tpu.train.state import TrainState, init_model
+from masters_thesis_tpu.train.steps import (
+    make_eval_step,
+    make_scanned_train_steps,
+    make_train_step,
+)
+
+
+def test_trainer_with_scanned_steps():
+    cfg = Config(top_k=30, batch_size=4, max_length=5, units=12, attn_units=6,
+                 group_size=4, embedding_text=8, epochs=1)
+    cfg.tpu.scan_steps = 3
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=16, n_voxels=64, n_groups=3, top_k=cfg.top_k,
+        device_resident=True,
+    )
+    layout = GroupLayout(groups, 64)
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    enc = encode_pairs(pairs["train"], tok, cfg.max_length)
+    pipe = BatchPipeline(enc, store, cfg.batch_size, seed=0, prefetch=0)
+    batch = next(iter(pipe.epoch()))
+    betas0 = np.asarray(store.device_array())[batch["idx"]]
+    params, bstats, rng = init_model(model, cfg, betas0, batch["tokens"])
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params=params, batch_stats=bstats, tx=tx, rng=rng)
+    rules = lc_nic_l2_rules(cfg)
+
+    trainer = Trainer(
+        cfg,
+        make_train_step(model, cfg, rules, donate=False),
+        make_eval_step(model, cfg, rules),
+        state,
+        pipe,
+        store=store,
+    )
+    trainer.use_scanned_steps(make_scanned_train_steps(model, cfg, rules))
+    logs = trainer.fit(epochs=1)
+    assert np.isfinite(logs["loss"])
+    # 20 batches per epoch (80 pairs / bs 4), all consumed
+    assert int(trainer.state.step) == len(pipe)
