@@ -17,8 +17,6 @@ GSPMD propagates everything else; collectives ride ICI.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -69,11 +67,7 @@ def state_shardings(state, mesh: Mesh):
 
     param_sh = jax.tree_util.tree_map(to_sharding, pspecs)
 
-    def opt_sharding(leaf):
-        # Adam moments have param shapes; anything else replicated
-        return NamedSharding(mesh, P())
-
-    # match opt-state leaves to param shapes where possible
+    # match opt-state leaves (Adam moments mirror param shapes) to params
     param_leaves = {
         tuple(_name_of(p) for p in path): NamedSharding(
             mesh, param_pspec([_name_of(p) for p in path], leaf, model_size)

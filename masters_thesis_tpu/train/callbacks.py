@@ -99,6 +99,31 @@ class Checkpointing(Callback):
         self.manager.save(trainer.state, epoch, val_loss=logs.get("val_loss"))
 
 
+class TensorBoardScalars(Callback):
+    """Per-batch/epoch scalar summaries (main.py:202-211 update_freq='batch')
+    via the dependency-free event writer (utils/tensorboard.py)."""
+
+    def __init__(self, logdir: str, batch_every: int = 10):
+        from masters_thesis_tpu.utils.tensorboard import EventWriter
+
+        self.writer = EventWriter(logdir)
+        self.batch_every = batch_every
+
+    def on_batch_end(self, trainer, step, logs):
+        if step % self.batch_every == 0:
+            vals = {k: float(v) for k, v in logs.items()
+                    if k in ("loss", "accuracy", "L2", "grad_norm")}
+            self.writer.scalars(vals, step, prefix="batch/")
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        vals = {k: float(v) for k, v in logs.items()
+                if isinstance(v, (int, float))}
+        self.writer.scalars(vals, epoch, prefix="epoch/")
+
+    def on_train_end(self, trainer):
+        self.writer.close()
+
+
 class EarlyStopping(Callback):
     """EarlyStoppingByLossVal equivalent (soloist callbacks.py:5-77)."""
 
