@@ -1,0 +1,36 @@
+import numpy as np
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.synthetic import synthetic_dataset
+from masters_thesis_tpu.models.nic import LcNIC
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.serve import Captioner
+from masters_thesis_tpu.train.state import init_model
+
+
+def test_captioner_greedy_and_beam():
+    cfg = Config(top_k=40, batch_size=4, max_length=6, units=16, attn_units=8,
+                 group_size=4, embedding_text=8)
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=8, n_voxels=64, n_groups=3, top_k=cfg.top_k
+    )
+    layout = GroupLayout(groups, 64)
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    betas = store.gather_host(np.arange(6, dtype=np.int32))
+    tokens = np.zeros((4, cfg.max_length), np.int32)
+    params, bstats, _ = init_model(model, cfg, betas[:4], tokens)
+
+    cap = Captioner.from_components(
+        model, params, bstats, tok, cfg.units, cfg.max_length, batch_size=4
+    )
+    # 6 inputs with service batch 4: exercises the padding path
+    texts = cap.caption(betas)
+    assert len(texts) == 6
+    assert all(isinstance(t, str) for t in texts)
+    # identical inputs -> identical captions (deterministic greedy)
+    t2 = cap.caption(betas)
+    assert texts == t2
+    beam_texts = cap.caption(betas, decoder="beam")
+    assert len(beam_texts) == 6
