@@ -194,8 +194,13 @@ def build_model(cfg: Config, groups, n_voxels: int):
 
 # ---------------------------------------------------------------- train
 
-def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48):
-    """Full training run; returns (run_path, final logs, state bundle)."""
+def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
+                 resume: bool = False):
+    """Full training run; returns (run_path, final logs, state bundle).
+
+    ``resume=True`` restores the latest checkpoint in the run dir and
+    continues from the next epoch (the reference's CheckpointManager resume,
+    CNN_RNN/train.py:272-287)."""
     run_path = setup_run_dir(cfg.log, cfg.run, cfg)
     split, pairs, tok, store, groups = build_data(cfg, smoke_keys)
     tok.save(os.path.join(run_path, "tokenizer.json"))
@@ -223,6 +228,12 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48):
     from masters_thesis_tpu.train.loop import Trainer
 
     mgr = CheckpointManager(os.path.join(run_path, "model"))
+    start_epoch = 0
+    if resume:
+        state, restored_epoch = mgr.restore(state)
+        if restored_epoch is not None:
+            start_epoch = restored_epoch + 1
+            logger.info("resumed from epoch %d", restored_epoch)
     trainer = Trainer(
         cfg,
         make_train_step(model, cfg, l2_rules, masked=masked, donate=False),
@@ -234,7 +245,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48):
         store=store,
         metric_logger=MetricLogger(os.path.join(run_path, "metrics.jsonl")),
     )
-    logs = trainer.fit(epochs=epochs)
+    logs = trainer.fit(epochs=epochs, start_epoch=start_epoch)
     bundle = {
         "model": model, "state": trainer.state, "tokenizer": tok,
         "store": store, "split": split, "pairs": pairs, "cfg": cfg,
