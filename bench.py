@@ -117,13 +117,15 @@ def main() -> None:
     tgts = jnp.broadcast_to(target, (SCAN_K, B, cfg.max_length))
     state = fresh_state()
     state, metrics = sstep(state, store, idx, toks, tgts)  # compile + warm
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"])[-1])
+    # NOTE: timings force a host transfer of the result each call —
+    # block_until_ready does not reliably track completion on the remote
+    # (axon) runtime and reports dispatch time instead of execution time
     t0 = time.perf_counter()
     for _ in range(SCAN_REPS):
         state, metrics = sstep(state, store, idx, toks, tgts)
-    jax.block_until_ready(metrics["loss"])
+        final_loss = float(np.asarray(metrics["loss"])[-1])
     steps_per_sec = SCAN_K * SCAN_REPS / (time.perf_counter() - t0)
-    final_loss = float(np.asarray(metrics["loss"])[-1])
 
     # ---- extra: per-dispatch stepping (host-in-the-loop) ----
     dispatch_steps_per_sec = None
@@ -133,11 +135,11 @@ def main() -> None:
             pstep = make_train_step(model, cfg, rules, donate=False)
             for _ in range(WARMUP_STEPS):
                 pstate, pm = pstep(pstate, betas, tokens, target)
-            jax.block_until_ready(pm["loss"])
+            float(np.asarray(pm["loss"]))
             t0 = time.perf_counter()
             for _ in range(MEASURE_STEPS):
                 pstate, pm = pstep(pstate, betas, tokens, target)
-            jax.block_until_ready(pm["loss"])
+            float(np.asarray(pm["loss"]))
             dispatch_steps_per_sec = MEASURE_STEPS / (time.perf_counter() - t0)
             del pstate
         except Exception:
@@ -152,11 +154,11 @@ def main() -> None:
             bstep = make_scanned_train_steps(model, bcfg, rules)
             bstate = fresh_state()
             bstate, bm = bstep(bstate, store, idx, toks, tgts)
-            jax.block_until_ready(bm["loss"])
+            float(np.asarray(bm["loss"])[-1])
             t0 = time.perf_counter()
             for _ in range(SCAN_REPS):
                 bstate, bm = bstep(bstate, store, idx, toks, tgts)
-            jax.block_until_ready(bm["loss"])
+                float(np.asarray(bm["loss"])[-1])
             bf16_steps_per_sec = (
                 SCAN_K * SCAN_REPS / (time.perf_counter() - t0)
             )
@@ -168,12 +170,12 @@ def main() -> None:
     decoder = make_greedy_decoder(model, cfg.units, cfg.max_length)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     words, _, _ = decoder(variables, betas, 3)
-    jax.block_until_ready(words)
+    np.asarray(words)
     t0 = time.perf_counter()
     reps = 20
     for _ in range(reps):
         words, _, _ = decoder(variables, betas, 3)
-    jax.block_until_ready(words)
+        np.asarray(words)
     captions_per_sec = reps * B / (time.perf_counter() - t0)
 
     print(
