@@ -54,13 +54,27 @@ def build_data(cfg: Config, smoke_keys: int = 48):
     if cfg.model.lower() == "guse_nic":
         n_voxels = 512  # GUSE sentence-embedding width (get_guse.py)
     n_groups = min(16, max(4, n_voxels // 128))
-    return synthetic_dataset(
+    out = synthetic_dataset(
         n_keys=smoke_keys,
         n_voxels=n_voxels,
         n_groups=n_groups,
         top_k=min(cfg.top_k, 200),
         seed=cfg.seed,
     )
+    if cfg.model.lower() in ("img_nic", "cnn_rnn"):
+        # image models consume (patches, channels) conv features, not flat
+        # vectors (VGG16 (196, 512) / InceptionV3 (64, 2048))
+        from masters_thesis_tpu.data.store import ArrayStore
+
+        split, pairs, tok, store, groups = out
+        rng = np.random.Generator(np.random.PCG64(cfg.seed))
+        n_patches, channels = 16, max(32, min(cfg.embedding_features, 128))
+        feats = rng.standard_normal(
+            (len(store), n_patches, channels)
+        ).astype(np.float32)
+        store = ArrayStore(feats, store.keys.tolist())
+        out = (split, pairs, tok, store, groups)
+    return out
 
 
 def _build_real_data(cfg: Config):
@@ -192,6 +206,12 @@ def build_model(cfg: Config, groups, n_voxels: int):
     raise ValueError(f"unknown model {cfg.model!r}")
 
 
+def _greedy_decoder(model, cfg):
+    from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+
+    return make_greedy_decoder(model, cfg.units, cfg.max_length)
+
+
 # ---------------------------------------------------------------- train
 
 def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
@@ -223,6 +243,8 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         BatchLoss,
         Checkpointing,
         LossHistory,
+        PredictPreview,
+        TensorBoardScalars,
     )
     from masters_thesis_tpu.train.checkpoint import CheckpointManager
     from masters_thesis_tpu.train.loop import Trainer
@@ -241,7 +263,21 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         state,
         train_pipe,
         val_pipe,
-        callbacks=[LossHistory(run_path), BatchLoss(run_path), Checkpointing(mgr)],
+        callbacks=[
+            LossHistory(run_path),
+            BatchLoss(run_path),
+            Checkpointing(mgr),
+            TensorBoardScalars(os.path.join(run_path, "tb")),
+            PredictPreview(
+                run_path,
+                _greedy_decoder(model, cfg),
+                next(iter(val_pipe.epoch()))
+                if len(val_enc) >= bs
+                else next(iter(train_pipe.epoch())),
+                tok,
+                every=5,
+            ),
+        ],
         store=store,
         metric_logger=MetricLogger(os.path.join(run_path, "metrics.jsonl")),
     )

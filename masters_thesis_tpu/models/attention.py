@@ -28,6 +28,10 @@ class BahdanauAttention(nn.Module):
 
         Returns (context (B, D), weights (B, R, 1)).
         """
+        assert features.ndim == 3, (
+            f"attention needs (B, regions, D) features, got {features.shape}"
+        )
+        assert hidden.ndim == 2 and hidden.shape[0] == features.shape[0]
         w1 = nn.Dense(self.units, kernel_init=he_normal, name="W1")
         w2 = nn.Dense(self.units, kernel_init=he_normal, name="W2")
         v = nn.Dense(1, name="V")

@@ -43,9 +43,10 @@ class LossHistory(Callback):
 
 
 class BatchLoss(Callback):
-    """Per-batch CSV — BatchLoss equivalent."""
+    """Per-batch CSV — BatchLoss equivalent (grad_norm column plays the role
+    of the reference's df_grads.csv dump, main.py:359-361)."""
 
-    FIELDS = ["step", "loss", "accuracy", "L2"]
+    FIELDS = ["step", "loss", "accuracy", "L2", "grad_norm"]
 
     def __init__(self, run_path: str, every: int = 1):
         self.csv = CSVLogger(
@@ -81,9 +82,14 @@ class PredictPreview(Callback):
             "params": trainer.state.params,
             "batch_stats": trainer.state.batch_stats,
         }
-        words, _, _ = self.decoder(
-            variables, jnp.asarray(self.batch["betas"]), self.tokenizer.start_id
-        )
+        if "betas" in self.batch:
+            betas = jnp.asarray(self.batch["betas"])
+        else:  # device-resident store: gather by index
+            betas = jnp.take(
+                trainer.store.device_array(),
+                jnp.asarray(self.batch["idx"]), axis=0,
+            )
+        words, _, _ = self.decoder(variables, betas, self.tokenizer.start_id)
         texts = self.tokenizer.sequences_to_texts(list(words))
         with open(self.path, "a") as f:
             f.write(f"=== epoch {epoch} ===\n")
