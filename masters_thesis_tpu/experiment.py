@@ -227,6 +227,9 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
     n_voxels = store.row_shape[0]
     model, l2_rules, masked = build_model(cfg, groups, n_voxels)
+    # persist the group layout so the model can be rebuilt for serving
+    if cfg.model.lower() in ("lc_nic", "ms_nic", "ms2_nic"):
+        GroupLayout(groups, n_voxels).save(os.path.join(run_path, "layout.npz"))
 
     train_enc = encode_pairs(pairs["train"], tok, cfg.max_length)
     val_enc = encode_pairs(pairs["val"], tok, cfg.max_length)

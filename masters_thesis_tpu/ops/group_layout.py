@@ -105,6 +105,30 @@ class GroupLayout:
         true = int(self.group_sizes.sum())
         return 1.0 - true / self.padded_total
 
+    # ---- persistence (run-dir artefact so models can be rebuilt) ----
+    def save(self, path: str) -> None:
+        groups = self.to_groups()
+        flat = np.concatenate(groups) if groups else np.zeros(0, np.int64)
+        offsets = np.cumsum([0] + [len(g) for g in groups])
+        np.savez(path, flat=flat, offsets=offsets, n_voxels=self.n_voxels)
+
+    @classmethod
+    def load(cls, path: str) -> "GroupLayout":
+        z = np.load(path)
+        flat, offsets = z["flat"], z["offsets"]
+        groups = [
+            flat[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)
+        ]
+        return cls(groups, int(z["n_voxels"]))
+
+    def to_groups(self) -> list[np.ndarray]:
+        """Recover the original ragged groups in original order."""
+        out: dict[int, np.ndarray] = {}
+        for b in self.buckets:
+            for row, gid in enumerate(b.group_ids):
+                out[int(gid)] = b.indices[row, : b.sizes[row]].astype(np.int64)
+        return [out[i] for i in range(self.n_groups)]
+
     def describe(self) -> str:
         parts = [
             f"bucket P={b.padded}: {len(b.group_ids)} groups" for b in self.buckets

@@ -39,6 +39,50 @@ class Captioner:
             units, max_length, **kw,
         )
 
+    @classmethod
+    def from_run_dir(cls, run_path: str, best: bool = True, **kw) -> "Captioner":
+        """Rebuild model + weights from a training run directory
+        (config.yaml + tokenizer.json + layout.npz + model/ checkpoints)."""
+        import os
+
+        import numpy as np
+
+        from masters_thesis_tpu.config import Config
+        from masters_thesis_tpu.data.tokenizer import Tokenizer
+        from masters_thesis_tpu.experiment import build_model
+        from masters_thesis_tpu.ops.group_layout import GroupLayout
+        from masters_thesis_tpu.train.checkpoint import CheckpointManager
+        from masters_thesis_tpu.train.optim import make_optimizer
+        from masters_thesis_tpu.train.state import TrainState, init_model
+
+        cfg = Config.load(os.path.join(run_path, "config.yaml"))
+        tokenizer = Tokenizer.load(os.path.join(run_path, "tokenizer.json"))
+        layout_path = os.path.join(run_path, "layout.npz")
+        if os.path.exists(layout_path):
+            layout = GroupLayout.load(layout_path)
+            groups = layout.to_groups()
+            n_voxels = layout.n_voxels
+        else:
+            groups, n_voxels = [], cfg.input_dim()
+        model, _, _ = build_model(cfg, groups, n_voxels)
+
+        # template state for orbax restore
+        dummy_inputs = np.zeros((1, n_voxels), np.float32)
+        dummy_tokens = np.zeros((1, cfg.max_length), np.int32)
+        params, batch_stats, rng = init_model(
+            model, cfg, dummy_inputs, dummy_tokens
+        )
+        state = TrainState.create(
+            params=params, batch_stats=batch_stats, tx=make_optimizer(cfg),
+            rng=rng,
+        )
+        mgr = CheckpointManager(os.path.join(run_path, "model"))
+        state, epoch = mgr.restore(state, best=best)
+        return cls.from_components(
+            model, state.params, state.batch_stats, tokenizer, cfg.units,
+            cfg.max_length, **kw,
+        )
+
     def _decoder(self, kind: str):
         if kind not in self._decoders:
             if kind == "greedy":

@@ -1,0 +1,47 @@
+import numpy as np
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.experiment import run_training
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+from masters_thesis_tpu.serve import Captioner
+from masters_thesis_tpu.data.synthetic import synthetic_groups
+
+
+def test_group_layout_save_load(tmp_path):
+    groups = synthetic_groups(200, 4, seed=0)
+    layout = GroupLayout(groups, 200)
+    layout.save(str(tmp_path / "layout.npz"))
+    restored = GroupLayout.load(str(tmp_path / "layout.npz"))
+    assert restored.n_groups == 4
+    for a, b in zip(layout.to_groups(), restored.to_groups()):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_captioner_from_run_dir(tmp_path):
+    cfg = Config(run="serve_t", model="lc_nic", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
+                 embedding_text=8, log=str(tmp_path))
+    run_path, logs, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+
+    cap = Captioner.from_run_dir(run_path, batch_size=4)
+    n_voxels = bundle["store"].row_shape[0]
+    betas = np.asarray(bundle["store"].data[:3], np.float32)
+    texts = cap.caption(betas)
+    assert len(texts) == 3
+
+    # captions match decoding with the live bundle weights
+    from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+    import jax.numpy as jnp
+
+    dec = make_greedy_decoder(bundle["model"], cfg.units, cfg.max_length)
+    # pad to the service batch like Captioner does
+    padded = np.concatenate([betas, betas[-1:]])
+    words, _, _ = dec(
+        {"params": bundle["state"].params,
+         "batch_stats": bundle["state"].batch_stats},
+        jnp.asarray(padded), bundle["tokenizer"].start_id,
+    )
+    from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
+
+    expect = [ids_to_caption(w, bundle["tokenizer"]) for w in np.asarray(words)[:3]]
+    assert texts == expect
