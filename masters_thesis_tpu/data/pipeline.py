@@ -109,6 +109,32 @@ class BatchPipeline:
         return self.steps_per_epoch
 
 
+def device_prefetch(iterator, depth: int = 2,
+                    keys=("betas", "tokens", "target")):
+    """Asynchronously stage upcoming batches on device (jax.device_put is
+    async) so host->device copies overlap the previous step's compute."""
+    import collections
+
+    import jax
+
+    if depth <= 0:
+        yield from iterator
+        return
+
+    def put(batch):
+        return {
+            k: (jax.device_put(v) if k in keys else v) for k, v in batch.items()
+        }
+
+    buf: collections.deque = collections.deque()
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class EvalPipeline(BatchPipeline):
     """Deterministic, unshuffled iteration (keeps the tail batch padded).
 

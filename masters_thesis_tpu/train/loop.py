@@ -135,8 +135,11 @@ class Trainer:
         if scan_k > 1 and self.scanned_step is not None:
             train_metrics = self._run_epoch_scanned(scan_k)
         else:
+            from masters_thesis_tpu.data.pipeline import device_prefetch
+
+            depth = getattr(getattr(self.cfg, "tpu", None), "prefetch_depth", 0)
             train_metrics = []
-            for batch in self.train_pipe.epoch():
+            for batch in device_prefetch(self.train_pipe.epoch(), depth):
                 betas, tokens, target = self._batch_arrays(batch)
                 self.state, metrics = self.train_step(
                     self.state, betas, tokens, target
