@@ -24,6 +24,54 @@ def _add_common(p):
                    help="synthetic dataset size when no real data mounted")
 
 
+def _run_features(args) -> dict:
+    """Offline image-feature dump (feature_extractor.py:67-84 semantics:
+    per-key CNN features written once, consumed by the generators)."""
+    import jax
+    import numpy as np
+
+    from masters_thesis_tpu.models import backbones
+
+    images = np.load(args.images, mmap_mode="r")
+    if args.backbone == "vgg16":
+        model = backbones.VGG16(include_top=args.head in (None, "fc2"))
+        head = args.head or "fc2"
+        x = backbones.preprocess(np.asarray(images[:1], np.float32))
+    elif args.backbone == "inception_v3":
+        from masters_thesis_tpu.models import inception
+
+        model = inception.InceptionV3(include_top=False)
+        head = args.head or "patches"
+        x = inception.preprocess(np.asarray(images[:1], np.float32))
+    else:
+        from masters_thesis_tpu.models import efficientnet
+
+        model, _ = efficientnet.efficientnet("b3")
+        head = args.head or "pooled"
+        x = efficientnet.preprocess(np.asarray(images[:1], np.float32))
+
+    variables = model.init(jax.random.PRNGKey(0), x)
+    if args.weights:
+        variables = dict(variables)
+        variables["params"] = backbones.load_npz_weights(
+            variables["params"], args.weights)
+
+    prep = {"vgg16": backbones.preprocess}.get(args.backbone)
+    if prep is None:
+        from masters_thesis_tpu.models import efficientnet, inception
+
+        prep = (inception.preprocess if args.backbone == "inception_v3"
+                else efficientnet.preprocess)
+    feats = backbones.extract_features(
+        model, variables, prep(np.asarray(images, np.float32)),
+        batch_size=args.batch_size, head=head,
+    )
+    np.save(args.out, feats)
+    return {"out": args.out, "shape": list(feats.shape),
+            "backbone": args.backbone, "head": head,
+            "pretrained": bool(args.weights)}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("masters_thesis_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -49,7 +97,27 @@ def main(argv=None) -> int:
     pp.add_argument("--out", required=True)
     pp.add_argument("--pca", type=int, default=0)
 
+    fe = sub.add_parser(
+        "features",
+        help="batched CNN feature extraction (the reference's "
+        "CNN/feature_extractor*.py scripts as one XLA forward)",
+    )
+    fe.add_argument("--backbone", default="vgg16",
+                    choices=["vgg16", "inception_v3", "efficientnet_b3"])
+    fe.add_argument("--images", required=True,
+                    help=".npy of (N, H, W, 3) uint8/float RGB images")
+    fe.add_argument("--out", required=True, help="output .npy path")
+    fe.add_argument("--weights", default=None,
+                    help="npz of pretrained params ('/'-joined flax paths)")
+    fe.add_argument("--head", default=None,
+                    help="feature head (vgg16: fc2|conv5; others: "
+                    "patches|pooled); default per backbone")
+    fe.add_argument("--batch-size", type=int, default=64)
+
     args = ap.parse_args(argv)
+    if args.cmd == "features":
+        print(json.dumps(_run_features(args)))
+        return 0
     cfg = Config.load(args.config)
 
     from masters_thesis_tpu.experiment import (

@@ -66,3 +66,24 @@ def test_cli_tune_smoke(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_trials"] == 2
     assert "input_reg" in out["best"]
+
+
+def test_cli_features_subcommand(tmp_path):
+    import json
+
+    import numpy as np
+
+    from masters_thesis_tpu.cli import main as cli_main
+
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (3, 32, 32, 3)).astype(np.uint8)
+    np.save(tmp_path / "imgs.npy", imgs)
+    out = tmp_path / "feats.npy"
+    rc = cli_main([
+        "features", "--backbone", "vgg16", "--head", "conv5",
+        "--images", str(tmp_path / "imgs.npy"), "--out", str(out),
+        "--batch-size", "2",
+    ])
+    assert rc == 0
+    feats = np.load(out)
+    assert feats.shape[0] == 3 and feats.shape[-1] == 512

@@ -68,3 +68,56 @@ def test_preprocess_bgr_means():
     img = np.zeros((1, 2, 2, 3), np.float32)
     out = preprocess(img)
     np.testing.assert_allclose(out[0, 0, 0], [-103.939, -116.779, -123.68])
+
+
+def test_inception_v3_full_resolution_shapes():
+    """The CNN_RNN feature contract: 299x299 input -> (64, 2048) patches."""
+    from masters_thesis_tpu.models.inception import InceptionV3
+    from masters_thesis_tpu.models.inception import preprocess as prep
+
+    model = InceptionV3(include_top=True)
+    x = np.zeros((1, 299, 299, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["patches"].shape == (1, 64, 2048)
+    assert out["pooled"].shape == (1, 2048)
+    assert out["logits"].shape == (1, 1000)
+    np.testing.assert_allclose(
+        prep(np.full((1, 1, 1, 3), 255.0)), 1.0, atol=1e-6
+    )
+    np.testing.assert_allclose(prep(np.zeros((1, 1, 1, 3))), -1.0)
+
+
+def test_efficientnet_b3_pooled_width():
+    """feature_extractor_enb3.py contract: ENB3 global pool is 1536-d."""
+    from masters_thesis_tpu.models.efficientnet import (
+        efficientnet,
+        round_filters,
+        round_repeats,
+    )
+
+    model, res = efficientnet("b3")
+    assert res == 300
+    # published B3 widths/depths
+    assert round_filters(32, 1.2) == 40
+    assert round_filters(1280, 1.2) == 1536
+    assert round_repeats(3, 1.4) == 5
+    # run at reduced resolution: pooled width is resolution-independent
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["pooled"].shape == (1, 1536)
+
+
+def test_efficientnet_b0_block_structure():
+    from masters_thesis_tpu.models.efficientnet import efficientnet
+
+    model, res = efficientnet("b0")
+    assert res == 224
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["pooled"].shape == (1, 1280)
+    # B0 has 16 MBConv blocks
+    n_blocks = sum(1 for k in variables["params"] if k.startswith("block"))
+    assert n_blocks == 16
