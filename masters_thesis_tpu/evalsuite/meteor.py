@@ -1,7 +1,11 @@
-"""METEOR-lite: exact-match METEOR (Banerjee & Lavie 2005) without the
-WordNet-synonym and paraphrase stages (those require the Java jar the
-reference pulls in via pycocoevalcap; metric_suit.py). Exact-match unigram
-alignment with the standard chunk fragmentation penalty:
+"""METEOR (Banerjee & Lavie 2005) with exact + Porter-stem match stages.
+
+The reference scores captions with pycocoevalcap's METEOR jar
+(AttemptFour/metric_suit.py:88-109), which aligns unigrams in stages:
+exact, stem, WordNet synonym, paraphrase. This implementation provides the
+exact and stem stages natively (the Porter stemmer in ``stem.py``); the
+synonym/paraphrase stages need WordNet data unavailable in a zero-egress
+image, so scores are a close lower bound of jar METEOR:
 
   P = m/|hyp|, R = m/|ref|, F = 10PR/(R+9P)
   penalty = 0.5 * (chunks/m)^3
@@ -10,26 +14,41 @@ alignment with the standard chunk fragmentation penalty:
 
 from __future__ import annotations
 
-from collections import Counter
+from masters_thesis_tpu.evalsuite.stem import porter_stem
 
 
-def _align(ref, hyp):
-    """Greedy in-order exact alignment; returns (matches, chunks)."""
-    ref_avail = Counter(ref)
-    # positions of each hyp word in ref, consumed left-to-right
-    ref_positions = {}
-    for i, w in enumerate(ref):
-        ref_positions.setdefault(w, []).append(i)
-    used = set()
+def _align_stage(ref_keys, hyp_keys, ref_used, hyp_used):
+    """Greedy in-order alignment on one match stage; mutates used sets and
+    returns (hyp_idx, ref_idx) pairs for words unmatched so far."""
+    ref_positions: dict = {}
+    for i, w in enumerate(ref_keys):
+        if i not in ref_used:
+            ref_positions.setdefault(w, []).append(i)
     pairs = []
-    for j, w in enumerate(hyp):
+    for j, w in enumerate(hyp_keys):
+        if j in hyp_used:
+            continue
         for i in ref_positions.get(w, []):
-            if i not in used:
-                used.add(i)
+            if i not in ref_used:
+                ref_used.add(i)
+                hyp_used.add(j)
                 pairs.append((j, i))
                 break
+    return pairs
+
+
+def _align(ref, hyp, stemmer=porter_stem):
+    """Two-stage (exact, then stem) alignment; returns (matches, chunks)."""
+    ref_used: set = set()
+    hyp_used: set = set()
+    pairs = _align_stage(ref, hyp, ref_used, hyp_used)
+    if stemmer is not None:
+        ref_stems = [stemmer(w) for w in ref]
+        hyp_stems = [stemmer(w) for w in hyp]
+        pairs += _align_stage(ref_stems, hyp_stems, ref_used, hyp_used)
     if not pairs:
         return 0, 0
+    pairs.sort()
     chunks = 1
     for (j0, i0), (j1, i1) in zip(pairs, pairs[1:]):
         if not (j1 == j0 + 1 and i1 == i0 + 1):
@@ -37,14 +56,14 @@ def _align(ref, hyp):
     return len(pairs), chunks
 
 
-def meteor_lite(references, hypothesis) -> float:
+def meteor_lite(references, hypothesis, use_stem: bool = True) -> float:
     hyp = list(hypothesis)
     if not hyp:
         return 0.0
     best = 0.0
     for ref in references:
         ref = list(ref)
-        m, chunks = _align(ref, hyp)
+        m, chunks = _align(ref, hyp, porter_stem if use_stem else None)
         if m == 0:
             continue
         p = m / len(hyp)
@@ -55,9 +74,10 @@ def meteor_lite(references, hypothesis) -> float:
     return best
 
 
-def corpus_meteor(references_list, hypotheses) -> float:
+def corpus_meteor(references_list, hypotheses, use_stem: bool = True) -> float:
     if not hypotheses:
         return 0.0
     return sum(
-        meteor_lite(refs, hyp) for refs, hyp in zip(references_list, hypotheses)
+        meteor_lite(refs, hyp, use_stem)
+        for refs, hyp in zip(references_list, hypotheses)
     ) / len(hypotheses)

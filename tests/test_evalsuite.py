@@ -151,3 +151,45 @@ def test_guse_similarity_prefers_matching_captions():
     b = guse_similarity(bad, refs, emb)
     assert g["mean_brain_corr"] > b["mean_brain_corr"]
     assert "pearson_r" in g
+
+
+def test_porter_stemmer_matches_nltk_original_mode():
+    nltk = __import__("pytest").importorskip("nltk")
+    from nltk.stem import PorterStemmer
+
+    from masters_thesis_tpu.evalsuite.stem import porter_stem
+
+    ps = PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    # paper examples + caption-corpus-style vocabulary + random letter soup
+    words = (
+        "caresses ponies ties caress cats feed agreed plastered bled "
+        "motoring sing conflated troubled sized hopping tanned falling "
+        "hissing fizzed failing filing relational conditional rational "
+        "valenci hesitanci digitizer conformabli radicalli differentli "
+        "vileli analogousli vietnamization predication operator feudalism "
+        "decisiveness hopefulness callousness formaliti sensitiviti "
+        "sensibiliti triplicate formative formalize electriciti electrical "
+        "hopeful goodness revival allowance inference airliner gyroscopic "
+        "adjustable defensible irritant replacement adjustment dependent "
+        "adoption communism activate effective bowdlerize "
+        "people sitting standing wearing holding playing skiing surfing "
+        "giraffes zebras elephants skateboarder motorcycles umbrellas"
+    ).split()
+    import random
+
+    rng = random.Random(0)
+    for _ in range(300):
+        words.append("".join(rng.choice("abcdefghilmnorstuy")
+                             for _ in range(rng.randint(3, 12))))
+    bad = [(w, porter_stem(w), ps.stem(w))
+           for w in words if porter_stem(w) != ps.stem(w)]
+    assert not bad, bad[:10]
+
+
+def test_meteor_stem_stage_matches_inflections():
+    # 'dogs running' vs 'dog runs': zero exact matches, full stem matches
+    refs = [["the", "dogs", "were", "running"]]
+    hyp = ["the", "dog", "runs"]
+    assert meteor_lite(refs, hyp, use_stem=False) < meteor_lite(refs, hyp)
+    # stem stage never decreases the score
+    assert meteor_lite(refs, hyp) > 0.3
