@@ -2,8 +2,9 @@
 
 Reference flow (AttemptFour/metric_suit.py:60-109): decode token arrays to
 text, collect the 5 ground-truth captions per key, run
-BLEU-1..4 / METEOR / ROUGE_L / CIDEr (SPICE requires the Java stanford
-pipeline — reported as None here) and return a score dict. Also exposes the
+BLEU-1..4 / METEOR / ROUGE_L / CIDEr / SPICE and return a score dict
+(METEOR uses exact+stem stages, SPICE the rule-based chunker in spice.py —
+the Java jars the reference shells out to are unavailable offline). Also exposes the
 NLTK-style 8-weight BLEU table of evaluate.py:178-226.
 """
 
@@ -19,6 +20,7 @@ from masters_thesis_tpu.evalsuite.bleu import (
 from masters_thesis_tpu.evalsuite.cider import CiderScorer
 from masters_thesis_tpu.evalsuite.meteor import corpus_meteor
 from masters_thesis_tpu.evalsuite.rouge import corpus_rouge_l
+from masters_thesis_tpu.evalsuite.spice import corpus_spice
 from masters_thesis_tpu.evalsuite.tokens import ids_to_caption, postprocess_text
 
 
@@ -37,7 +39,10 @@ def evaluate_captions(candidates: list[str], references_list: list[list[str]]) -
         "METEOR": corpus_meteor(refs_tok, cand_tok),
         "ROUGE_L": corpus_rouge_l(refs_tok, cand_tok),
         "CIDEr": cider,
-        "SPICE": None,  # Java scene-graph pipeline; not available offline
+        # Java SPICE (scene-graph F1) is approximated by the rule-based
+        # chunker in spice.py; keyed distinctly so nobody mistakes it for
+        # the jar's numbers
+        "SPICE_lite": corpus_spice(refs_tok, cand_tok),
     }
 
 

@@ -1,0 +1,143 @@
+"""SPICE-lite: semantic-proposition F1 for caption evaluation.
+
+The reference reports SPICE through pycocoevalcap's Java scene-graph
+pipeline (AttemptFour/metric_suit.py:88-109: dependency parse → scene graph
+→ tuple F1). That stack (Stanford parser jars) is unavailable here, so this
+module implements the same *scoring model* — F1 over semantic tuples
+(objects, attribute-object pairs, subject-relation-object triples) —
+with a lightweight caption-grammar chunker in place of the dependency
+parser. COCO-style captions are syntactically simple ("a man riding a bike
+down the street"), which is what makes the rule-based extraction workable.
+
+Tuple matching uses exact-or-Porter-stem equality (SPICE matches WordNet
+synsets; stems are the offline approximation). Scores correlate with but
+are not numerically identical to Java SPICE — reported as "SPICE_lite".
+"""
+
+from __future__ import annotations
+
+from masters_thesis_tpu.evalsuite.stem import porter_stem
+
+# closed-class words for the caption grammar
+_DETERMINERS = frozenset(
+    "a an the this that these those his her its their some any each no "
+    "every another".split())
+_NUMBERS = frozenset(
+    "one two three four five six seven eight nine ten several few many "
+    "couple group bunch".split())
+_PREPOSITIONS = frozenset(
+    "in on at by with near under over above behind beside between through "
+    "across around against along inside outside onto into up down off "
+    "of from to atop beneath below next".split())
+_COPULAS = frozenset("is are was were be being been".split())
+_CONJ = frozenset("and or while as".split())
+# frequent caption adjectives that don't match the suffix heuristics
+_COMMON_ADJ = frozenset(
+    "red blue green yellow black white brown orange purple pink gray grey "
+    "small large big little young old tall short long wide high low open "
+    "closed empty full wet dry hot cold dark bright clear blurry "
+    "wooden plastic metal glass striped spotted furry".split())
+_ADJ_SUFFIXES = ("ful", "ous", "ish", "ive", "able", "ible", "al", "ed",
+                 "less", "y")
+
+
+def _is_adjective(word: str) -> bool:
+    if word in _COMMON_ADJ:
+        return True
+    return len(word) > 4 and word.endswith(_ADJ_SUFFIXES)
+
+
+def _is_verb(word: str) -> bool:
+    # caption relations are overwhelmingly present participles
+    # ("riding", "sitting on") or simple 3rd-person forms ("rides")
+    return len(word) > 4 and word.endswith("ing")
+
+
+class SceneTuples:
+    """objects: {noun}; attributes: {(noun, adj)}; relations: {(s, r, o)}."""
+
+    def __init__(self):
+        self.objects: set = set()
+        self.attributes: set = set()
+        self.relations: set = set()
+
+    def all_tuples(self) -> set:
+        return ({("o", porter_stem(o)) for o in self.objects}
+                | {("a", porter_stem(n), porter_stem(a))
+                   for n, a in self.attributes}
+                | {("r", porter_stem(s), porter_stem(r), porter_stem(o))
+                   for s, r, o in self.relations})
+
+
+def parse_caption(tokens) -> SceneTuples:
+    """Chunk a caption into noun phrases linked by verbs/prepositions.
+
+    Grammar: NP = det? (num|adj)* noun+ ; REL = verb prep? | copula? prep.
+    The last word of an NP is its head; preceding adjectives attach as
+    attribute tuples.
+    """
+    out = SceneTuples()
+    toks = [t.lower() for t in tokens
+            if t and t not in ("<start>", "<end>", "<pad>", "<unk>")]
+
+    # segment into (np_words, link_words, np_words, ...)
+    nps: list[list[str]] = []
+    links: list[list[str]] = []  # link[i] connects nps[i] -> nps[i+1]
+    cur_np: list[str] = []
+    cur_link: list[str] = []
+    for w in toks:
+        if w in _DETERMINERS or w in _CONJ:
+            continue
+        if w in _PREPOSITIONS or w in _COPULAS or _is_verb(w):
+            if cur_np:
+                nps.append(cur_np)
+                cur_np = []
+                cur_link = []
+                links.append(cur_link)
+            if w not in _COPULAS:
+                cur_link.append(w)
+        else:
+            cur_np.append(w)
+    if cur_np:
+        nps.append(cur_np)
+
+    heads = []
+    for np_words in nps:
+        head = np_words[-1]
+        out.objects.add(head)
+        for w in np_words[:-1]:
+            if w in _NUMBERS:
+                continue
+            if _is_adjective(w):
+                out.attributes.add((head, w))
+            else:
+                out.objects.add(w)  # compound noun ("baseball bat")
+        heads.append(head)
+
+    for i, link in enumerate(links):
+        if i + 1 < len(heads) and link:
+            out.relations.add((heads[i], " ".join(link), heads[i + 1]))
+    return out
+
+
+def spice_lite(references, hypothesis) -> float:
+    """Tuple F1 of the hypothesis against the union of reference tuples."""
+    hyp_t = parse_caption(hypothesis).all_tuples()
+    ref_t: set = set()
+    for ref in references:
+        ref_t |= parse_caption(ref).all_tuples()
+    if not hyp_t or not ref_t:
+        return 0.0
+    matched = len(hyp_t & ref_t)
+    p = matched / len(hyp_t)
+    r = matched / len(ref_t)
+    return 0.0 if p + r == 0 else 2 * p * r / (p + r)
+
+
+def corpus_spice(references_list, hypotheses) -> float:
+    if not hypotheses:
+        return 0.0
+    return sum(
+        spice_lite(refs, hyp)
+        for refs, hyp in zip(references_list, hypotheses)
+    ) / len(hypotheses)

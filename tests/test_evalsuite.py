@@ -193,3 +193,31 @@ def test_meteor_stem_stage_matches_inflections():
     assert meteor_lite(refs, hyp, use_stem=False) < meteor_lite(refs, hyp)
     # stem stage never decreases the score
     assert meteor_lite(refs, hyp) > 0.3
+
+
+def test_spice_lite_parses_caption_grammar():
+    from masters_thesis_tpu.evalsuite.spice import parse_caption, spice_lite
+
+    t = parse_caption("a young man riding a red bicycle down the street".split())
+    assert "man" in t.objects and "bicycle" in t.objects
+    assert ("man", "young") in t.attributes
+    assert ("bicycle", "red") in t.attributes
+    assert ("man", "riding", "bicycle") in t.relations
+    assert ("bicycle", "down", "street") in t.relations
+
+    # identical semantics, different inflections -> high F1
+    refs = [["a", "man", "rides", "a", "red", "bike"]]
+    hi = spice_lite(refs, ["the", "man", "riding", "red", "bikes"])
+    lo = spice_lite(refs, ["a", "dog", "sleeping", "on", "a", "couch"])
+    assert hi > 0.5 > lo == 0.0
+    assert spice_lite(refs, []) == 0.0
+
+
+def test_metric_suite_reports_spice_lite():
+    from masters_thesis_tpu.evalsuite.metric_suite import evaluate_captions
+
+    scores = evaluate_captions(
+        ["a man riding a horse"],
+        [["a man rides a horse", "a person on a horse"]],
+    )
+    assert 0.0 < scores["SPICE_lite"] <= 1.0
