@@ -143,3 +143,84 @@ def plot_loss(loss_history_csv: str, out_png: str) -> None:  # pragma: no cover
     ax.legend()
     fig.savefig(out_png, dpi=120)
     plt.close(fig)
+
+
+def plot_region_attention(
+    mean_attention: np.ndarray, out_png: str,
+    region_names: list[str] | None = None, top_k: int = 12,
+):  # pragma: no cover - thin matplotlib shim over attention_by_region
+    """Hemisphere heat-grid of per-Glasser-region attention.
+
+    The reference renders these values on pycortex flatmaps
+    (Eval/compare_attention.py); surface geometry isn't shippable here, so
+    the figure is a (2, 180) LH/RH parcel grid with the top regions
+    annotated — same data, headless rendering.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    vals = np.asarray(mean_attention, np.float64).reshape(-1)
+    n = len(vals)
+    half = n // 2
+    width = max(1, half, n - half)
+    grid = np.full((2, width), np.nan)
+    grid[0, :half] = vals[:half]
+    grid[1, : n - half] = vals[half:]
+
+    fig, (ax, axr) = plt.subplots(
+        2, 1, figsize=(12, 5), gridspec_kw={"height_ratios": [1, 2]}
+    )
+    im = ax.imshow(grid, aspect="auto", cmap="viridis",
+                   interpolation="nearest")
+    ax.set_yticks([0, 1], ["LH", "RH"])
+    ax.set_xlabel("Glasser parcel index (within hemisphere)")
+    fig.colorbar(im, ax=ax, label="mean attention")
+
+    order = np.argsort(vals)[::-1][:top_k]
+    names = region_names or [f"region_{i}" for i in range(n)]
+    axr.barh(range(len(order))[::-1], vals[order], color="#3b6ea5")
+    axr.set_yticks(range(len(order))[::-1], [names[i] for i in order])
+    axr.set_xlabel("mean attention")
+    axr.set_title(f"top {len(order)} regions")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+
+
+def attention_tsne(
+    attention: np.ndarray, labels=None, perplexity: float = 20.0,
+    seed: int = 42,
+) -> np.ndarray:
+    """2-D t-SNE embedding of per-sample attention vectors
+    (Eval/tsne_attn.py's analysis): attention (B, T, R) or (B, R) ->
+    (B, 2) coordinates; pair with ``plot_tsne`` for the figure."""
+    from sklearn.manifold import TSNE
+
+    a = np.asarray(attention)
+    if a.ndim == 3:
+        a = a.mean(axis=1)
+    perplexity = min(perplexity, max(1.0, (len(a) - 1) / 3))
+    return TSNE(n_components=2, perplexity=perplexity, random_state=seed,
+                init="pca").fit_transform(a)
+
+
+def plot_tsne(coords: np.ndarray, out_png: str,
+              labels=None):  # pragma: no cover - matplotlib shim
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    coords = np.asarray(coords)
+    fig, ax = plt.subplots(figsize=(7, 6))
+    sc = ax.scatter(coords[:, 0], coords[:, 1], s=14,
+                    c=None if labels is None else np.asarray(labels),
+                    cmap="tab10", alpha=0.8)
+    if labels is not None:
+        fig.colorbar(sc, ax=ax, label="label")
+    ax.set_title("attention t-SNE")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)

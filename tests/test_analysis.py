@@ -53,3 +53,35 @@ def test_loss_curves(tmp_path):
     c = loss_curves(str(p))
     np.testing.assert_allclose(c["loss"], [2.0, 1.5])
     np.testing.assert_allclose(c["epoch"], [0, 1])
+
+
+def test_attention_tsne_shapes():
+    import numpy as np
+
+    from masters_thesis_tpu.evalsuite.analysis import attention_tsne
+
+    rng = np.random.default_rng(0)
+    attn = rng.random((12, 5, 30)).astype(np.float32)
+    coords = attention_tsne(attn, perplexity=5.0)
+    assert coords.shape == (12, 2)
+    assert np.isfinite(coords).all()
+
+
+def test_plot_region_attention_writes_png(tmp_path):
+    import numpy as np
+
+    from masters_thesis_tpu.evalsuite.analysis import (
+        attention_tsne,
+        plot_region_attention,
+        plot_tsne,
+    )
+
+    vals = np.random.default_rng(0).random(360)
+    out = tmp_path / "attn.png"
+    plot_region_attention(vals, str(out))
+    assert out.stat().st_size > 1000
+    coords = attention_tsne(np.random.default_rng(1).random((10, 360)),
+                            perplexity=3.0)
+    out2 = tmp_path / "tsne.png"
+    plot_tsne(coords, str(out2), labels=np.arange(10) % 2)
+    assert out2.stat().st_size > 1000
