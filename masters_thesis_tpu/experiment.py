@@ -244,6 +244,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
     from masters_thesis_tpu.train.callbacks import (
         BatchLoss,
+        CaptionImagePreview,
         Checkpointing,
         LossHistory,
         PredictPreview,
@@ -273,6 +274,15 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             TensorBoardScalars(os.path.join(run_path, "tb")),
             PredictPreview(
                 run_path,
+                _greedy_decoder(model, cfg),
+                next(iter(val_pipe.epoch()))
+                if len(val_enc) >= bs
+                else next(iter(train_pipe.epoch())),
+                tok,
+                every=5,
+            ),
+            CaptionImagePreview(
+                os.path.join(run_path, "tb"),
                 _greedy_decoder(model, cfg),
                 next(iter(val_pipe.epoch()))
                 if len(val_enc) >= bs

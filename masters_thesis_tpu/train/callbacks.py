@@ -97,6 +97,53 @@ class PredictPreview(Callback):
                 f.write(t + "\n")
 
 
+class CaptionImagePreview(Callback):
+    """Epoch-end captions rendered onto their stimulus images as TensorBoard
+    image summaries (soloist TensorBoardCaption.py:49-99). ``images`` aligns
+    with the preview batch rows; None entries render a text-only banner
+    (betas models have no stimulus pixels at train time)."""
+
+    def __init__(self, logdir: str, decoder, batch, tokenizer,
+                 images=None, every: int = 1, max_images: int = 4):
+        from masters_thesis_tpu.utils.tensorboard import EventWriter
+
+        self.writer = EventWriter(logdir, filename_suffix=".captions")
+        self.decoder = decoder
+        self.batch = batch
+        self.tokenizer = tokenizer
+        self.images = images
+        self.every = every
+        self.max_images = max_images
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        if epoch % self.every:
+            return
+        import jax.numpy as jnp
+
+        from masters_thesis_tpu.utils.tensorboard import render_caption_image
+
+        variables = {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        }
+        if "betas" in self.batch:
+            betas = jnp.asarray(self.batch["betas"])
+        else:
+            betas = jnp.take(
+                trainer.store.device_array(),
+                jnp.asarray(self.batch["idx"]), axis=0,
+            )
+        words, _, _ = self.decoder(variables, betas, self.tokenizer.start_id)
+        texts = self.tokenizer.sequences_to_texts(list(words))
+        for i, text in enumerate(texts[: self.max_images]):
+            img = None if self.images is None else self.images[i]
+            png, h, w = render_caption_image(img, text)
+            self.writer.image(f"captions/sample_{i}", png, h, w, epoch)
+
+    def on_train_end(self, trainer):
+        self.writer.close()
+
+
 class Checkpointing(Callback):
     def __init__(self, manager):
         self.manager = manager

@@ -124,5 +124,66 @@ class EventWriter:
     def text(self, tag: str, content: str, step: int) -> None:
         self._write_event(self._event(_text_value(tag, content), step))
 
+    def image(self, tag: str, png_bytes: bytes, height: int, width: int,
+              step: int, colorspace: int = 3) -> None:
+        """Summary.Value{ tag=1, image=4: Summary.Image{height=1, width=2,
+        colorspace=3, encoded_image_string=4} } — the reference's
+        caption-on-image summaries (soloist TensorBoardCaption.py:49-99)."""
+        img = (
+            _int64_field(1, height)
+            + _int64_field(2, width)
+            + _int64_field(3, colorspace)
+            + _bytes_field(4, png_bytes)
+        )
+        value = _bytes_field(1, tag.encode()) + _bytes_field(4, img)
+        self._write_event(self._event(value, step))
+
     def close(self) -> None:
         self._f.close()
+
+
+def encode_png(rgb: "np.ndarray") -> bytes:
+    """Minimal PNG encoder for (H, W, 3) uint8 arrays (zlib + filters=0);
+    keeps the writer dependency-free."""
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(rgb, np.uint8)
+    h, w, _ = a.shape
+    raw = b"".join(b"\x00" + a[i].tobytes() for i in range(h))
+
+    def chunk(kind: bytes, data: bytes) -> bytes:
+        body = kind + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", __import__("zlib").crc32(body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def render_caption_image(image, caption: str) -> tuple[bytes, int, int]:
+    """Render a caption banner above an (H, W, 3) image -> (png, h, w).
+    The matplotlib path gives real glyphs; without an image a text-only
+    banner is rendered (the betas models have no stimulus pixels at
+    train time)."""
+    import io
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    fig, ax = plt.subplots(figsize=(4.0, 4.4), dpi=96)
+    if image is not None:
+        ax.imshow(np.asarray(image).astype(np.uint8))
+    ax.set_title(caption, fontsize=9, wrap=True)
+    ax.axis("off")
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight")
+    plt.close(fig)
+    png = buf.getvalue()
+    w, h = fig.canvas.get_width_height()
+    return png, h, w

@@ -38,3 +38,61 @@ def test_event_file_framing_and_contents(tmp_path):
     assert struct.pack("<f", 1.5) in records[1]
     assert b"epoch/a" in records[2] and b"epoch/b" in records[2]
     assert b"a dog runs" in records[3]
+
+
+def test_image_summary_round_trip(tmp_path):
+    """Write an image event, re-parse the record framing, verify the PNG
+    payload and Summary.Image fields survive."""
+    import struct
+
+    import numpy as np
+
+    from masters_thesis_tpu.utils.tensorboard import (
+        EventWriter,
+        encode_png,
+        render_caption_image,
+    )
+
+    rgb = np.zeros((4, 6, 3), np.uint8)
+    rgb[..., 0] = 255
+    png = encode_png(rgb)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    w = EventWriter(str(tmp_path))
+    w.image("cap/x", png, 4, 6, step=3)
+    w.close()
+
+    fname = [f for f in tmp_path.iterdir()][0]
+    data = fname.read_bytes()
+    # skip the version-header record, then read the image record
+    off = 0
+    records = []
+    while off < len(data):
+        (ln,) = struct.unpack_from("<Q", data, off)
+        off += 12  # len + len-crc
+        records.append(data[off : off + ln])
+        off += ln + 4  # payload + payload-crc
+    assert len(records) == 2
+    assert png in records[1]  # encoded_image_string embedded verbatim
+    assert b"cap/x" in records[1]
+
+    # matplotlib renderer returns a decodable PNG and plausible dims
+    png2, h2, w2 = render_caption_image(rgb, "a test caption")
+    assert png2[:8] == b"\x89PNG\r\n\x1a\n"
+    assert h2 > 50 and w2 > 50
+
+
+def test_png_encoder_matches_matplotlib_decode(tmp_path):
+    import matplotlib.image as mpimg
+    import numpy as np
+
+    from masters_thesis_tpu.utils.tensorboard import encode_png
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (16, 8, 3)).astype(np.uint8)
+    p = tmp_path / "x.png"
+    p.write_bytes(encode_png(rgb))
+    back = mpimg.imread(str(p))  # float32 [0,1]
+    np.testing.assert_array_equal(
+        (back[..., :3] * 255).round().astype(np.uint8), rgb
+    )
