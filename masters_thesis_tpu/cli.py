@@ -72,6 +72,48 @@ def _run_features(args) -> dict:
             "pretrained": bool(args.weights)}
 
 
+def _run_analyze(args) -> dict:
+    """Post-hoc analysis over a finished run dir (the Eval/ scripts'
+    artifacts: loss curves, caption word-class stats, attention figures)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from masters_thesis_tpu.evalsuite.analysis import (
+        caption_pos_stats,
+        plot_loss,
+        plot_region_attention,
+    )
+
+    run = args.run
+    out_dir = args.out or os.path.join(run, "analysis")
+    os.makedirs(out_dir, exist_ok=True)
+    report: dict = {"run": run, "out": out_dir, "artifacts": []}
+
+    lh = os.path.join(run, "loss_history.csv")
+    if os.path.exists(lh):
+        png = os.path.join(out_dir, "loss.png")
+        plot_loss(lh, png)
+        report["artifacts"].append(png)
+
+    prev = os.path.join(run, "caption_previews.txt")
+    if os.path.exists(prev):
+        caps = [ln.strip() for ln in open(prev)
+                if ln.strip() and not ln.startswith("===")]
+        report["pos_stats"] = caption_pos_stats(caps)
+
+    for attn_path in sorted(glob.glob(os.path.join(run, "attention_scores_*.npy"))):
+        e = os.path.basename(attn_path).split("_")[-1].split(".")[0]
+        attn = np.load(attn_path)
+        png = os.path.join(out_dir, f"region_attention_{e}.png")
+        plot_region_attention(
+            np.asarray(attn).mean(axis=tuple(range(attn.ndim - 1))), png
+        )
+        report["artifacts"].append(png)
+    return report
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("masters_thesis_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -97,6 +139,15 @@ def main(argv=None) -> int:
     pp.add_argument("--out", required=True)
     pp.add_argument("--pca", type=int, default=0)
 
+    an = sub.add_parser(
+        "analyze",
+        help="post-hoc run analysis: loss plot, caption POS stats, "
+        "region-attention figure (the reference's Eval/ suite)",
+    )
+    an.add_argument("--run", required=True, help="run directory")
+    an.add_argument("--out", default=None,
+                    help="output dir (default: <run>/analysis)")
+
     fe = sub.add_parser(
         "features",
         help="batched CNN feature extraction (the reference's "
@@ -117,6 +168,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "features":
         print(json.dumps(_run_features(args)))
+        return 0
+    if args.cmd == "analyze":
+        print(json.dumps(_run_analyze(args)))
         return 0
     cfg = Config.load(args.config)
 

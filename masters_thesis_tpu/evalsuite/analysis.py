@@ -224,3 +224,52 @@ def plot_tsne(coords: np.ndarray, out_png: str,
     fig.tight_layout()
     fig.savefig(out_png, dpi=120)
     plt.close(fig)
+
+
+def caption_pos_stats(captions: list[str]) -> dict:
+    """Word-class composition of generated captions (eval_output.py's
+    POS-tag statistics, 661 LoC of thesis figure code distilled to the
+    numbers): share of nouns/verbs/adjectives/function words, type-token
+    ratio, mean length. Uses the caption-grammar lexicons from spice.py in
+    place of an external POS tagger (no nltk data offline)."""
+    from masters_thesis_tpu.evalsuite.spice import (
+        _COPULAS,
+        _DETERMINERS,
+        _PREPOSITIONS,
+        _is_adjective,
+        _is_verb,
+    )
+
+    counts = {"noun": 0, "verb": 0, "adjective": 0, "preposition": 0,
+              "determiner": 0, "other": 0}
+    total = 0
+    vocab: set = set()
+    lengths = []
+    for cap in captions:
+        toks = [t.lower() for t in cap.split()
+                if t not in ("<start>", "<end>", "<pad>", "<unk>")]
+        lengths.append(len(toks))
+        for w in toks:
+            total += 1
+            vocab.add(w)
+            if w in _DETERMINERS:
+                counts["determiner"] += 1
+            elif w in _PREPOSITIONS:
+                counts["preposition"] += 1
+            elif w in _COPULAS or _is_verb(w):
+                counts["verb"] += 1
+            elif _is_adjective(w):
+                counts["adjective"] += 1
+            elif w.isalpha():
+                counts["noun"] += 1
+            else:
+                counts["other"] += 1
+    return {
+        "n_captions": len(captions),
+        "mean_length": float(np.mean(lengths)) if lengths else 0.0,
+        "vocab_size": len(vocab),
+        "type_token_ratio": len(vocab) / total if total else 0.0,
+        "fractions": {k: v / total if total else 0.0
+                      for k, v in counts.items()},
+        "counts": counts,
+    }

@@ -246,10 +246,12 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         BatchLoss,
         CaptionImagePreview,
         Checkpointing,
+        GradStats,
         LossHistory,
         PredictPreview,
         TensorBoardScalars,
     )
+    from masters_thesis_tpu.train.steps import make_grad_stats_fn
     from masters_thesis_tpu.train.checkpoint import CheckpointManager
     from masters_thesis_tpu.train.loop import Trainer
 
@@ -288,6 +290,12 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
                 if len(val_enc) >= bs
                 else next(iter(train_pipe.epoch())),
                 tok,
+                every=5,
+            ),
+            GradStats(
+                run_path,
+                make_grad_stats_fn(model, cfg, l2_rules, masked=masked),
+                batch,
                 every=5,
             ),
         ],

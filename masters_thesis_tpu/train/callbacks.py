@@ -152,6 +152,47 @@ class Checkpointing(Callback):
         self.manager.save(trainer.state, epoch, val_loss=logs.get("val_loss"))
 
 
+class GradStats(Callback):
+    """Per-parameter gradient norms/means/maxes -> df_grads.csv
+    (main.py:359-361's gradient dump, but per-epoch rather than a single
+    train-end snapshot)."""
+
+    def __init__(self, run_path: str, stats_fn, batch, every: int = 1):
+        self.path = os.path.join(run_path, "df_grads.csv")
+        self.stats_fn = stats_fn
+        self.batch = batch
+        self.every = every
+        self._wrote_header = False
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        if epoch % self.every:
+            return
+        import jax.numpy as jnp
+
+        if "betas" in self.batch:
+            betas = jnp.asarray(self.batch["betas"])
+        else:
+            betas = jnp.take(
+                trainer.store.device_array(),
+                jnp.asarray(self.batch["idx"]), axis=0,
+            )
+        stats = self.stats_fn(
+            trainer.state, betas, jnp.asarray(self.batch["tokens"]),
+            jnp.asarray(self.batch["target"]),
+        )
+        import csv as _csv
+
+        with open(self.path, "a", newline="") as f:
+            w = _csv.writer(f)
+            if not self._wrote_header:
+                w.writerow(["epoch", "param", "grad_norm", "grad_mean_abs",
+                            "grad_max_abs"])
+                self._wrote_header = True
+            for name, (norm, mean_abs, max_abs) in sorted(stats.items()):
+                w.writerow([epoch, name, f"{norm:.6e}", f"{mean_abs:.6e}",
+                            f"{max_abs:.6e}"])
+
+
 class TensorBoardScalars(Callback):
     """Per-batch/epoch scalar summaries (main.py:202-211 update_freq='batch')
     via the dependency-free event writer (utils/tensorboard.py)."""

@@ -150,6 +150,48 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
+def make_grad_stats_fn(model, cfg, l2_rules, masked: bool = False):
+    """Per-parameter gradient statistics on one batch — the reference dumps
+    these to ``df_grads.csv`` at train end (AttemptFour/main.py:359-361).
+    Returns ``fn(state, betas, tokens, target) -> {param_path: (norm, mean_abs,
+    max_abs)}`` with '/'-joined flax paths, computed in one jitted call."""
+
+    def loss_fn(params, state, rng, betas, tokens, target, mask):
+        return _forward_loss(
+            model, cfg, l2_rules, params, state.batch_stats, rng, betas,
+            tokens, target, mask
+        )
+
+    @jax.jit
+    def stats(state, betas, tokens, target):
+        mask = (target != 0) if masked else None
+        rng = jax.random.fold_in(state.rng, state.step)
+        _, grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, rng, betas, tokens, target, mask
+        )
+        return jax.tree_util.tree_map(
+            lambda g: jnp.stack(
+                [jnp.sqrt(jnp.sum(jnp.square(g))), jnp.mean(jnp.abs(g)),
+                 jnp.max(jnp.abs(g))]
+            ),
+            grads,
+        )
+
+    def fn(state, betas, tokens, target):
+        tree = stats(state, betas, tokens, target)
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        out = {}
+        for path, v in flat:
+            name = "/".join(
+                getattr(k, "key", getattr(k, "name", str(k))) for k in path
+            )
+            v = jax.device_get(v)
+            out[name] = (float(v[0]), float(v[1]), float(v[2]))
+        return out
+
+    return fn
+
+
 def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False):
     """Multi-step trainer: ONE device call runs K optimisation steps via
     ``lax.scan`` over stacked index/token batches, gathering betas from the

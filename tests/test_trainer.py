@@ -100,3 +100,50 @@ def test_early_stopping():
     for epoch, v in enumerate([1.0, 0.9, 0.95, 0.96, 0.97]):
         es.on_epoch_end(t, epoch, {"val_loss": v})
     assert t.stop_training
+
+
+def test_grad_stats_and_analyze_artifacts(tmp_path):
+    """GradStats writes df_grads.csv during training; `mtt analyze` renders
+    loss plot + POS stats from the finished run."""
+    import json
+    import os
+
+    import numpy as np
+
+    from masters_thesis_tpu.cli import main as cli_main
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.experiment import run_training
+
+    cfg = Config(run="gradstats", top_k=40, batch_size=8, max_length=6,
+                 units=16, attn_units=8, group_size=4, embedding_text=8,
+                 epochs=1, log=str(tmp_path) + "/")
+    run_path, logs, _ = run_training(cfg, epochs=1, smoke_keys=24)
+
+    g = os.path.join(run_path, "df_grads.csv")
+    assert os.path.exists(g)
+    rows = open(g).read().splitlines()
+    assert rows[0].startswith("epoch,param,grad_norm")
+    assert len(rows) > 5  # one line per parameter
+    # every grad stat is finite and non-negative
+    for ln in rows[1:]:
+        parts = ln.split(",")
+        assert float(parts[2]) >= 0 and np.isfinite(float(parts[2]))
+
+    rc = cli_main(["analyze", "--run", run_path])
+    assert rc == 0
+    report_png = os.path.join(run_path, "analysis", "loss.png")
+    assert os.path.exists(report_png)
+
+
+def test_caption_pos_stats():
+    from masters_thesis_tpu.evalsuite.analysis import caption_pos_stats
+
+    stats = caption_pos_stats([
+        "a man riding a red bicycle down the street",
+        "two dogs sitting on a wooden bench",
+    ])
+    assert stats["n_captions"] == 2
+    f = stats["fractions"]
+    assert f["noun"] > 0 and f["verb"] > 0 and f["determiner"] > 0
+    assert abs(sum(f.values()) - 1.0) < 1e-9
+    assert stats["vocab_size"] >= 10
