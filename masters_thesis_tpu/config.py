@@ -112,6 +112,9 @@ class Config:
     attn_loss: bool = False          # train_step has it commented out (lc_NIC.py:384)
     sam_rho: float = 0.0             # >0 enables SAM (lc_NIC.py:713-838)
     agc_clip: float = 0.0            # >0 enables adaptive gradient clipping (agc.py)
+    warm_start: str = ""             # run dir to preload matching weights from
+    #                                  (load_weights by_name/skip_mismatch,
+    #                                   main.py:150-163)
 
     tpu: TPUConfig = field(default_factory=TPUConfig)
 

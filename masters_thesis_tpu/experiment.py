@@ -239,6 +239,16 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
     batch = next(iter(BatchPipeline(train_enc, store, bs, seed=0, prefetch=0).epoch()))
     params, batch_stats, rng = init_model(model, cfg, batch["betas"], batch["tokens"])
+    if cfg.warm_start:
+        from masters_thesis_tpu.train.checkpoint import warm_start_from_run
+
+        params, ws_report = warm_start_from_run(params, cfg.warm_start)
+        logger.info(
+            "warm start from %s (epoch %s): %d loaded, %d shape-skipped, "
+            "%d missing", cfg.warm_start, ws_report.get("source_epoch"),
+            len(ws_report["loaded"]), len(ws_report["skipped_shape"]),
+            len(ws_report["missing"]),
+        )
     tx = make_optimizer(cfg)
     state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx, rng=rng)
 

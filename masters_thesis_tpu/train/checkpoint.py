@@ -108,3 +108,51 @@ class CheckpointManager:
             return params, None
         full = self._ckpt.restore(self._epoch_dir(epoch))
         return full["params"], epoch
+
+
+def merge_by_name(template, source) -> tuple[dict, dict]:
+    """Keras ``load_weights(by_name=True, skip_mismatch=True)`` semantics
+    (main.py:150-163's partial LSTM preloading): copy every leaf whose
+    '/'-joined path exists in ``source`` with a matching shape; keep the
+    template's init elsewhere. Returns (merged, report)."""
+    report = {"loaded": [], "skipped_shape": [], "missing": []}
+
+    def walk(tpl, src, prefix):
+        if not isinstance(tpl, dict):
+            return tpl
+        out = {}
+        for k, v in tpl.items():
+            p = f"{prefix}/{k}" if prefix else k
+            s = src.get(k) if isinstance(src, dict) else None
+            if isinstance(v, dict):
+                out[k] = walk(v, s if isinstance(s, dict) else {}, p)
+            elif s is not None and not isinstance(s, dict):
+                if np.shape(s) == np.shape(v):
+                    out[k] = jax.numpy.asarray(s)
+                    report["loaded"].append(p)
+                else:
+                    out[k] = v
+                    report["skipped_shape"].append(
+                        f"{p}: {np.shape(s)} vs {np.shape(v)}")
+            else:
+                out[k] = v
+                report["missing"].append(p)
+        return out
+
+    return walk(template, source, ""), report
+
+
+def warm_start_from_run(params, run_dir: str) -> tuple[dict, dict]:
+    """Preload matching weights from another run's best checkpoint
+    (cfg.warm_start). Shape mismatches and absent names keep their fresh
+    init — the reference's skip_mismatch warm starts."""
+    mgr = CheckpointManager(os.path.join(run_dir, "model"))
+    source, epoch = mgr.restore_params_only(None, best=True)
+    if epoch is None:
+        source, epoch = mgr.restore_params_only(None, best=False)
+    if epoch is None:
+        return params, {"loaded": [], "skipped_shape": [],
+                        "missing": ["<no checkpoint found>"]}
+    merged, report = merge_by_name(params, source)
+    report["source_epoch"] = epoch
+    return merged, report

@@ -25,7 +25,12 @@ def setup_run_dir(log_root: str, run: str, config=None) -> str:
     handler.setFormatter(
         logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
     )
-    logging.getLogger().addHandler(handler)
+    root = logging.getLogger()
+    root.addHandler(handler)
+    # the root logger defaults to WARNING, which silently drops the
+    # framework's info-level run records (resume, warm start, early stop)
+    if root.level > logging.INFO:
+        root.setLevel(logging.INFO)
     return run_path
 
 

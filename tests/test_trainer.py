@@ -147,3 +147,34 @@ def test_caption_pos_stats():
     assert f["noun"] > 0 and f["verb"] > 0 and f["determiner"] > 0
     assert abs(sum(f.values()) - 1.0) < 1e-9
     assert stats["vocab_size"] >= 10
+
+
+def test_warm_start_by_name_merge(tmp_path):
+    """Warm start copies matching leaves from another run's best checkpoint
+    and keeps fresh inits where shapes differ (skip_mismatch semantics)."""
+    import numpy as np
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.experiment import run_training
+    from masters_thesis_tpu.train.checkpoint import merge_by_name
+
+    base = dict(top_k=40, batch_size=8, max_length=6, units=16, attn_units=8,
+                group_size=4, embedding_text=8, epochs=1,
+                log=str(tmp_path) + "/")
+    cfg_a = Config(run="donor", **base)
+    run_a, _, bundle_a = run_training(cfg_a, epochs=1, smoke_keys=24)
+
+    cfg_b = Config(run="warm", warm_start=run_a, **base)
+    _, _, bundle_b = run_training(cfg_b, epochs=1, smoke_keys=24)
+    assert bundle_b is not None  # trained through without error
+
+    # unit semantics: matching path+shape copied, mismatched kept
+    tpl = {"a": {"kernel": np.zeros((2, 2)), "bias": np.zeros(3)},
+           "b": {"w": np.zeros(4)}}
+    src = {"a": {"kernel": np.ones((2, 2)), "bias": np.ones(5)}}
+    merged, rep = merge_by_name(tpl, src)
+    np.testing.assert_array_equal(merged["a"]["kernel"], 1.0)
+    np.testing.assert_array_equal(merged["a"]["bias"], 0.0)
+    assert rep["loaded"] == ["a/kernel"]
+    assert rep["skipped_shape"] and "a/bias" in rep["skipped_shape"][0]
+    assert "b/w" in rep["missing"]
