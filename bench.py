@@ -32,8 +32,9 @@ REFERENCE_STEPS_PER_SEC = 0.75  # TF-Keras eager + per-step npy reads (see above
 
 N_VOXELS = 327_684
 N_GROUPS = 360
-SCAN_K = 32          # steps per device call (headline path)
-SCAN_REPS = 4        # measured calls
+SCAN_K = 128         # steps per device call (headline path; probed
+#                      32->121, 64->132, 128->134-138 steps/s on v5e)
+SCAN_REPS = 2        # measured calls
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20   # per-dispatch extra measurement
 

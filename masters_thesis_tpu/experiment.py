@@ -252,10 +252,16 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     tx = make_optimizer(cfg)
     state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx, rng=rng)
 
+    from masters_thesis_tpu.utils.summary import model_summary
+
+    with open(os.path.join(run_path, "modelsummary.txt"), "w") as f:
+        f.write(model_summary(params, batch_stats, name=cfg.model))
+
     from masters_thesis_tpu.train.callbacks import (
         BatchLoss,
         CaptionImagePreview,
         Checkpointing,
+        ErrorLog,
         GradStats,
         LossHistory,
         PredictPreview,
@@ -280,6 +286,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         train_pipe,
         val_pipe,
         callbacks=[
+            ErrorLog(run_path),
             LossHistory(run_path),
             BatchLoss(run_path),
             Checkpointing(mgr),

@@ -27,6 +27,30 @@ class Callback:
     def on_train_end(self, trainer):
         pass
 
+    def on_error(self, trainer, exc: BaseException):
+        pass
+
+
+class ErrorLog(Callback):
+    """On an unhandled training exception: dump the traceback to
+    <run>/error.log and push a failure notification
+    (CNN_RNN/train.py:527-531 + the Tensorbot err_var push :46)."""
+
+    def __init__(self, run_path: str, notifier=None):
+        self.path = os.path.join(run_path, "error.log")
+        self.notifier = notifier
+
+    def on_error(self, trainer, exc):
+        import traceback
+
+        with open(self.path, "a") as f:
+            f.write(traceback.format_exc())
+        if self.notifier is not None:
+            try:
+                self.notifier.send(f"training failed: {exc!r}")
+            except Exception:
+                pass  # a dead notifier must never mask the real error
+
 
 class LossHistory(Callback):
     """Per-epoch CSV (loss_history.csv) — EpochLoss.LossHistory equivalent."""

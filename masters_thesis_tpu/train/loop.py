@@ -124,6 +124,12 @@ class Trainer:
         except KeyboardInterrupt:
             # partial-save semantics (main.py:365-372)
             logger.warning("KeyboardInterrupt — stopping after partial epoch")
+        except Exception as exc:
+            # traceback to error.log + failure notification, then re-raise
+            # (CNN_RNN/train.py:520-545 semantics)
+            for cb in self.callbacks:
+                cb.on_error(self, exc)
+            raise
         finally:
             for cb in self.callbacks:
                 cb.on_train_end(self)

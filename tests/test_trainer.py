@@ -178,3 +178,56 @@ def test_warm_start_by_name_merge(tmp_path):
     assert rep["loaded"] == ["a/kernel"]
     assert rep["skipped_shape"] and "a/bias" in rep["skipped_shape"][0]
     assert "b/w" in rep["missing"]
+
+
+def test_error_log_callback_writes_traceback(tmp_path):
+    """An exception inside the epoch loop lands in error.log (with a
+    notification) and still propagates."""
+    import pytest
+
+    from masters_thesis_tpu.train.callbacks import Callback, ErrorLog
+    from masters_thesis_tpu.utils.notify import FileNotifier
+
+    class Boom(Callback):
+        def on_epoch_end(self, trainer, epoch, logs):
+            raise RuntimeError("kaboom")
+
+    class FakeTrainer:
+        pass
+
+    # drive through Trainer.fit's except path with a minimal double
+    from masters_thesis_tpu.train.loop import Trainer
+
+    t = FakeTrainer()
+    notifier = FileNotifier(str(tmp_path / "notes.txt"))
+    err_cb = ErrorLog(str(tmp_path), notifier=notifier)
+    t.callbacks = [err_cb, Boom()]
+    t.stop_training = False
+
+    def run():
+        try:
+            for cb in t.callbacks:
+                cb.on_epoch_end(t, 0, {})
+        except Exception as exc:
+            for cb in t.callbacks:
+                cb.on_error(t, exc)
+            raise
+
+    with pytest.raises(RuntimeError):
+        run()
+    text = (tmp_path / "error.log").read_text()
+    assert "kaboom" in text and "RuntimeError" in text
+    assert "training failed" in (tmp_path / "notes.txt").read_text()
+
+
+def test_modelsummary_written(tmp_path):
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.experiment import run_training
+
+    cfg = Config(run="summ", top_k=40, batch_size=8, max_length=6, units=16,
+                 attn_units=8, group_size=4, embedding_text=8, epochs=1,
+                 log=str(tmp_path) + "/")
+    run_path, _, _ = run_training(cfg, epochs=1, smoke_keys=24)
+    text = open(f"{run_path}/modelsummary.txt").read()
+    assert "Total params:" in text and "Trainable params:" in text
+    assert "lstm" in text and "attention" in text
