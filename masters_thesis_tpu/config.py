@@ -53,6 +53,10 @@ class TPUConfig:
     remat: bool = False              # jax.checkpoint the per-step scan body
     scan_steps: int = 0              # >0: run K optimisation steps per device
     #                                  call (needs a device-resident store)
+    store_dtype: str = "float32"     # HBM beta-store dtype; bfloat16 halves
+    #                                  the per-step gather bytes (the probed
+    #                                  bottleneck) at ~3 decimal digits of
+    #                                  input precision
 
 
 @dataclass

@@ -231,6 +231,16 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     if cfg.model.lower() in ("lc_nic", "ms_nic", "ms2_nic"):
         GroupLayout(groups, n_voxels).save(os.path.join(run_path, "layout.npz"))
 
+    if cfg.tpu.scan_steps > 1 and not store.device_resident:
+        # multi-step training gathers betas on device: move the store into
+        # HBM once (optionally bf16 — the gather is the probed bottleneck)
+        from masters_thesis_tpu.data.store import ArrayStore
+
+        store = ArrayStore(
+            np.asarray(store.data), store.keys.tolist(),
+            device_resident=True, dtype=cfg.tpu.store_dtype,
+        )
+
     train_enc = encode_pairs(pairs["train"], tok, cfg.max_length)
     val_enc = encode_pairs(pairs["val"], tok, cfg.max_length)
     bs = min(cfg.batch_size, max(2, len(train_enc) // 2))
@@ -238,7 +248,9 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     val_pipe = BatchPipeline(val_enc, store, bs, seed=cfg.seed, shuffle=False)
 
     batch = next(iter(BatchPipeline(train_enc, store, bs, seed=0, prefetch=0).epoch()))
-    params, batch_stats, rng = init_model(model, cfg, batch["betas"], batch["tokens"])
+    betas0 = (np.asarray(batch["betas"]) if "betas" in batch
+              else np.asarray(store.device_array(), np.float32)[batch["idx"]])
+    params, batch_stats, rng = init_model(model, cfg, betas0, batch["tokens"])
     if cfg.warm_start:
         from masters_thesis_tpu.train.checkpoint import warm_start_from_run
 
@@ -319,6 +331,12 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         store=store,
         metric_logger=MetricLogger(os.path.join(run_path, "metrics.jsonl")),
     )
+    if cfg.tpu.scan_steps > 1:
+        from masters_thesis_tpu.train.steps import make_scanned_train_steps
+
+        trainer.use_scanned_steps(
+            make_scanned_train_steps(model, cfg, l2_rules, masked=masked)
+        )
     logs = trainer.fit(epochs=epochs, start_epoch=start_epoch)
     bundle = {
         "model": model, "state": trainer.state, "tokenizer": tok,
@@ -420,7 +438,9 @@ def run_eval(bundle, run_path: str, epoch: int | None = None,
 
     all_words, all_attn, all_keys = [], [], []
     for batch in pipe.epoch():
-        betas = jnp.asarray(batch["betas"])
+        betas = (jnp.asarray(batch["betas"]) if "betas" in batch
+                 else jnp.take(store.device_array(),
+                               jnp.asarray(batch["idx"]), axis=0))
         if decoder == "greedy":
             words, _, attn = dec(variables, betas, tok.start_id)
         else:

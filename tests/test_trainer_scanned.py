@@ -51,3 +51,23 @@ def test_trainer_with_scanned_steps():
     assert np.isfinite(logs["loss"])
     # 20 batches per epoch (80 pairs / bs 4), all consumed
     assert int(trainer.state.step) == len(pipe)
+
+
+def test_run_training_activates_scanned_mode(tmp_path):
+    """cfg.tpu.scan_steps > 1 moves the store into device memory (honoring
+    store_dtype) and trains through the multi-step path end to end."""
+    import numpy as np
+
+    from masters_thesis_tpu.experiment import run_eval, run_training
+
+    cfg = Config(run="scanwire", top_k=40, batch_size=8, max_length=6,
+                 units=16, attn_units=8, group_size=4, embedding_text=8,
+                 epochs=1, log=str(tmp_path) + "/")
+    cfg.tpu.scan_steps = 4
+    cfg.tpu.store_dtype = "bfloat16"
+    run_path, logs, bundle = run_training(cfg, epochs=1, smoke_keys=24)
+    assert np.isfinite(logs["loss"])
+    assert bundle["store"].device_resident
+    assert str(bundle["store"].device_array().dtype) == "bfloat16"
+    out = run_eval(bundle, run_path)
+    assert len(out["texts"]) > 0
