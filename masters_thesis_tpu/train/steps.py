@@ -226,6 +226,7 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False):
                 batch_stats=new_stats
             )
             metrics["total"] = total
+            metrics["grad_norm"] = optax_global_norm(grads)
             return new_state, metrics
 
         return jax.lax.scan(body, state, (idx, tokens, target))
