@@ -139,6 +139,16 @@ def main(argv=None) -> int:
     pp.add_argument("--out", required=True)
     pp.add_argument("--pca", type=int, default=0)
 
+    cp = sub.add_parser(
+        "caption",
+        help="serve captions from a trained run: betas .npy in, text out",
+    )
+    cp.add_argument("--run", required=True, help="training run directory")
+    cp.add_argument("--betas", required=True, help=".npy of (N, voxels) betas")
+    cp.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    cp.add_argument("--out", default=None,
+                    help="write captions here (default: stdout)")
+
     an = sub.add_parser(
         "analyze",
         help="post-hoc run analysis: loss plot, caption POS stats, "
@@ -171,6 +181,21 @@ def main(argv=None) -> int:
         return 0
     if args.cmd == "analyze":
         print(json.dumps(_run_analyze(args)))
+        return 0
+    if args.cmd == "caption":
+        import numpy as np
+
+        from masters_thesis_tpu.serve import Captioner
+
+        cap = Captioner.from_run_dir(args.run)
+        texts = cap.caption(np.load(args.betas), decoder=args.decoder)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write("\n".join(texts) + "\n")
+            print(json.dumps({"n": len(texts), "out": args.out}))
+        else:
+            for t in texts:
+                print(t)
         return 0
     cfg = Config.load(args.config)
 

@@ -21,7 +21,8 @@ from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
 
 class Captioner:
     def __init__(self, model, variables, tokenizer, units: int,
-                 max_length: int, batch_size: int = 64, beam_width: int = 5):
+                 max_length: int, batch_size: int = 64, beam_width: int = 5,
+                 input_width: int | None = None):
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -29,6 +30,9 @@ class Captioner:
         self.max_length = max_length
         self.batch_size = batch_size
         self.beam_width = beam_width
+        # XLA clamps out-of-bounds gathers, so a wrong-width input would
+        # silently produce garbage captions — validate explicitly
+        self.input_width = input_width
         self._decoders: dict = {}
 
     @classmethod
@@ -78,6 +82,7 @@ class Captioner:
         )
         mgr = CheckpointManager(os.path.join(run_path, "model"))
         state, epoch = mgr.restore(state, best=best)
+        kw.setdefault("input_width", n_voxels)
         return cls.from_components(
             model, state.params, state.batch_stats, tokenizer, cfg.units,
             cfg.max_length, **kw,
@@ -107,6 +112,11 @@ class Captioner:
         import jax.numpy as jnp
 
         inputs = np.asarray(inputs, np.float32)
+        if self.input_width is not None and inputs.shape[-1] != self.input_width:
+            raise ValueError(
+                f"input width {inputs.shape[-1]} != model's expected "
+                f"{self.input_width} voxels/features"
+            )
         n = len(inputs)
         out = []
         bs = self.batch_size
