@@ -44,3 +44,23 @@ def make_greedy_decoder(model, units: int, max_length: int):
         )
 
     return jax.jit(decode, static_argnames=())
+
+
+def make_scanned_greedy_decoder(model, units: int, max_length: int,
+                                return_logits: bool = False):
+    """Serving-throughput variant: decode K stacked batches in ONE device
+    call (``lax.scan`` over the batch stack). Per-call dispatch overhead —
+    dominant on tunneled/remote TPUs — is amortised across K·B captions.
+    ``decode(variables, betas (K, B, D), start_id) -> words (K, B, T)``
+    (plus logits when requested — off by default to keep the transfer
+    small: (K, B, T, V) is large)."""
+    inner = make_greedy_decoder(model, units, max_length)
+
+    def decode(variables, betas, start_id):
+        def body(_, b):
+            words, logits, _ = inner(variables, b, start_id)
+            return 0, (words, logits) if return_logits else words
+        _, out = jax.lax.scan(body, 0, betas)
+        return out
+
+    return jax.jit(decode)
