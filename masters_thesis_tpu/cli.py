@@ -139,6 +139,13 @@ def main(argv=None) -> int:
     pp.add_argument("--out", required=True)
     pp.add_argument("--pca", type=int, default=0)
 
+    dr = sub.add_parser(
+        "dryrun",
+        help="compile + run one sharded train step on an N-device mesh "
+        "(virtual CPU devices when no TPU slice is attached)",
+    )
+    dr.add_argument("--devices", type=int, default=8)
+
     cp = sub.add_parser(
         "caption",
         help="serve captions from a trained run: betas .npy in, text out",
@@ -181,6 +188,11 @@ def main(argv=None) -> int:
         return 0
     if args.cmd == "analyze":
         print(json.dumps(_run_analyze(args)))
+        return 0
+    if args.cmd == "dryrun":
+        from masters_thesis_tpu.parallel.dryrun import dryrun_multichip
+
+        dryrun_multichip(args.devices)
         return 0
     if args.cmd == "caption":
         import numpy as np
