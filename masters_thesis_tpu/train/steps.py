@@ -219,9 +219,23 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False):
                     betas, tok_, tgt_, mask
                 )
 
-            (total, (metrics, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+            if cfg.sam_rho > 0:
+                # SAM two-pass (model.py:167-233 semantics), same as the
+                # per-dispatch step
+                _, g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params
+                )
+                scale = cfg.sam_rho / (optax_global_norm(g1) + 1e-12)
+                perturbed = jax.tree_util.tree_map(
+                    lambda p, g: p + g * scale, state.params, g1
+                )
+                (total, (metrics, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(perturbed)
+            else:
+                (total, (metrics, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
             new_state = state.apply_gradients(grads).replace(
                 batch_stats=new_stats
             )
