@@ -43,6 +43,12 @@ def _run_features(args) -> dict:
         model = inception.InceptionV3(include_top=False)
         head = args.head or "patches"
         x = inception.preprocess(np.asarray(images[:1], np.float32))
+    elif args.backbone == "resnet50":
+        from masters_thesis_tpu.models import resnet
+
+        model = resnet.resnet("resnet50")
+        head = args.head or "pooled"
+        x = resnet.preprocess(np.asarray(images[:1], np.float32))
     else:
         from masters_thesis_tpu.models import efficientnet
 
@@ -58,10 +64,11 @@ def _run_features(args) -> dict:
 
     prep = {"vgg16": backbones.preprocess}.get(args.backbone)
     if prep is None:
-        from masters_thesis_tpu.models import efficientnet, inception
+        from masters_thesis_tpu.models import efficientnet, inception, resnet
 
-        prep = (inception.preprocess if args.backbone == "inception_v3"
-                else efficientnet.preprocess)
+        prep = {"inception_v3": inception.preprocess,
+                "resnet50": resnet.preprocess}.get(
+                    args.backbone, efficientnet.preprocess)
     feats = backbones.extract_features(
         model, variables, prep(np.asarray(images, np.float32)),
         batch_size=args.batch_size, head=head,
@@ -171,7 +178,8 @@ def main(argv=None) -> int:
         "CNN/feature_extractor*.py scripts as one XLA forward)",
     )
     fe.add_argument("--backbone", default="vgg16",
-                    choices=["vgg16", "inception_v3", "efficientnet_b3"])
+                    choices=["vgg16", "inception_v3", "efficientnet_b3",
+                             "resnet50"])
     fe.add_argument("--images", required=True,
                     help=".npy of (N, H, W, 3) uint8/float RGB images")
     fe.add_argument("--out", required=True, help="output .npy path")

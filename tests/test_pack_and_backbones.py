@@ -121,3 +121,19 @@ def test_efficientnet_b0_block_structure():
     # B0 has 16 MBConv blocks
     n_blocks = sum(1 for k in variables["params"] if k.startswith("block"))
     assert n_blocks == 16
+
+
+def test_resnet50_structure_and_shapes():
+    from masters_thesis_tpu.models.resnet import resnet
+
+    model = resnet("resnet50", include_top=True)
+    x = np.zeros((1, 64, 64, 3), np.float32)  # reduced res; widths invariant
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["pooled"].shape == (1, 2048)
+    assert out["logits"].shape == (1, 1000)
+    # 3+4+6+3 = 16 bottlenecks
+    blocks = [k for k in variables["params"] if k.startswith("layer")]
+    assert len(blocks) == 16
+    # batch stats exist (BN)
+    assert "batch_stats" in variables
