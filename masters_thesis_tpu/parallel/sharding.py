@@ -139,3 +139,27 @@ def make_sharded_train_step(model, cfg, l2_rules, mesh: Mesh, state,
         donate_argnums=(0,),
     )
     return step
+
+
+def global_batch_from_host_local(batch: dict, mesh: Mesh,
+                                 with_voxel_axis: bool = False) -> dict:
+    """Multi-host input: assemble per-host batch shards into global arrays.
+
+    Each host loads only its slice of the global batch (the reference is
+    single-process — SURVEY.md §2.7's "per-host data loading" is new TPU
+    surface). ``jax.make_array_from_process_local_data`` places every
+    host's rows onto its local devices and stitches the global array over
+    ICI/DCN without any gather through host 0. On a single process this
+    reduces to a sharded device_put, so the same input path runs everywhere.
+    """
+    import jax
+
+    shardings = batch_sharding(mesh, with_voxel_axis=with_voxel_axis)
+    out = {}
+    for k, v in batch.items():
+        sh = shardings.get(k)
+        if sh is None or not hasattr(v, "shape"):
+            out[k] = v
+            continue
+        out[k] = jax.make_array_from_process_local_data(sh, v)
+    return out
