@@ -121,6 +121,31 @@ def _run_analyze(args) -> dict:
     return report
 
 
+def _tune_trial(cfg, epochs, smoke_keys, tc, report):
+    """Module-level trial body so --processes > 1 can pickle it
+    (ProcessPoolExecutor ships the partial to worker processes)."""
+    import dataclasses
+    import hashlib
+
+    from masters_thesis_tpu.experiment import run_training
+
+    # unique, deterministic run dir per trial config — parallel workers
+    # (and sequential trials' artifacts) must not collide
+    tag = hashlib.sha1(repr(sorted(tc.items())).encode()).hexdigest()[:8]
+    tcfg = dataclasses.replace(
+        cfg,
+        run=f"{cfg.run}_trial_{tag}",
+        input_reg=tc["input_reg"],
+        attn_reg=tc["attn_reg"],
+        lstm_reg=tc["lstm_reg"],
+        output_reg=tc["output_reg"],
+    )
+    _, logs, _ = run_training(tcfg, epochs, smoke_keys)
+    final = logs.get("val_loss", logs.get("loss", 0.0))
+    report(epochs, {"val_loss": final})
+    return final
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("masters_thesis_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -140,6 +165,12 @@ def main(argv=None) -> int:
     _add_common(tu)
     tu.add_argument("--num-samples", type=int, default=8)
     tu.add_argument("--smoke-test", action="store_true")
+    tu.add_argument("--grid", action="store_true",
+                    help="grid search over the L2 space instead of random "
+                    "(gridsearch_train.py / kerastuner equivalent)")
+    tu.add_argument("--processes", type=int, default=1,
+                    help="parallel trial processes (tune.py's fractional-GPU "
+                    "multi-trial analogue)")
 
     pp = sub.add_parser("preprocess", help="pack betas, stats, PCA, tokenizer")
     pp.add_argument("--config", required=True)
@@ -252,41 +283,44 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "tune":
-        import dataclasses
-
         from masters_thesis_tpu.tune.asha import ASHAScheduler
         from masters_thesis_tpu.tune.runner import run_experiment
-        from masters_thesis_tpu.tune.search import LogUniform, RandomSearch
+        from masters_thesis_tpu.tune.search import (
+            GridSearch,
+            LogUniform,
+            RandomSearch,
+        )
 
         num = 2 if args.smoke_test else args.num_samples
         epochs = args.epochs or (2 if args.smoke_test else cfg.epochs)
 
-        def trial(tc, report):
-            tcfg = dataclasses.replace(
-                cfg,
-                run=f"{cfg.run}_trial",
-                input_reg=tc["input_reg"],
-                attn_reg=tc["attn_reg"],
-                lstm_reg=tc["lstm_reg"],
-                output_reg=tc["output_reg"],
-            )
-            _, logs, _ = run_training(tcfg, epochs, args.smoke_keys)
-            final = logs.get("val_loss", logs.get("loss", 0.0))
-            report(epochs, {"val_loss": final})
-            return final
+        import functools
 
-        # the reference's loguniform L2 search space (tune.py:194-197)
-        space = {
-            "input_reg": LogUniform(1e-5, 1e-1),
-            "attn_reg": LogUniform(1e-5, 1e-1),
-            "lstm_reg": LogUniform(1e-7, 1e-3),
-            "output_reg": LogUniform(1e-7, 1e-3),
-        }
+        trial = functools.partial(_tune_trial, cfg, epochs, args.smoke_keys)
+
+        if args.grid:
+            # kerastuner-style grid (ThinkAndTell gridsearch_train.py:318)
+            search = GridSearch({
+                "input_reg": [1e-4, 1e-2],
+                "attn_reg": [1e-4, 1e-2],
+                "lstm_reg": [1e-6, 1e-4],
+                "output_reg": [1e-6],
+            })
+        else:
+            # the reference's loguniform L2 search space (tune.py:194-197)
+            space = {
+                "input_reg": LogUniform(1e-5, 1e-1),
+                "attn_reg": LogUniform(1e-5, 1e-1),
+                "lstm_reg": LogUniform(1e-7, 1e-3),
+                "output_reg": LogUniform(1e-7, 1e-3),
+            }
+            search = RandomSearch(space, num, seed=cfg.seed)
         res = run_experiment(
             trial,
-            RandomSearch(space, num, seed=cfg.seed),
+            search,
             ASHAScheduler(max_t=epochs, grace_period=max(1, epochs // 4)),
             log_dir=cfg.log,
+            processes=args.processes,
         )
         print(json.dumps({"best": res.best()["config"],
                           "best_metric": res.best()["final_metric"],
