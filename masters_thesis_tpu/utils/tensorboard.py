@@ -156,7 +156,7 @@ def encode_png(rgb: "np.ndarray") -> bytes:
     def chunk(kind: bytes, data: bytes) -> bytes:
         body = kind + data
         return (struct.pack(">I", len(data)) + body
-                + struct.pack(">I", __import__("zlib").crc32(body)))
+                + struct.pack(">I", zlib.crc32(body)))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
