@@ -65,6 +65,7 @@ class Trainer:
         data = self.store.device_array()
         train_metrics = []
         chunk: list[dict] = []
+        pending: list[tuple[int, int, dict]] = []  # (k, last_step, metrics)
 
         def flush(chunk):
             k = len(chunk)
@@ -76,19 +77,27 @@ class Trainer:
             )
             for _ in range(k):
                 self.timer.tick()
-            # stacked (K, ...) metrics -> per-step dicts
-            host = jax.device_get(metrics)
-            for i in range(k):
-                m = {key: val[i] for key, val in host.items()}
-                train_metrics.append(m)
-                for cb in self.callbacks:
-                    cb.on_batch_end(self, int(self.state.step) - k + i + 1, m)
+            # keep metrics ON DEVICE: fetching here would block on the
+            # device call, serializing the next chunk's host->device copies
+            # behind this chunk's compute (dominant on tunneled TPUs)
+            pending.append((k, int(self.state.step), metrics))
 
         for batch in self.train_pipe.epoch():
             chunk.append(batch)
             if len(chunk) == scan_k:
                 flush(chunk)
                 chunk = []
+
+        # one deferred fetch for the whole epoch, then fire batch callbacks
+        # in order (values identical; delivery batched at epoch end)
+        for k, last_step, metrics in pending:
+            host = jax.device_get(metrics)
+            for i in range(k):
+                m = {key: val[i] for key, val in host.items()}
+                train_metrics.append(m)
+                for cb in self.callbacks:
+                    cb.on_batch_end(self, last_step - k + i + 1, m)
+
         if chunk:
             # ragged tail: run singly through the per-step path
             for batch in chunk:
