@@ -23,6 +23,24 @@ import jax.numpy as jnp
 NEG_INF = -1.0e9
 
 
+def make_scanned_beam_decoder(model, units: int, max_length: int,
+                              beam_width: int = 5):
+    """Serving-throughput beam variant: K stacked batches per device call
+    (see greedy.make_scanned_greedy_decoder). Returns words (K, B, T)."""
+    import jax
+
+    inner = make_beam_decoder(model, units, max_length, beam_width=beam_width)
+
+    def decode(variables, betas, start_id, end_id):
+        def body(_, b):
+            words, _, _, _ = inner(variables, b, start_id, end_id)
+            return 0, words
+        _, out = jax.lax.scan(body, 0, betas)
+        return out
+
+    return jax.jit(decode)
+
+
 def make_beam_decoder(
     model,
     units: int,

@@ -119,3 +119,40 @@ def test_scanned_greedy_matches_per_batch():
     for k in range(3):
         want, _, _ = dec(variables, stacked[k], tok.start_id)
         np.testing.assert_array_equal(got[k], np.asarray(want))
+
+
+def test_scanned_beam_matches_per_batch():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.data.synthetic import synthetic_dataset
+    from masters_thesis_tpu.decode.beam import (
+        make_beam_decoder,
+        make_scanned_beam_decoder,
+    )
+    from masters_thesis_tpu.models.nic import LcNIC
+    from masters_thesis_tpu.ops.group_layout import GroupLayout
+    from masters_thesis_tpu.train.state import init_model
+
+    cfg = Config(top_k=40, batch_size=4, max_length=6, units=16, attn_units=8,
+                 group_size=4, embedding_text=8)
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=16, n_voxels=64, n_groups=4, top_k=cfg.top_k)
+    model = LcNIC(layout=GroupLayout(groups, 64), units=cfg.units,
+                  group_size=cfg.group_size, embedding_text=cfg.embedding_text,
+                  attn_units=cfg.attn_units, vocab_size=cfg.vocab_size,
+                  max_length=cfg.max_length)
+    betas = store.gather_host(np.arange(8, dtype=np.int32))
+    params, bstats, _ = init_model(
+        model, cfg, betas[:4], np.zeros((4, cfg.max_length), np.int32))
+    variables = {"params": params, "batch_stats": bstats}
+
+    dec = make_beam_decoder(model, cfg.units, cfg.max_length, beam_width=3)
+    sdec = make_scanned_beam_decoder(model, cfg.units, cfg.max_length,
+                                     beam_width=3)
+    stacked = jnp.asarray(betas).reshape(2, 4, 64)
+    got = np.asarray(sdec(variables, stacked, tok.start_id, tok.end_id))
+    for k in range(2):
+        want, _, _, _ = dec(variables, stacked[k], tok.start_id, tok.end_id)
+        np.testing.assert_array_equal(got[k], np.asarray(want))
