@@ -82,6 +82,9 @@ class Config:
     clipnorm: float = 0.1            # per-tensor clipnorm (Keras semantics)
     decay: float = 0.0
     warmup_steps: int = 0            # linear LR warmup (WarmupScheduler.py)
+    cosine_decay_steps: int = 0      # >0: cosine LR decay over N steps
+    #                                  (ThinkAndTell SGD+CosineDecay,
+    #                                   train.py:247-264)
     beta_1: float = 0.9
     beta_2: float = 0.98
     epsilon: float = 1.0e-8          # main.py:97 uses 10.0e-9

@@ -75,6 +75,18 @@ def make_optimizer(cfg, schedule=None) -> optax.GradientTransformation:
     """Build the configured optimizer chain (clip -> AGC -> Adam/SGD)."""
     if schedule is not None:
         lr = schedule
+    elif getattr(cfg, "cosine_decay_steps", 0):
+        # SGD + CosineDecay is the ThinkAndTell recipe
+        # (ThinkAndTell/train.py:247-264); composes with linear warmup
+        decay = optax.cosine_decay_schedule(cfg.alpha, cfg.cosine_decay_steps)
+        if getattr(cfg, "warmup_steps", 0):
+            lr = optax.join_schedules(
+                [optax.linear_schedule(0.0, cfg.alpha, cfg.warmup_steps),
+                 decay],
+                [cfg.warmup_steps],
+            )
+        else:
+            lr = decay
     elif getattr(cfg, "warmup_steps", 0):
         lr = warmup_schedule(cfg.alpha, cfg.warmup_steps)
     else:

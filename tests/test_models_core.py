@@ -124,3 +124,38 @@ def test_attention_weights_sum_to_one_and_context():
 def test_leaky_relu():
     x = jnp.asarray([-1.0, 0.0, 2.0])
     np.testing.assert_allclose(leaky_relu(x), [-0.2, 0.0, 2.0])
+
+
+def test_cosine_decay_schedule_in_optimizer():
+    """ThinkAndTell SGD+CosineDecay parity: the LR follows a cosine curve
+    (optionally after linear warmup), observable in parameter updates."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.train.optim import make_optimizer
+
+    # Adam update magnitude ~= lr for a constant gradient, so the cosine
+    # curve is directly observable (SGD momentum would confound it)
+    cfg = Config(optimizer="Adam", alpha=0.1, clipnorm=0.0)
+    cfg.cosine_decay_steps = 10
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    lrs = []
+    for _ in range(12):
+        updates, state = tx.update(grads, state, params)
+        lrs.append(-float(np.asarray(updates["w"])[0]))
+        params = optax.apply_updates(params, updates)
+    assert abs(lrs[0] - 0.1) < 1e-2
+    assert lrs[5] < lrs[1] < lrs[0] + 1e-9
+    assert lrs[10] < 1e-3  # fully decayed at decay_steps
+    # warmup + cosine composition ramps from 0 first
+    cfg2 = Config(optimizer="Adam", alpha=0.1, clipnorm=0.0, warmup_steps=5)
+    cfg2.cosine_decay_steps = 10
+    tx2 = make_optimizer(cfg2)
+    s2 = tx2.init({"w": jnp.ones(3)})
+    u2, s2 = tx2.update({"w": jnp.ones(3)}, s2, {"w": jnp.ones(3)})
+    assert abs(float(np.asarray(u2["w"])[0])) < 0.05  # warming up from 0
