@@ -6,7 +6,11 @@ from masters_thesis_tpu.models.encoders import (
 )
 from masters_thesis_tpu.models.locally_dense import LocallyDense
 from masters_thesis_tpu.models.lstm import KerasGRUCell, KerasLSTMCell
+from masters_thesis_tpu.models.backbones import VGG16
+from masters_thesis_tpu.models.efficientnet import efficientnet
+from masters_thesis_tpu.models.inception import InceptionV3
 from masters_thesis_tpu.models.nic import NIC, CnnRnnNIC, ImgNIC, LcNIC
+from masters_thesis_tpu.models.resnet import resnet
 
 __all__ = [
     "BahdanauAttention",
@@ -20,4 +24,8 @@ __all__ = [
     "CnnRnnNIC",
     "ImgNIC",
     "LcNIC",
+    "VGG16",
+    "InceptionV3",
+    "efficientnet",
+    "resnet",
 ]
