@@ -160,6 +160,8 @@ def main(argv=None) -> int:
 
     m = sub.add_parser("metrics", help="train+eval+score in one go")
     _add_common(m)
+    m.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    m.add_argument("--beam-width", type=int, default=5)
 
     tu = sub.add_parser("tune", help="random-search + ASHA over L2 regs")
     _add_common(tu)
