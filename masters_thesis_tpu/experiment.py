@@ -269,6 +269,31 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     with open(os.path.join(run_path, "modelsummary.txt"), "w") as f:
         f.write(model_summary(params, batch_stats, name=cfg.model))
 
+    # provenance snapshot (the reference copies the model source into the
+    # run dir, main.py:58; here: package version + git revision + device)
+    import subprocess
+
+    import jax
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=5,
+        ).stdout.strip() or None
+    except Exception:
+        rev = None
+    from masters_thesis_tpu.version import __version__
+
+    with open(os.path.join(run_path, "run_meta.json"), "w") as f:
+        json.dump({
+            "framework_version": __version__,
+            "git_revision": rev,
+            "model": cfg.model,
+            "backend": jax.default_backend(),
+            "n_devices": jax.device_count(),
+        }, f, indent=1)
+
     from masters_thesis_tpu.train.callbacks import (
         BatchLoss,
         CaptionImagePreview,
