@@ -53,6 +53,10 @@ class TPUConfig:
     remat: bool = False              # jax.checkpoint the per-step scan body
     scan_steps: int = 0              # >0: run K optimisation steps per device
     #                                  call (needs a device-resident store)
+    profile_steps: int = 0           # >0: record wall-time stats for steps
+    #                                  [10, 10+N) -> <run>/profile.json (the
+    #                                  reference's commented-out profile_batch,
+    #                                  main.py:210)
     store_dtype: str = "float32"     # HBM beta-store dtype; bfloat16 halves
     #                                  the per-step gather bytes (the probed
     #                                  bottleneck) at ~3 decimal digits of
@@ -155,7 +159,13 @@ class Config:
         for key, val in raw.items():
             if key not in known:
                 continue  # tolerate unknown reference keys
-            if key in sub and isinstance(val, dict):
+            if key in sub:
+                # an empty `tpu:` section parses as None — use defaults
+                # rather than propagating None into the run
+                val = val or {}
+                if not isinstance(val, dict):
+                    raise TypeError(f"config section {key!r} must be a "
+                                    f"mapping, got {type(val).__name__}")
                 fields = {f.name for f in dataclasses.fields(sub[key])}
                 kwargs[key] = sub[key](**{k: v for k, v in val.items() if k in fields})
             else:

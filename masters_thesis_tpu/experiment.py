@@ -206,6 +206,12 @@ def build_model(cfg: Config, groups, n_voxels: int):
     raise ValueError(f"unknown model {cfg.model!r}")
 
 
+def _step_profiling(run_path: str, cfg: Config):
+    from masters_thesis_tpu.train.callbacks import StepProfiling
+
+    return StepProfiling(run_path, cfg.tpu.profile_steps)
+
+
 def _greedy_decoder(model, cfg):
     from masters_thesis_tpu.decode.greedy import make_greedy_decoder
 
@@ -352,6 +358,8 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
                 batch,
                 every=5,
             ),
+            *([_step_profiling(run_path, cfg)]
+              if cfg.tpu.profile_steps > 0 else []),
         ],
         store=store,
         metric_logger=MetricLogger(os.path.join(run_path, "metrics.jsonl")),

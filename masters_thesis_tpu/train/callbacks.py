@@ -176,6 +176,29 @@ class Checkpointing(Callback):
         self.manager.save(trainer.state, epoch, val_loss=logs.get("val_loss"))
 
 
+class StepProfiling(Callback):
+    """Wall-time stats over a step window -> <run>/profile.json
+    (profile_batch semantics, main.py:210). In scanned mode batch callbacks
+    arrive at epoch end, so the window measures per-dispatch stepping."""
+
+    def __init__(self, run_path: str, n_steps: int, start_step: int = 10):
+        from masters_thesis_tpu.utils.profiling import StepProfiler
+
+        self.path = os.path.join(run_path, "profile.json")
+        self.profiler = StepProfiler(start_step, start_step + n_steps)
+
+    def on_batch_end(self, trainer, step, logs):
+        self.profiler.maybe_tick(step)
+
+    def on_train_end(self, trainer):
+        import json
+
+        stats = self.profiler.summary()
+        if stats:
+            with open(self.path, "w") as f:
+                json.dump(stats, f, indent=1)
+
+
 class GradStats(Callback):
     """Per-parameter gradient norms/means/maxes -> df_grads.csv
     (main.py:359-361's gradient dump, but per-epoch rather than a single
