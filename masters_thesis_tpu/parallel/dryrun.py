@@ -2,33 +2,136 @@
 ('data','model') mesh and run ONE optimisation step on tiny shapes — the
 driver-checkable proof that the tp/dp shardings compile and execute without
 real chips (virtual CPU devices via xla_force_host_platform_device_count).
+
+Order-independence: the calling process may already have initialised the jax
+backend on a single remote TPU (this image's sitecustomize pins
+``JAX_PLATFORMS=axon`` at interpreter start). Once a backend is live its
+platform and device count are locked, so ``dryrun_multichip`` detects that
+state and re-execs the dry run in a child interpreter that steers itself to
+an n-device virtual CPU mesh *before* any backend use — the same recipe as
+``tests/conftest.py``.
 """
 
 from __future__ import annotations
 
+import os
+import re
+import subprocess
+import sys
+
 import numpy as np
+
+_FORCE_FLAG = "--xla_force_host_platform_device_count"
+
+# Child program: set XLA_FLAGS before importing jax (the flag is read at
+# backend init), then pin the platform via jax.config (env vars alone are
+# too late when sitecustomize pre-set JAX_PLATFORMS).
+_CHILD_CODE = """\
+import os, sys
+n = int(sys.argv[1])
+flag = "--xla_force_host_platform_device_count"
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if not f.startswith(flag)]
+os.environ["XLA_FLAGS"] = " ".join(flags + [flag + "=" + str(n)])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from masters_thesis_tpu.parallel.dryrun import _dryrun_impl
+_dryrun_impl(n)
+"""
+
+
+def _backend_state():
+    """(initialized, platform, n_devices) without initialising a backend.
+
+    Uses jax's internal backend cache; if that private surface moves, we
+    conservatively report "initialized, unknown" so callers take the always-
+    safe subprocess path rather than risk asserting on a locked backend.
+    """
+    import jax
+
+    try:
+        from jax._src import xla_bridge
+
+        if not xla_bridge._backends:  # nothing initialised yet
+            return False, None, 0
+    except Exception:
+        return True, None, -1
+    return True, jax.default_backend(), len(jax.devices())
+
+
+def _force_count_in_flags(flags: str) -> int:
+    m = re.search(re.escape(_FORCE_FLAG) + r"=(\d+)", flags)
+    return int(m.group(1)) if m else 0
 
 
 def dryrun_multichip(n_devices: int) -> None:
-    """Shard the full training step over an n-device mesh; run one step."""
-    import os
+    """Shard the full training step over an n-device mesh; run one step.
 
+    Runs inline when this process can provide >= n CPU devices; otherwise
+    re-execs in a subprocess with a clean n-device virtual CPU config and
+    propagates its output / failure.
+    """
+    initialized, platform, have = _backend_state()
+
+    if initialized and platform == "cpu" and have >= n_devices:
+        _dryrun_impl(n_devices)
+        return
+
+    if not initialized:
+        # Backend not yet live: we can still steer this process.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if _force_count_in_flags(flags) < n_devices:
+            flags = " ".join(
+                f for f in flags.split() if not f.startswith(_FORCE_FLAG)
+            )
+            os.environ["XLA_FLAGS"] = (
+                flags + f" {_FORCE_FLAG}={n_devices}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() == "cpu" and len(jax.devices()) >= n_devices:
+            _dryrun_impl(n_devices)
+            return
+        # fall through: something else grabbed the backend first
+
+    _reexec_dryrun(n_devices)
+
+
+def _reexec_dryrun(n_devices: int) -> None:
+    """Run the dry run in a child interpreter pinned to an n-device CPU mesh."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # child re-pins via jax.config
+    # Additive PYTHONPATH: keep any site hooks, make the package importable.
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD_CODE, str(n_devices)],
+        env=env,
+        cwd=repo_root,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    if proc.stdout:
+        sys.stdout.write(proc.stdout)
+    if proc.returncode != 0:
+        if proc.stderr:
+            sys.stderr.write(proc.stderr)
+        raise RuntimeError(
+            f"dryrun_multichip subprocess failed (rc={proc.returncode})"
+        )
+
+
+def _dryrun_impl(n_devices: int) -> None:
+    """The actual dry run; requires >= n_devices already visible."""
     import jax
 
-    # Some images pin JAX_PLATFORMS to a single remote TPU via sitecustomize;
-    # multi-chip dry runs need N virtual CPU devices instead. Decide from the
-    # env BEFORE touching any backend-initialising jax API (jax.devices()
-    # would lock the platform in).
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={n_devices}"
-            ).strip()
-        jax.config.update("jax_platforms", "cpu")
     assert len(jax.devices()) >= n_devices, (
         f"need {n_devices} devices, have {len(jax.devices())} "
-        f"(set XLA_FLAGS=--xla_force_host_platform_device_count={n_devices})"
+        f"(set XLA_FLAGS={_FORCE_FLAG}={n_devices})"
     )
 
     import jax.numpy as jnp
@@ -50,10 +153,13 @@ def dryrun_multichip(n_devices: int) -> None:
     model_axis = 2 if n_devices % 2 == 0 else 1
     mesh = make_mesh(data=n_devices // model_axis, model=model_axis)
 
+    # top_k=63 -> vocab 64, divisible by the model axis so the embedding and
+    # dense_out vocab shardings actually engage in the dry run (not just the
+    # encoder's voxel axis).
     cfg = Config(
         batch_size=2 * (n_devices // model_axis),
         max_length=6,
-        top_k=64,
+        top_k=63,
         units=16,
         attn_units=8,
         group_size=4,
@@ -98,8 +204,25 @@ def dryrun_multichip(n_devices: int) -> None:
     state, metrics = step(state, betas, tokens, target)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), f"non-finite loss {loss}"
+    realized = _realized_shardings(state)
     print(
         f"dryrun_multichip({n_devices}): "
         f"mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
-        f"loss={loss:.4f} ok"
+        f"loss={loss:.4f} shardings={realized} ok"
     )
+
+
+def _realized_shardings(state) -> str:
+    """Summarise how many param tensors actually got a model-axis shard
+    (vs silently replicated) so mesh/shape mismatches are visible in the
+    dry-run output (VERDICT r1 weak #7)."""
+    import jax
+
+    sharded, replicated = 0, 0
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+        if spec is not None and any(p is not None for p in spec):
+            sharded += 1
+        else:
+            replicated += 1
+    return f"{sharded} sharded / {replicated} replicated params"
