@@ -123,11 +123,16 @@ def _run_analyze(args) -> dict:
 
 def _tune_trial(cfg, epochs, smoke_keys, tc, report):
     """Module-level trial body so --processes > 1 can pickle it
-    (ProcessPoolExecutor ships the partial to worker processes)."""
+    (ProcessPoolExecutor ships the partial to worker processes).
+
+    Reports val_loss to the scheduler EVERY epoch via a Trainer callback and
+    stops training when the scheduler says 'stop' — the TuneReportCallback
+    flow (AttemptFour/tune.py:146-153) that lets ASHA actually prune."""
     import dataclasses
     import hashlib
 
     from masters_thesis_tpu.experiment import run_training
+    from masters_thesis_tpu.train.callbacks import Callback
 
     # unique, deterministic run dir per trial config — parallel workers
     # (and sequential trials' artifacts) must not collide
@@ -140,10 +145,18 @@ def _tune_trial(cfg, epochs, smoke_keys, tc, report):
         lstm_reg=tc["lstm_reg"],
         output_reg=tc["output_reg"],
     )
-    _, logs, _ = run_training(tcfg, epochs, smoke_keys)
-    final = logs.get("val_loss", logs.get("loss", 0.0))
-    report(epochs, {"val_loss": final})
-    return final
+
+    class TuneReport(Callback):
+        def on_epoch_end(self, trainer, epoch, logs):
+            val = logs.get("val_loss", logs.get("loss", 0.0))
+            decision = report(epoch + 1, {"val_loss": float(val)})
+            if decision == "stop":
+                trainer.stop_training = True
+
+    _, logs, _ = run_training(
+        tcfg, epochs, smoke_keys, extra_callbacks=[TuneReport()]
+    )
+    return logs.get("val_loss", logs.get("loss", 0.0))
 
 
 def main(argv=None) -> int:

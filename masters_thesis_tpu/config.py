@@ -119,6 +119,11 @@ class Config:
     # Model/data selection (new; the reference hard-codes these per script)
     model: str = "lc_nic"            # lc_nic | ms_nic | ms2_nic | img_nic |
     #                                  guse_nic | showtell | cnn_rnn
+    groups_to_remove: list = field(default_factory=list)
+    #                                  Glasser group indices dropped before the
+    #                                  encoder is built; the reference flagship
+    #                                  trains on 345 of 360 (main.py:115:
+    #                                  select_groups(..., remove=[142,17,...]))
     input_kind: str = "full"         # full | vc | pca | mscoco
     attn_loss: bool = False          # train_step has it commented out (lc_NIC.py:384)
     sam_rho: float = 0.0             # >0 enables SAM (lc_NIC.py:713-838)

@@ -49,7 +49,7 @@ def build_data(cfg: Config, smoke_keys: int = 48):
     """
     betas_path = cfg.dataset.betas_path
     if betas_path and os.path.isdir(betas_path):
-        return _build_real_data(cfg)
+        return _apply_group_selection(_build_real_data(cfg), cfg)
     n_voxels = min(cfg.input_dim(), 2048) if smoke_keys <= 64 else cfg.input_dim()
     if cfg.model.lower() == "guse_nic":
         n_voxels = 512  # GUSE sentence-embedding width (get_guse.py)
@@ -74,7 +74,29 @@ def build_data(cfg: Config, smoke_keys: int = 48):
         ).astype(np.float32)
         store = ArrayStore(feats, store.keys.tolist())
         out = (split, pairs, tok, store, groups)
-    return out
+    return _apply_group_selection(out, cfg)
+
+
+def _apply_group_selection(data, cfg: Config):
+    """Drop cfg.groups_to_remove from the Glasser group list before the
+    encoder is built — the flagship trains on 345 of 360 regions
+    (AttemptFour/main.py:115). Indices beyond the group count (e.g. the
+    345-region list against a 16-group smoke dataset) are ignored, matching
+    select_groups' by-index filtering."""
+    if not cfg.groups_to_remove:
+        return data
+    from masters_thesis_tpu.data.preprocess.glasser import select_groups
+
+    split, pairs, tok, store, groups = data
+    if groups is None:
+        return data
+    kept = select_groups(groups, list(cfg.groups_to_remove))
+    n_removed = len(groups) - len(kept)
+    logger.info(
+        "group selection: %d -> %d groups (%d removed)",
+        len(groups), len(kept), n_removed,
+    )
+    return split, pairs, tok, store, kept
 
 
 def _build_real_data(cfg: Config):
@@ -221,12 +243,14 @@ def _greedy_decoder(model, cfg):
 # ---------------------------------------------------------------- train
 
 def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
-                 resume: bool = False):
+                 resume: bool = False, extra_callbacks=()):
     """Full training run; returns (run_path, final logs, state bundle).
 
     ``resume=True`` restores the latest checkpoint in the run dir and
     continues from the next epoch (the reference's CheckpointManager resume,
-    CNN_RNN/train.py:272-287)."""
+    CNN_RNN/train.py:272-287). ``extra_callbacks`` are appended to the
+    standard callback list (the tune runner injects its per-epoch reporter
+    here, like Ray's TuneReportCallback, tune.py:146-153)."""
     run_path = setup_run_dir(cfg.log, cfg.run, cfg)
     split, pairs, tok, store, groups = build_data(cfg, smoke_keys)
     tok.save(os.path.join(run_path, "tokenizer.json"))
@@ -360,6 +384,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             ),
             *([_step_profiling(run_path, cfg)]
               if cfg.tpu.profile_steps > 0 else []),
+            *extra_callbacks,
         ],
         store=store,
         metric_logger=MetricLogger(os.path.join(run_path, "metrics.jsonl")),

@@ -30,6 +30,11 @@ class Callback:
     def on_error(self, trainer, exc: BaseException):
         pass
 
+    def on_interrupt(self, trainer, epoch: int):
+        """KeyboardInterrupt mid-epoch — persist what should survive
+        (main.py:365-372 partial-save semantics)."""
+        pass
+
 
 class ErrorLog(Callback):
     """On an unhandled training exception: dump the traceback to
@@ -174,6 +179,12 @@ class Checkpointing(Callback):
 
     def on_epoch_end(self, trainer, epoch, logs):
         self.manager.save(trainer.state, epoch, val_loss=logs.get("val_loss"))
+
+    def on_interrupt(self, trainer, epoch):
+        # save the partial epoch's state as the latest checkpoint so an
+        # interrupted run can resume (the reference dumps partial batch data
+        # in its finally block, main.py:365-372)
+        self.manager.save(trainer.state, epoch, val_loss=None)
 
 
 class StepProfiling(Callback):

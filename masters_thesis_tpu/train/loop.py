@@ -53,6 +53,12 @@ class Trainer:
         self.stop_training = False
         self.timer = StepTimer(warmup=2)
         self.scanned_step = None  # set via use_scanned_steps()
+        # host-side step counter: advances by exactly 1 (per-step) or K
+        # (scanned) per device call, so batch bookkeeping never has to read
+        # state.step (which would block on the in-flight device call and
+        # serialize the next chunk behind this one's compute)
+        self._host_step = int(state.step)
+        self._epoch = 0
 
     def use_scanned_steps(self, scanned_step) -> None:
         """Enable K-steps-per-device-call training (see
@@ -77,10 +83,12 @@ class Trainer:
             )
             for _ in range(k):
                 self.timer.tick()
-            # keep metrics ON DEVICE: fetching here would block on the
-            # device call, serializing the next chunk's host->device copies
-            # behind this chunk's compute (dominant on tunneled TPUs)
-            pending.append((k, int(self.state.step), metrics))
+            # keep metrics ON DEVICE: fetching (or reading state.step) here
+            # would block on the device call, serializing the next chunk's
+            # host->device copies behind this chunk's compute (dominant on
+            # tunneled TPUs) — the host counter advances by exactly k
+            self._host_step += k
+            pending.append((k, self._host_step, metrics))
 
         for batch in self.train_pipe.epoch():
             chunk.append(batch)
@@ -88,24 +96,29 @@ class Trainer:
                 flush(chunk)
                 chunk = []
 
-        # one deferred fetch for the whole epoch, then fire batch callbacks
-        # in order (values identical; delivery batched at epoch end)
-        for k, last_step, metrics in pending:
-            host = jax.device_get(metrics)
-            for i in range(k):
-                m = {key: val[i] for key, val in host.items()}
-                train_metrics.append(m)
-                for cb in self.callbacks:
-                    cb.on_batch_end(self, last_step - k + i + 1, m)
-
         if chunk:
-            # ragged tail: run singly through the per-step path
+            # ragged tail: run singly through the per-step path, with the
+            # same timer/callback bookkeeping as full chunks (metrics stay
+            # on device; k=1 entries are un-stacked scalars)
             for batch in chunk:
                 betas, tokens, target = self._batch_arrays(batch)
                 self.state, metrics = self.train_step(
                     self.state, betas, tokens, target
                 )
-                train_metrics.append(metrics)
+                self.timer.tick()
+                self._host_step += 1
+                pending.append((1, self._host_step, metrics))
+
+        # one deferred fetch for the whole epoch, then fire batch callbacks
+        # in order (values identical; delivery batched at epoch end)
+        for k, last_step, metrics in pending:
+            host = jax.device_get(metrics)
+            for i in range(k):
+                m = (host if k == 1 and np.ndim(next(iter(host.values()))) == 0
+                     else {key: val[i] for key, val in host.items()})
+                train_metrics.append(m)
+                for cb in self.callbacks:
+                    cb.on_batch_end(self, last_step - k + i + 1, m)
         return train_metrics
 
     def _batch_arrays(self, batch):
@@ -124,6 +137,7 @@ class Trainer:
         logs: dict = {}
         try:
             for epoch in range(start_epoch, epochs):
+                self._epoch = epoch
                 logs = self._run_epoch(epoch)
                 for cb in self.callbacks:
                     cb.on_epoch_end(self, epoch, logs)
@@ -131,8 +145,14 @@ class Trainer:
                     logger.info("early stopping at epoch %d", epoch)
                     break
         except KeyboardInterrupt:
-            # partial-save semantics (main.py:365-372)
-            logger.warning("KeyboardInterrupt — stopping after partial epoch")
+            # partial-save semantics (main.py:365-372): persist the
+            # interrupted state so progress since the last epoch-end
+            # checkpoint isn't lost
+            logger.warning(
+                "KeyboardInterrupt — saving partial state and stopping"
+            )
+            for cb in self.callbacks:
+                cb.on_interrupt(self, self._epoch)
         except Exception as exc:
             # traceback to error.log + failure notification, then re-raise
             # (CNN_RNN/train.py:520-545 semantics)
@@ -161,9 +181,9 @@ class Trainer:
                 )
                 self.timer.tick()
                 train_metrics.append(metrics)
-                step = int(self.state.step)
+                self._host_step += 1
                 for cb in self.callbacks:
-                    cb.on_batch_end(self, step, metrics)
+                    cb.on_batch_end(self, self._host_step, metrics)
 
         logs = _mean_metrics(
             [{k: v for k, v in m.items()} for m in jax.device_get(train_metrics)]

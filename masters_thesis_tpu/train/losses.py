@@ -11,6 +11,15 @@ then over timesteps — i.e. an UNMASKED mean over (B, T) including <pad>
 positions. We compute it from logits with log_softmax (identical math,
 numerically stable) and take target ids instead of one-hots (the one-hot lives
 implicitly in ``take_along_axis``).
+
+Gradient-scale note (round-1 advisor finding, checked and found incorrect):
+the reference does NOT backprop an unreduced per-sample loss vector. Its
+``NIC.loss_function`` applies ``tf.reduce_mean`` over the batch before the
+per-timestep accumulation (lc_NIC.py:462-466: ``loss_ = self.compiled_loss(
+real, pred); return tf.reduce_mean(loss_)``), so ``tape.gradient`` sees a
+scalar batch-MEAN loss — exactly what ``caption_loss`` computes here. The
+Keras ``clipnorm=0.1`` therefore engages at the same gradient magnitudes in
+both frameworks; no scale correction is needed.
 """
 
 from __future__ import annotations

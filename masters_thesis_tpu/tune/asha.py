@@ -39,13 +39,31 @@ class ASHAScheduler:
 
     def on_result(self, trial_id, t: int, metrics: dict) -> str:
         """Returns 'continue' or 'stop'. Call once per epoch (t = 1-based)."""
+        return self._decide(t, metrics, self._results, None)
+
+    def on_result_shared(self, t: int, metrics: dict, shared, lock) -> str:
+        """Same decision against cross-process rung state: ``shared`` is a
+        multiprocessing.Manager dict (rung t -> list of metric values) and
+        ``lock`` serialises the read-modify-write. This is what makes ASHA
+        work across parallel trial workers (Ray's async scheduler flow,
+        AttemptFour/tune.py:166-205)."""
+        return self._decide(t, metrics, shared, lock)
+
+    def _decide(self, t: int, metrics: dict, results, lock) -> str:
         if t >= self.max_t:
             return "stop"
         if t not in self.rungs:
             return "continue"
         value = float(metrics[self.metric])
-        rung = self._results[t]
-        rung.append(value)
+        if lock is not None:
+            with lock:
+                vals = list(results.get(t, []))
+                vals.append(value)
+                results[t] = vals  # reassign: Manager dicts don't see mutation
+            rung = vals
+        else:
+            results[t].append(value)
+            rung = results[t]
         ranked = sorted(rung, reverse=(self.mode == "max"))
         cutoff_idx = max(len(ranked) // self.rf, 1) - 1
         cutoff = ranked[cutoff_idx]

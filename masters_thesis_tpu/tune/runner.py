@@ -41,15 +41,28 @@ class TuneResult:
 
 
 def _run_one(args):
-    trial_fn, trial_id, config, metric = args
+    """Worker-process trial body. ``shared``/``lock`` are Manager proxies of
+    the cross-process ASHA rung state; the scheduler object itself is
+    stateless config here, so every worker makes identical decisions against
+    the shared rungs (matching Ray's async scheduler across workers)."""
+    trial_fn, trial_id, config, metric, scheduler, shared, lock = args
     history = []
+    stopped_early = False
 
     def report(t, metrics):
+        nonlocal stopped_early
         history.append({"t": t, **{k: float(v) for k, v in metrics.items()}})
+        if scheduler is not None and shared is not None:
+            decision = scheduler.on_result_shared(t, metrics, shared, lock)
+            if decision == "stop":
+                stopped_early = True
+            return decision
         return "continue"
 
+    t0 = time.time()
     final = trial_fn(config, report)
-    return trial_id, config, history, float(final)
+    return (trial_id, config, history, float(final), stopped_early,
+            time.time() - t0)
 
 
 def run_experiment(
@@ -64,21 +77,32 @@ def run_experiment(
     result = TuneResult(metric=metric, mode=mode)
 
     if processes > 1:
-        # independent trials in worker processes (no ASHA coupling):
-        # mirrors Ray's fully-async workers for cheap CPU trials
-        jobs = [
-            (trial_fn, i, cfg, metric) for i, cfg in enumerate(search)
-        ]
-        with ProcessPoolExecutor(max_workers=processes) as pool:
-            for trial_id, cfg, history, final in pool.map(_run_one, jobs):
-                result.trials.append(
-                    {
-                        "trial_id": trial_id,
-                        "config": cfg,
-                        "history": history,
-                        "final_metric": final,
-                    }
-                )
+        # trials in worker processes WITH ASHA coupling: rung results live in
+        # a Manager dict that every worker reports into, so the scheduler can
+        # stop poor trials at rung boundaries across processes — Ray's
+        # AsyncHyperBand-with-parallel-workers behavior (tune.py:166-205)
+        from multiprocessing import Manager
+
+        with Manager() as man:
+            shared = man.dict() if scheduler is not None else None
+            lock = man.Lock() if scheduler is not None else None
+            jobs = [
+                (trial_fn, i, cfg, metric, scheduler, shared, lock)
+                for i, cfg in enumerate(search)
+            ]
+            with ProcessPoolExecutor(max_workers=processes) as pool:
+                for (trial_id, cfg, history, final, stopped_early,
+                     wall_s) in pool.map(_run_one, jobs):
+                    result.trials.append(
+                        {
+                            "trial_id": trial_id,
+                            "config": cfg,
+                            "history": history,
+                            "final_metric": final,
+                            "stopped_early": stopped_early,
+                            "wall_s": wall_s,
+                        }
+                    )
     else:
         for trial_id, config in enumerate(search):
             history = []

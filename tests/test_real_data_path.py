@@ -69,3 +69,41 @@ def test_real_data_build_and_train(tmp_path):
 
     run_path, logs, bundle = run_training(cfg, epochs=1)
     assert np.isfinite(logs["loss"])
+
+
+def test_groups_to_remove_applied(tmp_path):
+    """cfg.groups_to_remove drops regions before the encoder is built — the
+    flagship trains on 345 of 360 (AttemptFour/main.py:115). Out-of-range
+    indices (the 360-space list against a small atlas) are ignored."""
+    nsd, caps, betas = _make_dataset(tmp_path)
+    cfg = Config(
+        run="sel", model="lc_nic", epochs=1, batch_size=8, max_length=8,
+        top_k=30, units=16, attn_units=8, group_size=4, embedding_text=8,
+        log=str(tmp_path / "logs"), groups_to_remove=[1, 142, 17],
+    )
+    cfg.dataset.betas_path = str(betas)
+    cfg.dataset.captions_path = str(caps)
+    cfg.dataset.nsd_dir = str(nsd)
+
+    split, pairs, tok, store, groups = build_data(cfg)
+    assert len(groups) == 2  # 3 groups, index 1 removed; 142/17 out of range
+
+    run_path, logs, bundle = run_training(cfg, epochs=1)
+    assert np.isfinite(logs["loss"])
+    # the persisted layout (used to rebuild the model for serving) reflects
+    # the selection
+    from masters_thesis_tpu.ops.group_layout import GroupLayout
+
+    layout = GroupLayout.load(f"{run_path}/layout.npz")
+    assert layout.n_groups == 2
+
+
+def test_flagship_config_carries_15_region_removal():
+    import os
+
+    cfg = Config.load(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "configs", "attempt_four.yaml")
+    )
+    assert len(cfg.groups_to_remove) == 15
+    assert 142 in cfg.groups_to_remove

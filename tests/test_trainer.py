@@ -90,6 +90,30 @@ def test_checkpoint_roundtrip(trainer_setup, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_interrupt_saves_checkpoint(trainer_setup, tmp_path):
+    """A KeyboardInterrupt mid-epoch persists the partial state as the
+    latest checkpoint (main.py:365-372 partial-save semantics)."""
+    from masters_thesis_tpu.train.callbacks import Callback
+
+    run_path, cfg, model, state, train_pipe, val_pipe, tstep, estep = trainer_setup
+    mgr = CheckpointManager(str(tmp_path / "ick"), max_to_keep=2)
+
+    class InterruptAfter(Callback):
+        def on_batch_end(self, trainer, step, logs):
+            if step >= 2:
+                raise KeyboardInterrupt
+
+    trainer = Trainer(
+        cfg, tstep, estep, state, train_pipe, val_pipe,
+        callbacks=[InterruptAfter(), Checkpointing(mgr)],
+    )
+    trainer.fit(epochs=2)  # must not raise
+    assert mgr.latest_epoch() == 0  # partial epoch 0 was saved
+    restored, ep = mgr.restore(state)
+    assert ep == 0
+    assert int(restored.step) >= 2  # progress survived the interrupt
+
+
 def test_early_stopping():
     es = EarlyStopping(patience=2, min_delta=0.0)
 

@@ -38,12 +38,24 @@ def test_trainer_with_scanned_steps():
     state = TrainState.create(params=params, batch_stats=bstats, tx=tx, rng=rng)
     rules = lc_nic_l2_rules(cfg)
 
+    from masters_thesis_tpu.train.callbacks import Callback
+
+    class CountBatches(Callback):
+        steps: list = []
+
+        def on_batch_end(self, trainer, step, logs):
+            self.steps.append(step)
+            assert np.isfinite(float(logs["loss"]))
+
+    counter = CountBatches()
+    counter.steps = []
     trainer = Trainer(
         cfg,
         make_train_step(model, cfg, rules, donate=False),
         make_eval_step(model, cfg, rules),
         state,
         pipe,
+        callbacks=[counter],
         store=store,
     )
     trainer.use_scanned_steps(make_scanned_train_steps(model, cfg, rules))
@@ -51,6 +63,10 @@ def test_trainer_with_scanned_steps():
     assert np.isfinite(logs["loss"])
     # 20 batches per epoch (80 pairs / bs 4), all consumed
     assert int(trainer.state.step) == len(pipe)
+    # every step fired a batch callback IN ORDER — including the ragged tail
+    # (20 = 6 chunks of 3 + 2 tail steps) — without reading state.step
+    assert counter.steps == list(range(1, len(pipe) + 1))
+    assert trainer._host_step == int(trainer.state.step)
 
 
 def test_run_training_activates_scanned_mode(tmp_path):
