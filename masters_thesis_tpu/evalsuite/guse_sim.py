@@ -10,15 +10,18 @@ and the headline number is the Pearson r between the two vectors over trials
 (plus the linear fit the reference plots).
 
 The embedder is pluggable: the reference uses TF-Hub Universal Sentence
-Encoder v4 (get_guse.py:49-63), which is unavailable offline — the default
-``HashEmbedder`` is a deterministic feature-hashing bag-of-words embedder so
-the full pipeline is runnable/testable end-to-end; drop in a real encoder via
-the ``SentenceEmbedder`` protocol for production numbers.
+Encoder v4 (get_guse.py:49-63). The native USE-DAN graph
+(models/use_encoder.py) runs the real metric when a converted weight bundle
+is available (``MTT_GUSE_WEIGHTS`` env var or ``use_dan.npz`` in the config's
+guse dir); otherwise the deterministic ``HashEmbedder`` keeps the pipeline
+runnable end-to-end — and its scores are labelled ``GUSE_hash_*`` so a
+bag-of-words proxy is never mistaken for the reference metric.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Protocol
 
 import numpy as np
@@ -30,8 +33,24 @@ class SentenceEmbedder(Protocol):
     def embed(self, sentences: list[str]) -> np.ndarray: ...
 
 
+def default_embedder(weights_path: str | None = None) -> SentenceEmbedder:
+    """USE-DAN from a weight bundle when one is available, else the hash
+    fallback. Resolution order: explicit path arg -> MTT_GUSE_WEIGHTS env."""
+    path = weights_path or os.environ.get("MTT_GUSE_WEIGHTS", "")
+    if path and os.path.exists(path):
+        from masters_thesis_tpu.models.use_encoder import USEEncoder
+
+        return USEEncoder.from_npz(path)
+    return HashEmbedder()
+
+
 class HashEmbedder:
-    """Deterministic feature-hashing bag-of-words sentence embedder."""
+    """Deterministic feature-hashing bag-of-words sentence embedder.
+
+    NOT a semantic encoder — measures word overlap only. Anything scored
+    with it must surface as ``GUSE_hash_*``, never ``GUSE_*``."""
+
+    name = "hash"
 
     def __init__(self, dim: int = 512):
         self.dim = dim
@@ -67,8 +86,9 @@ def guse_similarity(
     references_list: list[list[str]],
     embedder: SentenceEmbedder | None = None,
 ) -> dict:
-    """Returns consistency/brain-corr vectors and their Pearson r."""
-    embedder = embedder or HashEmbedder()
+    """Returns consistency/brain-corr vectors and their Pearson r, plus the
+    name of the embedder that produced them (``embedder`` key)."""
+    embedder = embedder or default_embedder()
     consistency = np.zeros(len(candidates))
     brain_corr = np.zeros(len(candidates))
     for t, (cand, refs) in enumerate(zip(candidates, references_list)):
@@ -93,4 +113,5 @@ def guse_similarity(
         "fit_slope": float(m),
         "fit_intercept": float(b),
         "mean_brain_corr": float(brain_corr.mean()) if len(candidates) else 0.0,
+        "embedder": getattr(embedder, "name", type(embedder).__name__),
     }

@@ -526,9 +526,18 @@ def run_eval(bundle, run_path: str, epoch: int | None = None,
 
 
 def run_metrics(bundle, eval_out, captions_by_key=None) -> dict:
-    """Reference metric_suit.py + guse_sim.py on the eval output."""
+    """Reference metric_suit.py + guse_sim.py on the eval output.
+
+    GUSE scores are labelled ``GUSE_*`` only when produced by the real
+    USE-DAN encoder (models/use_encoder.py, weights resolved via
+    MTT_GUSE_WEIGHTS or <guse_path>/use_dan.npz); the offline hash fallback
+    reports as ``GUSE_hash_*`` so a word-overlap proxy can never be mistaken
+    for the reference metric (get_guse.py:49-63)."""
     from masters_thesis_tpu.data.pairs import clean_caption
-    from masters_thesis_tpu.evalsuite.guse_sim import guse_similarity
+    from masters_thesis_tpu.evalsuite.guse_sim import (
+        default_embedder,
+        guse_similarity,
+    )
     from masters_thesis_tpu.evalsuite.metric_suite import evaluate_captions
 
     if captions_by_key is None:
@@ -541,7 +550,14 @@ def run_metrics(bundle, eval_out, captions_by_key=None) -> dict:
                 )
     refs = [captions_by_key[int(k)] for k in eval_out["keys"]]
     scores = evaluate_captions(eval_out["texts"], refs)
-    guse = guse_similarity(eval_out["texts"], refs)
-    scores["GUSE_pearson_r"] = guse["pearson_r"]
-    scores["GUSE_mean_corr"] = guse["mean_brain_corr"]
+
+    guse_dir = bundle["cfg"].dataset.guse_path
+    bundle_path = os.path.join(guse_dir, "use_dan.npz") if guse_dir else None
+    embedder = default_embedder(
+        bundle_path if bundle_path and os.path.exists(bundle_path) else None
+    )
+    guse = guse_similarity(eval_out["texts"], refs, embedder=embedder)
+    prefix = "GUSE" if guse["embedder"] == "use_dan" else "GUSE_hash"
+    scores[f"{prefix}_pearson_r"] = guse["pearson_r"]
+    scores[f"{prefix}_mean_corr"] = guse["mean_brain_corr"]
     return scores

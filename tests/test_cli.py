@@ -39,7 +39,10 @@ def test_cli_metrics_smoke(tmp_path, capsys):
     assert main(["metrics", "--config", cfg, "--epochs", "1",
                  "--smoke-keys", "16"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert "Bleu_1" in out and "CIDEr" in out and "GUSE_pearson_r" in out
+    # no USE weight bundle in the smoke env -> scores carry the honest
+    # hash-embedder label, never plain GUSE_* (VERDICT r1 weak #3)
+    assert "Bleu_1" in out and "CIDEr" in out
+    assert "GUSE_hash_pearson_r" in out and "GUSE_pearson_r" not in out
     assert out["n_captions"] > 0
     import glob
     import os
