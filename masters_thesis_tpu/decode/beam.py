@@ -33,7 +33,7 @@ def make_scanned_beam_decoder(model, units: int, max_length: int,
 
     def decode(variables, betas, start_id, end_id):
         def body(_, b):
-            words, _, _, _ = inner(variables, b, start_id, end_id)
+            words, _, _, _, _ = inner(variables, b, start_id, end_id)
             return 0, words
         _, out = jax.lax.scan(body, 0, betas)
         return out
@@ -65,10 +65,22 @@ def make_beam_decoder(
         finished = jnp.zeros((B, W), bool)
         lengths = jnp.zeros((B, W), jnp.int32)
         hist = jnp.full((B, W, max_length), pad_id, jnp.int32)
+        # attention width from the step signature (trace-only, no FLOPs);
+        # attention-free models emit (B, 1) placeholders
+        R = jax.eval_shape(
+            lambda h_, c_, f_, t_: model.apply(
+                variables, h_, c_, f_, t_, method="decode_step"
+            )[3],
+            h, c, feat_t, tok,
+        ).shape[-1]
+        # per-step attention, carried and reordered with the beams so the
+        # winning hypothesis keeps ITS OWN attention trail (the reference
+        # eval saves real attention maps, AttemptFour/eval.py:181-190)
+        ahist = jnp.zeros((B, W, max_length, R), features.dtype)
 
         def scan_step(carry, t):
-            h, c, tok, scores, finished, lengths, hist = carry
-            h2, c2, logits, _ = model.apply(
+            h, c, tok, scores, finished, lengths, hist, ahist = carry
+            h2, c2, logits, alpha = model.apply(
                 variables, h, c, feat_t, tok, method="decode_step"
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -97,13 +109,24 @@ def make_beam_decoder(
             new_lengths = len_src + (~fin_src & ~is_end).astype(jnp.int32)
             hist = jnp.take_along_axis(hist, beam_src[..., None], axis=1)
             hist = hist.at[:, :, t].set(jnp.where(fin_src, pad_id, new_tok))
+            # alpha was computed for the PRE-reorder beams: select the source
+            # beams' attention, zero it once a beam has finished
+            alpha_b = jnp.take_along_axis(
+                alpha.reshape(B, W, R), beam_src[..., None], axis=1
+            )
+            ahist = jnp.take_along_axis(
+                ahist, beam_src[..., None, None], axis=1
+            )
+            ahist = ahist.at[:, :, t, :].set(
+                jnp.where(fin_src[..., None], 0.0, alpha_b)
+            )
             return (
                 h3, c3, new_tok.reshape(-1), top_scores, new_finished,
-                new_lengths, hist,
+                new_lengths, hist, ahist,
             ), None
 
-        carry = (h, c, tok, scores, finished, lengths, hist)
-        (_, _, _, scores, finished, lengths, hist), _ = jax.lax.scan(
+        carry = (h, c, tok, scores, finished, lengths, hist, ahist)
+        (_, _, _, scores, finished, lengths, hist, ahist), _ = jax.lax.scan(
             scan_step, carry, jnp.arange(max_length)
         )
 
@@ -114,6 +137,9 @@ def make_beam_decoder(
         best = jnp.argmax(norm, axis=1)
         best_tokens = jnp.take_along_axis(hist, best[:, None, None], axis=1)[:, 0, :]
         best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
-        return best_tokens, best_scores, hist, norm
+        best_alphas = jnp.take_along_axis(
+            ahist, best[:, None, None, None], axis=1
+        )[:, 0]                                                # (B, T, R)
+        return best_tokens, best_scores, best_alphas, hist, norm
 
     return jax.jit(decode)

@@ -502,8 +502,11 @@ def run_eval(bundle, run_path: str, epoch: int | None = None,
         if decoder == "greedy":
             words, _, attn = dec(variables, betas, tok.start_id)
         else:
-            words, _, _, _ = dec(variables, betas, tok.start_id, tok.end_id)
-            attn = jnp.zeros((words.shape[0], cfg.max_length, 1))
+            # beam returns the winning hypothesis' own attention trail
+            # (reference eval saves attention maps, eval.py:181-190)
+            words, _, attn, _, _ = dec(
+                variables, betas, tok.start_id, tok.end_id
+            )
         valid = batch["valid"]
         all_words.append(np.asarray(words)[valid])
         all_attn.append(np.asarray(attn)[valid])

@@ -133,7 +133,7 @@ class Captioner:
                     self.variables, jnp.asarray(chunk), self.tokenizer.start_id
                 )
             else:
-                words, _, _, _ = dec(
+                words, _, _, _, _ = dec(
                     self.variables, jnp.asarray(chunk),
                     self.tokenizer.start_id, self.tokenizer.end_id,
                 )

@@ -74,8 +74,10 @@ def test_showtell_greedy_and_beam(st_setup):
     words, logits, _ = greedy(variables, feats, 3)
     assert words.shape == (4, cfg.max_length)
     beam = make_beam_decoder(model, cfg.units, cfg.max_length, beam_width=2)
-    bw, scores, hist, norm = beam(variables, feats, 3, 4)
+    bw, scores, alphas, hist, norm = beam(variables, feats, 3, 4)
     assert bw.shape == (4, cfg.max_length)
+    # attention-free model still returns a placeholder trail
+    assert alphas.shape == (4, cfg.max_length, 1)
 
 
 def test_guse_nic_conditions_on_vector():
