@@ -120,7 +120,16 @@ class NIC(nn.Module):
 
     # ---- training forward (teacher forcing; lc_NIC.call_attention) ----
     def __call__(self, inputs, tokens, a0, c0, training: bool = False):
-        """Returns (logits (B, T, V), attn (B, T, R))."""
+        """Returns (logits (B, T, V), attn (B, T, R)).
+
+        The T timesteps run under ``nn.scan`` (params broadcast, dropout rngs
+        split per step) so compiled-program size and compile time are O(1) in
+        ``max_length`` — the reference unrolls the loop in Python per call
+        (lc_NIC.py:244-256) and we previously mirrored that under jit, which
+        made XLA programs (and compiles) scale with T. Eval-mode numerics are
+        identical to the unrolled loop; training-mode dropout masks differ
+        only in which independent mask each step draws.
+        """
         features = self.encode(inputs, training)
         emb = jnp.take(self.embedding, tokens, axis=0)  # (B, T, E)
         emb = self.drop_text(emb, deterministic=not training)
@@ -128,18 +137,25 @@ class NIC(nn.Module):
         if self.learned_init_state:
             a0, c0 = self.init_carry(features)
         carry = self._carry(a0, c0)
-        hs, alphas = [], []
-        for t in range(self.max_length):
-            h = carry[0] if self.cell_type == "lstm" else carry
-            context, alpha = self.attention(h, features, training=training)
-            x = jnp.concatenate([context, emb[:, t, :]], axis=-1)
-            carry, out = self.cell(carry, x)
-            hs.append(self.drop_lstm(out, deterministic=not training))
-            alphas.append(alpha[..., 0])
 
-        hseq = jnp.stack(hs, axis=1)                    # (B, T, U)
+        def step(mod, carry, emb_t):
+            h = carry[0] if mod.cell_type == "lstm" else carry
+            context, alpha = mod.attention(h, features, training=training)
+            x = jnp.concatenate([context, emb_t], axis=-1)
+            carry, out = mod.cell(carry, x)
+            out = mod.drop_lstm(out, deterministic=not training)
+            return carry, (out, alpha[..., 0])
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1,
+            out_axes=1,
+        )
+        _, (hseq, alphas) = scan(self, carry, emb)      # (B, T, U), (B, T, R)
         logits = self.head(hseq, training=training)     # (B, T, V)
-        return logits, jnp.stack(alphas, axis=1)        # (B, T, R)
+        return logits, alphas
 
     # ---- single decode step (shared by greedy / beam / sampling) ----
     def init_carry(self, features):

@@ -87,16 +87,23 @@ class ShowTell(nn.Module):
         feat = self.encode(inputs, training)                 # (B, E)
         emb = jnp.take(self.embedding, tokens, axis=0)       # (B, T, E)
 
-        carry = (a0, c0)
-        outs = []
         # feature slot first, then the T-1 first words (logits[t] predicts
-        # target[t]); total T steps to mirror the (B, T) target
-        carry, out0 = self.cell(carry, feat)
-        outs.append(out0)
-        for t in range(self.max_length - 1):
-            carry, out = self.cell(carry, emb[:, t, :])
-            outs.append(out)
-        hseq = jnp.stack(outs, axis=1)                       # (B, T, U)
+        # target[t]); total T steps to mirror the (B, T) target. The whole
+        # sequence runs as one nn.scan over [feat ; emb[:, :T-1]] so compiled
+        # program size is O(1) in max_length.
+        xs = jnp.concatenate([feat[:, None, :], emb[:, : self.max_length - 1, :]],
+                             axis=1)                         # (B, T, E)
+
+        def step(mod, carry, x_t):
+            carry, out = mod.cell(carry, x_t)
+            return carry, out
+
+        scan = nn.scan(
+            step, variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1, out_axes=1,
+        )
+        _, hseq = scan(self, (a0, c0), xs)                   # (B, T, U)
         logits = self.head(hseq, training=training)
         bs = inputs.shape[0]
         attn = jnp.zeros((bs, self.max_length, 1), logits.dtype)
