@@ -189,6 +189,73 @@ def plot_region_attention(
     plt.close(fig)
 
 
+def attention_to_vertices(
+    region_values: np.ndarray, groups: list, n_vertices: int
+) -> np.ndarray:
+    """Project per-region attention back onto the full vertex vector.
+
+    The reference's flatmap scripts do exactly this before pycortex rendering
+    (Eval/compare_attention.py:84-92: fill an NaN vector, write each group's
+    value into its vertex indices). ``groups`` is the (possibly
+    ``select_groups``-filtered) Glasser group list the model trained on, in
+    attention-axis order; unlabeled / removed-region vertices stay NaN.
+    """
+    values = np.asarray(region_values, np.float64).reshape(-1)
+    assert len(values) == len(groups), (
+        f"{len(values)} attention regions vs {len(groups)} atlas groups"
+    )
+    out = np.full(n_vertices, np.nan, np.float32)
+    for v, idx in zip(values, groups):
+        out[np.asarray(idx)] = v
+    return out
+
+
+def plot_vertex_attention(
+    vertex_values: np.ndarray, out_png: str, n_lh: int,
+    coords: dict | None = None,
+):  # pragma: no cover - matplotlib rendering shim
+    """Vertex-level LH/RH attention maps.
+
+    With ``coords`` (``{"lh": (V_lh, 2), "rh": (V_rh, 2)}`` — flat-surface
+    vertex positions exported offline from pycortex/FreeSurfer by
+    ``scripts/export_flat_coords.py``) this is a true flatmap scatter — the
+    stand-in for cortex.quickflat (Eval/compare_attention.py:68-71). Without
+    coords it rasters each hemisphere's vertex vector in atlas order
+    (vertex-level values, non-anatomical layout).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    v = np.asarray(vertex_values, np.float64).reshape(-1)
+    hemis = [("LH", v[:n_lh]), ("RH", v[n_lh:])]
+    fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+    for ax, (name, hv) in zip(axes, hemis):
+        if coords is not None:
+            xy = np.asarray(coords[name.lower()])
+            assert len(xy) == len(hv), (name, xy.shape, hv.shape)
+            ok = ~np.isnan(hv)
+            sc = ax.scatter(xy[ok, 0], xy[ok, 1], c=hv[ok], s=0.5,
+                            cmap="viridis", rasterized=True)
+            ax.set_aspect("equal")
+        else:
+            width = int(np.ceil(np.sqrt(len(hv))))
+            grid = np.full(width * width, np.nan)
+            grid[: len(hv)] = hv
+            sc = ax.imshow(grid.reshape(width, width), cmap="viridis",
+                           interpolation="nearest")
+            ax.set_xlabel("vertex index (atlas order, row-major)")
+        ax.set_title(name)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.colorbar(sc, ax=axes, label="attention", shrink=0.8)
+    fig.suptitle("Per-vertex attention"
+                 + ("" if coords is not None else " (non-anatomical raster)"))
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+
+
 def attention_tsne(
     attention: np.ndarray, labels=None, perplexity: float = 20.0,
     seed: int = 42,

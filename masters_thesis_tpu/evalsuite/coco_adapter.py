@@ -23,6 +23,57 @@ def load_nsd_coco_map(csv_path: str) -> dict[int, int]:
     return out
 
 
+def load_stim_info(path: str) -> dict[int, dict]:
+    """Read the NSD stimuli-description file directly.
+
+    NSDAccess backs ``read_image_coco_info`` with
+    ``nsd_stim_info_merged.csv/.pkl`` (nsd_access.py: ``stim_descriptions``),
+    whose rows are 0-based ``nsdId`` with ``cocoId``/``cocoSplit`` columns.
+    NSD keys used throughout the reference are 1-based (metric_suit.py:76
+    passes ``nsd_key - 1``), so the returned dict is keyed by
+    ``nsdId + 1``: {nsd_key: {"coco_id": int, "coco_split": str}}.
+
+    ``.csv`` loads with the stdlib; ``.pkl`` needs pandas (guarded).
+    """
+    if path.endswith(".pkl"):
+        try:
+            import pandas as pd  # optional
+        except ImportError as e:  # pragma: no cover - env without pandas
+            raise ImportError(
+                "pandas is required for the .pkl stimuli file; use the .csv"
+            ) from e
+        df = pd.read_pickle(path)
+        rows = df.to_dict("records")
+    else:
+        with open(path, newline="") as f:
+            rows = list(csv.DictReader(f))
+    out: dict[int, dict] = {}
+    for row in rows:
+        nsd_id = int(float(row["nsdId"]))
+        out[nsd_id + 1] = {
+            "coco_id": int(float(row["cocoId"])),
+            "coco_split": str(row.get("cocoSplit", "")),
+        }
+    return out
+
+
+def nsd_coco_map_from_stim_info(stim_info: dict[int, dict]) -> dict[int, int]:
+    """Collapse ``load_stim_info`` output to the {nsd_key: coco_id} map the
+    scoring helpers take (the pre-built CSV becomes optional)."""
+    return {k: v["coco_id"] for k, v in stim_info.items()}
+
+
+def export_nsd_coco_csv(stim_path: str, csv_path: str) -> int:
+    """One-time export: stimuli file -> the two-column nsd_key,coco_id CSV."""
+    mapping = nsd_coco_map_from_stim_info(load_stim_info(stim_path))
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["nsd_key", "coco_id"])
+        for k in sorted(mapping):
+            w.writerow([k, mapping[k]])
+    return len(mapping)
+
+
 def write_coco_results(path: str, keys, captions, nsd_to_coco=None) -> list[dict]:
     """COCO results format: [{"image_id": id, "caption": text}, ...]
     (what metric_suit.py feeds COCOEvalCap)."""

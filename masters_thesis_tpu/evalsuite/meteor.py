@@ -1,20 +1,85 @@
-"""METEOR (Banerjee & Lavie 2005) with exact + Porter-stem match stages.
+"""METEOR with exact + stem + WordNet-synonym stages, 2005 or 1.5 scoring.
 
-The reference scores captions with pycocoevalcap's METEOR jar
-(AttemptFour/metric_suit.py:88-109), which aligns unigrams in stages:
-exact, stem, WordNet synonym, paraphrase. This implementation provides the
-exact and stem stages natively (the Porter stemmer in ``stem.py``); the
-synonym/paraphrase stages need WordNet data unavailable in a zero-egress
-image, so scores are a close lower bound of jar METEOR:
+The reference scores captions with pycocoevalcap's METEOR-1.5 jar
+(AttemptFour/metric_suit.py:88-109), which aligns unigrams in four stages
+(exact, stem, synonym, paraphrase) and scores with the tuned English
+parameters. This module implements:
 
-  P = m/|hyp|, R = m/|ref|, F = 10PR/(R+9P)
-  penalty = 0.5 * (chunks/m)^3
-  score = F * (1 - penalty), max over references
+- exact + Porter-stem stages natively (``stem.py``);
+- the WordNet synonym stage from a bundled synonym table (two words match
+  when their synset-id sets intersect). The table is a JSON mapping
+  ``word -> [synset ids]`` produced offline by
+  ``scripts/convert_wordnet_synonyms.py`` (WordNet data is not in this
+  zero-egress image); point ``MTT_METEOR_SYNONYMS`` at it or pass a
+  ``SynonymTable``;
+- both scoring parameterisations:
+  * ``params="2005"`` (Banerjee & Lavie): F = 10PR/(R+9P),
+    penalty = 0.5*(chunks/m)^3 — the original formula, equal stage weights;
+  * ``params="1.5"`` (Denkowski & Lavie 2014, the jar's English defaults):
+    alpha=0.85 beta=0.2 gamma=0.6 delta=0.75, stage weights
+    exact 1.0 / stem 0.6 / synonym 0.8, content/function word weighting,
+    and corpus scores micro-aggregated over segment statistics like the
+    jar's final EVAL line (not a mean of segment scores).
+
+The paraphrase stage (paraphrase-en.gz, ~60MB) is not implemented; with a
+real synonym table, scores are METEOR-1.5-without-paraphrases — a close,
+slightly conservative approximation of jar METEOR. The jar's function-word
+list is corpus-derived; ``FUNCTION_WORDS`` here is a standard closed-class
+English list (documented deviation).
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 from masters_thesis_tpu.evalsuite.stem import porter_stem
+
+# Closed-class English words for METEOR-1.5's delta weighting (the jar
+# derives its list from corpus frequency; this is the standard grammatical
+# inventory: determiners, prepositions, conjunctions, pronouns, auxiliaries).
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no either neither
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves themselves who whom whose which what
+in on at by for with about against between into through during before
+after above below to from up down out off over under again further
+of as if then than too very so just not only own same s t don now
+and but or nor yet both all most other such few more
+is are was were be been being am
+have has had having do does did doing will would shall should can
+could may might must
+there here when where why how
+""".split())
+
+_DEFAULT_TABLE_ENV = "MTT_METEOR_SYNONYMS"
+
+
+class SynonymTable:
+    """word -> frozenset of WordNet synset ids; words match when the sets
+    intersect (the jar's synonymy module semantics)."""
+
+    def __init__(self, groups: dict[str, list]):
+        self._sets = {w: frozenset(ids) for w, ids in groups.items()}
+
+    def synsets(self, word: str) -> frozenset:
+        return self._sets.get(word, frozenset())
+
+    def __len__(self) -> int:
+        return len(self._sets)
+
+    @classmethod
+    def load(cls, path: str) -> "SynonymTable":
+        with open(path) as f:
+            return cls(json.load(f))
+
+    @classmethod
+    def from_env(cls) -> "SynonymTable | None":
+        path = os.environ.get(_DEFAULT_TABLE_ENV)
+        if path and os.path.exists(path):
+            return cls.load(path)
+        return None
 
 
 def _align_stage(ref_keys, hyp_keys, ref_used, hyp_used):
@@ -37,47 +102,143 @@ def _align_stage(ref_keys, hyp_keys, ref_used, hyp_used):
     return pairs
 
 
-def _align(ref, hyp, stemmer=porter_stem):
-    """Two-stage (exact, then stem) alignment; returns (matches, chunks)."""
+def _align_synonym_stage(ref, hyp, table: SynonymTable, ref_used, hyp_used):
+    """Match unmatched word pairs whose synset-id sets intersect."""
+    pairs = []
+    for j, hw in enumerate(hyp):
+        if j in hyp_used:
+            continue
+        h_sets = table.synsets(hw)
+        if not h_sets:
+            continue
+        for i, rw in enumerate(ref):
+            if i in ref_used:
+                continue
+            if h_sets & table.synsets(rw):
+                ref_used.add(i)
+                hyp_used.add(j)
+                pairs.append((j, i))
+                break
+    return pairs
+
+
+def _align(ref, hyp, stemmer=porter_stem, synonyms: SynonymTable | None = None):
+    """Staged alignment. Returns (stage_pairs, chunks): stage_pairs is a list
+    of per-stage (hyp_idx, ref_idx) pair lists [exact, stem, synonym];
+    chunks counts contiguous runs over ALL matched pairs (hyp order)."""
     ref_used: set = set()
     hyp_used: set = set()
-    pairs = _align_stage(ref, hyp, ref_used, hyp_used)
+    exact = _align_stage(ref, hyp, ref_used, hyp_used)
+    stemmed = []
     if stemmer is not None:
         ref_stems = [stemmer(w) for w in ref]
         hyp_stems = [stemmer(w) for w in hyp]
-        pairs += _align_stage(ref_stems, hyp_stems, ref_used, hyp_used)
+        stemmed = _align_stage(ref_stems, hyp_stems, ref_used, hyp_used)
+    syn = []
+    if synonyms is not None:
+        syn = _align_synonym_stage(ref, hyp, synonyms, ref_used, hyp_used)
+    pairs = sorted(exact + stemmed + syn)
     if not pairs:
-        return 0, 0
-    pairs.sort()
+        return [exact, stemmed, syn], 0
     chunks = 1
     for (j0, i0), (j1, i1) in zip(pairs, pairs[1:]):
         if not (j1 == j0 + 1 and i1 == i0 + 1):
             chunks += 1
-    return len(pairs), chunks
+    return [exact, stemmed, syn], chunks
 
 
-def meteor_lite(references, hypothesis, use_stem: bool = True) -> float:
+# stage weights: exact, stem, synonym (meteor-1.5 English defaults; the
+# paraphrase stage/weight 0.6 is not implemented)
+_PARAMS = {
+    "2005": dict(alpha=0.9, beta=3.0, gamma=0.5, delta=None,
+                 weights=(1.0, 1.0, 1.0)),
+    "1.5": dict(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
+                weights=(1.0, 0.6, 0.8)),
+}
+
+
+def _weighted_count(words, idxs, delta):
+    """delta-weighted count of the indexed words (content delta,
+    function 1-delta); unweighted when delta is None."""
+    if delta is None:
+        return float(len(idxs))
+    return sum(delta if words[k] not in FUNCTION_WORDS else 1.0 - delta
+               for k in idxs)
+
+
+def _segment_stats(ref, hyp, stemmer, synonyms, p):
+    """METEOR sufficient statistics for one (ref, hyp) pair:
+    (weighted hyp matches, weighted ref matches, weighted |hyp|,
+    weighted |ref|, chunks, raw matches)."""
+    stage_pairs, chunks = _align(ref, hyp, stemmer, synonyms)
+    delta = p["delta"]
+    wm_h = wm_r = 0.0
+    m = 0
+    for w, pairs in zip(p["weights"], stage_pairs):
+        m += len(pairs)
+        wm_h += w * _weighted_count(hyp, [j for j, _ in pairs], delta)
+        wm_r += w * _weighted_count(ref, [i for _, i in pairs], delta)
+    len_h = _weighted_count(hyp, range(len(hyp)), delta)
+    len_r = _weighted_count(ref, range(len(ref)), delta)
+    return wm_h, wm_r, len_h, len_r, chunks, m
+
+
+def _score_from_stats(wm_h, wm_r, len_h, len_r, chunks, m, p) -> float:
+    if m == 0 or wm_h == 0 or wm_r == 0:
+        return 0.0
+    prec = wm_h / len_h
+    rec = wm_r / len_r
+    f = prec * rec / (p["alpha"] * prec + (1 - p["alpha"]) * rec)
+    frag = chunks / m
+    return f * (1.0 - p["gamma"] * frag ** p["beta"])
+
+
+def meteor_lite(references, hypothesis, use_stem: bool = True,
+                synonyms: SynonymTable | None = None,
+                params: str = "2005") -> float:
+    """Segment METEOR: max over references (metric_suit.py scores per image
+    against all 5 ground-truth captions)."""
     hyp = list(hypothesis)
     if not hyp:
         return 0.0
+    p = _PARAMS[params]
+    stemmer = porter_stem if use_stem else None
     best = 0.0
     for ref in references:
-        ref = list(ref)
-        m, chunks = _align(ref, hyp, porter_stem if use_stem else None)
-        if m == 0:
-            continue
-        p = m / len(hyp)
-        r = m / len(ref)
-        f = 10 * p * r / (r + 9 * p)
-        penalty = 0.5 * (chunks / m) ** 3
-        best = max(best, f * (1 - penalty))
+        stats = _segment_stats(list(ref), hyp, stemmer, synonyms, p)
+        best = max(best, _score_from_stats(*stats, p))
     return best
 
 
-def corpus_meteor(references_list, hypotheses, use_stem: bool = True) -> float:
+def corpus_meteor(references_list, hypotheses, use_stem: bool = True,
+                  synonyms: SynonymTable | None = None,
+                  params: str = "2005") -> float:
+    """Corpus METEOR. ``params="2005"`` averages segment scores (the original
+    paper's system score); ``params="1.5"`` micro-aggregates each segment's
+    best-reference statistics and scores the aggregate, matching the jar's
+    final EVAL computation."""
     if not hypotheses:
         return 0.0
-    return sum(
-        meteor_lite(refs, hyp, use_stem)
-        for refs, hyp in zip(references_list, hypotheses)
-    ) / len(hypotheses)
+    p = _PARAMS[params]
+    stemmer = porter_stem if use_stem else None
+    if params == "2005":
+        return sum(
+            meteor_lite(refs, hyp, use_stem, synonyms, params)
+            for refs, hyp in zip(references_list, hypotheses)
+        ) / len(hypotheses)
+
+    agg = [0.0, 0.0, 0.0, 0.0, 0, 0]
+    for refs, hyp in zip(references_list, hypotheses):
+        hyp = list(hyp)
+        if not hyp:
+            continue
+        best_stats, best_score = None, -1.0
+        for ref in refs:
+            stats = _segment_stats(list(ref), hyp, stemmer, synonyms, p)
+            score = _score_from_stats(*stats, p)
+            if score > best_score:
+                best_stats, best_score = stats, score
+        if best_stats is not None:
+            for k in range(6):
+                agg[k] += best_stats[k]
+    return _score_from_stats(*agg, p)

@@ -24,10 +24,31 @@ from masters_thesis_tpu.evalsuite.spice import corpus_spice
 from masters_thesis_tpu.evalsuite.tokens import ids_to_caption, postprocess_text
 
 
-def evaluate_captions(candidates: list[str], references_list: list[list[str]]) -> dict:
-    """COCOEvalCap-style score dict from plain text captions."""
+def evaluate_captions(candidates: list[str], references_list: list[list[str]],
+                      meteor_synonyms=None) -> dict:
+    """COCOEvalCap-style score dict from plain text captions.
+
+    METEOR runs the jar's 1.5 parameterisation (exact+stem+synonym stages,
+    micro-aggregated) when a WordNet synonym table is available — pass a
+    ``SynonymTable`` or point ``MTT_METEOR_SYNONYMS`` at the JSON produced by
+    ``scripts/convert_wordnet_synonyms.py``. Without one it falls back to
+    exact+stem METEOR-2005, keyed ``METEOR_lite`` so jar-comparable and
+    approximate numbers are never conflated.
+    """
+    from masters_thesis_tpu.evalsuite.meteor import SynonymTable
+
     cand_tok = [c.split() for c in candidates]
     refs_tok = [[r.split() for r in refs] for refs in references_list]
+
+    if meteor_synonyms is None:
+        meteor_synonyms = SynonymTable.from_env()
+    if meteor_synonyms is not None:
+        meteor_key = "METEOR"
+        meteor = corpus_meteor(refs_tok, cand_tok, synonyms=meteor_synonyms,
+                               params="1.5")
+    else:
+        meteor_key = "METEOR_lite"
+        meteor = corpus_meteor(refs_tok, cand_tok)
 
     bleu = corpus_bleu(refs_tok, cand_tok, max_n=4)
     cider, _ = CiderScorer().compute(refs_tok, cand_tok)
@@ -36,7 +57,7 @@ def evaluate_captions(candidates: list[str], references_list: list[list[str]]) -
         "Bleu_2": bleu[1],
         "Bleu_3": bleu[2],
         "Bleu_4": bleu[3],
-        "METEOR": corpus_meteor(refs_tok, cand_tok),
+        meteor_key: meteor,
         "ROUGE_L": corpus_rouge_l(refs_tok, cand_tok),
         "CIDEr": cider,
         # Java SPICE (scene-graph F1) is approximated by the rule-based

@@ -1,5 +1,6 @@
 import numpy as np
 
+import pytest
 from masters_thesis_tpu.evalsuite.analysis import (
     attention_by_region,
     caption_table,
@@ -85,3 +86,38 @@ def test_plot_region_attention_writes_png(tmp_path):
     out2 = tmp_path / "tsne.png"
     plot_tsne(coords, str(out2), labels=np.arange(10) % 2)
     assert out2.stat().st_size > 1000
+
+
+def test_attention_to_vertices_projection():
+    """The compare_attention.py projection: group values fill their vertex
+    indices, everything else stays NaN."""
+    from masters_thesis_tpu.evalsuite.analysis import attention_to_vertices
+
+    groups = [np.array([0, 2]), np.array([5]), np.array([1, 3, 4])]
+    out = attention_to_vertices(np.array([0.5, 0.9, 0.1]), groups, 8)
+    assert out.shape == (8,)
+    np.testing.assert_allclose(out[[0, 2]], 0.5)
+    assert out[5] == np.float32(0.9)
+    np.testing.assert_allclose(out[[1, 3, 4]], np.float32(0.1))
+    assert np.isnan(out[6]) and np.isnan(out[7])
+
+    with pytest.raises(AssertionError, match="attention regions"):
+        attention_to_vertices(np.zeros(2), groups, 8)
+
+
+def test_plot_vertex_attention_writes_png(tmp_path):
+    from masters_thesis_tpu.evalsuite.analysis import plot_vertex_attention
+
+    vals = np.random.default_rng(0).random(40).astype(np.float32)
+    vals[3] = np.nan
+    raster = tmp_path / "raster.png"
+    plot_vertex_attention(vals, str(raster), n_lh=20)
+    assert raster.stat().st_size > 0
+
+    coords = {
+        "lh": np.random.default_rng(1).random((20, 2)),
+        "rh": np.random.default_rng(2).random((20, 2)),
+    }
+    flat = tmp_path / "flat.png"
+    plot_vertex_attention(vals, str(flat), n_lh=20, coords=coords)
+    assert flat.stat().st_size > 0

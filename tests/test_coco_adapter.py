@@ -33,3 +33,30 @@ def test_coco_adapter_round_trip(tmp_path):
 
     scores = score_against_coco([7, 9], ["a dog runs", "a red car"], mapping, gt)
     assert scores["Bleu_1"] > 0.5
+
+
+def test_stim_info_reader_and_export(tmp_path):
+    """nsd_stim_info_merged.csv reader: 0-based nsdId -> 1-based nsd_key."""
+    from masters_thesis_tpu.evalsuite.coco_adapter import (
+        export_nsd_coco_csv,
+        load_nsd_coco_map,
+        load_stim_info,
+        nsd_coco_map_from_stim_info,
+    )
+
+    stim = tmp_path / "nsd_stim_info_merged.csv"
+    stim.write_text(
+        "Unnamed: 0,nsdId,cocoId,cocoSplit\n"
+        "0,0,531124,train2017\n"
+        "1,1,104612,val2017\n"
+        "2,72999,87531,train2017\n"
+    )
+    info = load_stim_info(str(stim))
+    assert info[1] == {"coco_id": 531124, "coco_split": "train2017"}
+    assert info[73000]["coco_id"] == 87531
+    mapping = nsd_coco_map_from_stim_info(info)
+    assert mapping[2] == 104612
+
+    out_csv = tmp_path / "map.csv"
+    assert export_nsd_coco_csv(str(stim), str(out_csv)) == 3
+    assert load_nsd_coco_map(str(out_csv)) == mapping

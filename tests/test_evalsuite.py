@@ -82,7 +82,7 @@ def test_evaluate_captions_keys():
     scores = evaluate_captions(
         ["the cat sat on the mat"], [["the cat sat on the mat", "a cat on a mat"]]
     )
-    for k in ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+    for k in ("Bleu_1", "Bleu_4", "METEOR_lite", "ROUGE_L", "CIDEr"):
         assert scores[k] is not None
     assert scores["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
 

@@ -1,0 +1,112 @@
+"""METEOR synonym stage + 1.5 parameterisation, validated against
+hand-computed golden values (the published Denkowski & Lavie 2014 formulas
+with the jar's English defaults alpha=.85 beta=.2 gamma=.6 delta=.75)."""
+
+import json
+
+import pytest
+
+from masters_thesis_tpu.evalsuite.meteor import (
+    FUNCTION_WORDS,
+    SynonymTable,
+    corpus_meteor,
+    meteor_lite,
+)
+from masters_thesis_tpu.evalsuite.metric_suite import evaluate_captions
+
+REF = "the cat sat on the mat".split()
+HYP = "the cat is on a mat".split()
+
+
+def test_meteor15_golden_hand_computed():
+    """Exact-stage-only case, fully hand-derived:
+
+    matches (hyp_idx, ref_idx): (0,0)(1,1)(3,3)(5,5) -> m=4, chunks=3.
+    delta-weighted (content .75 / function .25):
+      matched weight 2.0 both sides; |hyp|_w = 2.5, |ref|_w = 3.0
+      P = .8, R = 2/3, F = PR/(.85P+.15R) = .533333/.78 = .6837607
+      Pen = .6 * (3/4)^.2 = .5664525 ; score = .6837607*.4335475 = .2964428
+    """
+    got = meteor_lite([REF], HYP, params="1.5")
+    assert got == pytest.approx(0.2964428, abs=1e-6)
+
+
+def test_meteor15_function_word_classification():
+    # the golden above depends on this split — pin it
+    for w in ("the", "is", "on", "a"):
+        assert w in FUNCTION_WORDS
+    for w in ("cat", "sat", "mat"):
+        assert w not in FUNCTION_WORDS
+
+
+def test_synonym_stage_aligns_and_weights():
+    table = SynonymTable({"sat": [1], "perched": [1, 7], "cat": [3]})
+    hyp = "the cat perched on the mat".split()
+    without = meteor_lite([REF], hyp, params="1.5")
+    with_syn = meteor_lite([REF], hyp, synonyms=table, params="1.5")
+    assert with_syn > without
+    # perfect alignment via synonym: one chunk, but the synonym match
+    # carries stage weight 0.8 < 1.0, so score < exact-perfect. Perfect
+    # 6-word exact match: F=1, Pen = .6*(1/6)^.2 (beta=.2 penalises even
+    # single-chunk alignments — 1.5 scores saturate near .58 for short
+    # perfect segments, unlike 2005's near-1.0)
+    perfect = meteor_lite([REF], REF, params="1.5")
+    assert perfect == pytest.approx(1.0 - 0.6 * (1 / 6) ** 0.2, abs=1e-9)
+    assert with_syn < perfect
+    # hand-derived: exact 5 words (weighted 2.25) + synonym .8*.75 = 2.85;
+    # lens 3.0/3.0 -> P=R=.95 -> F=.95; Pen as perfect -> .95*(1-Pen)
+    assert with_syn == pytest.approx(0.95 * (1.0 - 0.6 * (1 / 6) ** 0.2),
+                                     abs=1e-9)
+
+
+def test_synonym_stage_2005_params_too():
+    table = SynonymTable({"sat": [1], "perched": [1]})
+    hyp = "the cat perched on the mat".split()
+    # with synonyms, 2005 scoring sees a perfect 6/6 single-chunk alignment
+    got = meteor_lite([REF], hyp, synonyms=table)
+    want = meteor_lite([REF], REF)
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_corpus_micro_aggregation():
+    # two identical segments micro-aggregate to the segment score
+    seg = meteor_lite([REF], HYP, params="1.5")
+    corp = corpus_meteor([[REF], [REF]], [HYP, HYP], params="1.5")
+    assert corp == pytest.approx(seg, abs=1e-9)
+    # micro != macro in general: a second, different segment shifts the
+    # aggregate away from the mean of segment scores
+    seg2_refs, seg2_hyp = [["a", "dog", "runs"]], ["dog"]
+    corp2 = corpus_meteor([[REF], seg2_refs], [HYP, seg2_hyp], params="1.5")
+    mean2 = (seg + meteor_lite(seg2_refs, seg2_hyp, params="1.5")) / 2
+    assert abs(corp2 - mean2) > 1e-3
+
+
+def test_best_reference_selected_per_segment():
+    refs = [["completely", "unrelated", "words"], REF]
+    assert meteor_lite(refs, HYP, params="1.5") == pytest.approx(
+        meteor_lite([REF], HYP, params="1.5"))
+
+
+def test_metric_suite_labels_by_table_presence(tmp_path, monkeypatch):
+    cands = ["the cat sat on the mat"]
+    refs = [["the cat sat on the mat"]]
+    monkeypatch.delenv("MTT_METEOR_SYNONYMS", raising=False)
+    scores = evaluate_captions(cands, refs)
+    assert "METEOR_lite" in scores and "METEOR" not in scores
+
+    table_path = tmp_path / "syn.json"
+    table_path.write_text(json.dumps({"cat": [0], "feline": [0]}))
+    monkeypatch.setenv("MTT_METEOR_SYNONYMS", str(table_path))
+    scores = evaluate_captions(cands, refs)
+    assert "METEOR" in scores and "METEOR_lite" not in scores
+    assert scores["METEOR"] == pytest.approx(1.0 - 0.6 * (1 / 6) ** 0.2,
+                                             abs=1e-6)
+
+
+def test_table_load_roundtrip(tmp_path):
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps({"happy": [1, 2], "glad": [2]}))
+    t = SynonymTable.load(str(p))
+    assert len(t) == 2
+    assert t.synsets("happy") & t.synsets("glad")
+    assert not t.synsets("missing")
