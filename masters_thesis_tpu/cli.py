@@ -88,9 +88,11 @@ def _run_analyze(args) -> dict:
     import numpy as np
 
     from masters_thesis_tpu.evalsuite.analysis import (
+        attention_to_vertices,
         caption_pos_stats,
         plot_loss,
         plot_region_attention,
+        plot_vertex_attention,
     )
 
     run = args.run
@@ -110,14 +112,44 @@ def _run_analyze(args) -> dict:
                 if ln.strip() and not ln.startswith("===")]
         report["pos_stats"] = caption_pos_stats(caps)
 
+    atlas_groups = n_vertices = n_lh = None
+    if args.atlas_lh and args.atlas_rh:
+        from masters_thesis_tpu.config import Config
+        from masters_thesis_tpu.data.preprocess.glasser import (
+            groups_from_atlas,
+            load_atlas_vector,
+            select_groups,
+        )
+
+        lh_labels = load_atlas_vector(args.atlas_lh)
+        rh_labels = load_atlas_vector(args.atlas_rh)
+        n_lh = len(lh_labels)
+        n_vertices = n_lh + len(rh_labels)
+        atlas_groups = groups_from_atlas(lh_labels, rh_labels)
+        cfg_path = os.path.join(run, "config.yaml")
+        if os.path.exists(cfg_path):
+            run_cfg = Config.load(cfg_path)
+            if run_cfg.groups_to_remove:
+                atlas_groups = select_groups(
+                    atlas_groups, list(run_cfg.groups_to_remove))
+    coords = None
+    if args.flat_coords:
+        flat = np.load(args.flat_coords)
+        coords = {"lh": flat["lh"], "rh": flat["rh"]}
+
     for attn_path in sorted(glob.glob(os.path.join(run, "attention_scores_*.npy"))):
         e = os.path.basename(attn_path).split("_")[-1].split(".")[0]
         attn = np.load(attn_path)
+        mean_attn = np.asarray(attn).mean(axis=tuple(range(attn.ndim - 1)))
         png = os.path.join(out_dir, f"region_attention_{e}.png")
-        plot_region_attention(
-            np.asarray(attn).mean(axis=tuple(range(attn.ndim - 1))), png
-        )
+        plot_region_attention(mean_attn, png)
         report["artifacts"].append(png)
+        if atlas_groups is not None and len(mean_attn) == len(atlas_groups):
+            vertex_vals = attention_to_vertices(
+                mean_attn, atlas_groups, n_vertices)
+            vpng = os.path.join(out_dir, f"vertex_attention_{e}.png")
+            plot_vertex_attention(vertex_vals, vpng, n_lh, coords=coords)
+            report["artifacts"].append(vpng)
     return report
 
 
@@ -191,6 +223,16 @@ def main(argv=None) -> int:
     pp.add_argument("--config", required=True)
     pp.add_argument("--out", required=True)
     pp.add_argument("--pca", type=int, default=0)
+    pp.add_argument("--from-sessions", default=None, metavar="DIR",
+                    help="ingest lh/rh.betas_session{NN}.{npy,mgh} session "
+                    "files first (my_get_betas stage, nsd_get_data.py:174-281)")
+    pp.add_argument("--behavior", default=None,
+                    help="behavior CSV/TSV (or dir of behav_session{NN}.csv) "
+                    "with SUBJECT,SESSION,RUN,TRIAL,73KID columns")
+    pp.add_argument("--captions-json", default=None,
+                    help="JSON of {73KID: [caption, ...]} (offline stand-in "
+                    "for nsda.read_image_coco_info)")
+    pp.add_argument("--n-sessions", type=int, default=40)
 
     dr = sub.add_parser(
         "dryrun",
@@ -217,6 +259,13 @@ def main(argv=None) -> int:
     an.add_argument("--run", required=True, help="run directory")
     an.add_argument("--out", default=None,
                     help="output dir (default: <run>/analysis)")
+    an.add_argument("--atlas-lh", default=None,
+                    help="lh.HCP_MMP1 label vector (.npy/.mgz) — enables "
+                    "vertex-space attention maps")
+    an.add_argument("--atlas-rh", default=None)
+    an.add_argument("--flat-coords", default=None,
+                    help="npz of lh/rh (V, 2) flat-surface vertex coords "
+                    "(scripts/export_flat_coords.py) for true flatmap scatter")
 
     fe = sub.add_parser(
         "features",
@@ -273,7 +322,11 @@ def main(argv=None) -> int:
     )
 
     if args.cmd == "preprocess":
-        report = run_preprocess(cfg, args.out, pca_components=args.pca)
+        report = run_preprocess(
+            cfg, args.out, pca_components=args.pca,
+            from_sessions=args.from_sessions, behavior=args.behavior,
+            captions_json=args.captions_json, n_sessions=args.n_sessions,
+        )
         print(json.dumps(report))
         return 0
 

@@ -25,7 +25,13 @@ _KID_RE = re.compile(r"KID(\d+)")
 
 
 def load_captions_dir(captions_path: str, keys=None) -> dict[int, list[str]]:
-    """Read KID{key}.txt files into {key: [caption, ...]}."""
+    """Read KID{key}.txt files into {key: [caption, ...]}.
+
+    Lines may be plain captions (load_avg_betas.py:259-264 layout) or the
+    Flickr8k-style ``{beta_path}#{i}\\t{caption}`` lines that the session
+    ingest stage writes (nsd_get_data.py:262-268); the path prefix is
+    stripped so both feed the same tokenizer/pairs pipeline.
+    """
     wanted = None if keys is None else {int(k) for k in keys}
     out: dict[int, list[str]] = {}
     for entry in os.scandir(captions_path):
@@ -36,7 +42,11 @@ def load_captions_dir(captions_path: str, keys=None) -> dict[int, list[str]]:
         if wanted is not None and key not in wanted:
             continue
         with open(entry.path) as f:
-            out[key] = [line for line in f.read().splitlines() if line.strip()]
+            out[key] = [
+                line.rsplit("\t", 1)[-1]
+                for line in f.read().splitlines()
+                if line.strip()
+            ]
     return out
 
 

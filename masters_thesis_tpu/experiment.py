@@ -177,6 +177,49 @@ def build_model(cfg: Config, groups, n_voxels: int):
             dropout_out=cfg.dropout_out,
         )
         return model, lc_nic_l2_rules(cfg), False
+    if name in ("concat_lc_nic", "deep_lc_nic", "fc_nic"):
+        # the alternate brain encoders the reference swaps into lc_NIC by
+        # editing dense_in (lc_NIC.py:60-91): the concat LocallyDense
+        # (localDense.py), the deep per-region stack (deep_layers.py), and
+        # the single fullyConnected encoder (fullyConnected.py)
+        from masters_thesis_tpu.models.encoders import (
+            ConcatLocallyDense,
+            DeepLocallyDense,
+            FullyConnectedEncoder,
+        )
+        from masters_thesis_tpu.models.nic import NIC
+
+        layout = GroupLayout(groups, n_voxels)
+        if name == "concat_lc_nic":
+            encoder = ConcatLocallyDense(
+                layout=layout, out_dim=cfg.group_size,
+                embed_dim=cfg.embedding_features,
+                dropout=cfg.dropout_features, name="encoder",
+            )
+        elif name == "deep_lc_nic":
+            encoder = DeepLocallyDense(
+                layout=layout, out_dim=cfg.group_size,
+                dropout=cfg.dropout_features, name="encoder",
+            )
+        else:
+            encoder = FullyConnectedEncoder(
+                out_dim=cfg.embedding_features,
+                dropout=cfg.dropout_features, name="encoder",
+            )
+        model = NIC(
+            encoder=encoder,
+            units=cfg.units,
+            embedding_text=cfg.embedding_text,
+            attn_units=cfg.attn_units,
+            vocab_size=cfg.vocab_size,
+            max_length=cfg.max_length,
+            dropout_input=cfg.dropout_input,
+            dropout_text=cfg.dropout_text,
+            dropout_attn=cfg.dropout_attn,
+            dropout_lstm=cfg.dropout_lstm,
+            dropout_out=cfg.dropout_out,
+        )
+        return model, lc_nic_l2_rules(cfg), False
     if name == "ms2_nic":
         from masters_thesis_tpu.models.multisubject import Ms2NIC
 
@@ -406,34 +449,56 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
 # ---------------------------------------------------------------- preprocess
 
-def run_preprocess(cfg: Config, out_dir: str, pca_components: int = 0) -> dict:
+def run_preprocess(
+    cfg: Config,
+    out_dir: str,
+    pca_components: int = 0,
+    from_sessions: str | None = None,
+    behavior: str | None = None,
+    captions_json: str | None = None,
+    n_sessions: int = 40,
+) -> dict:
     """Offline preprocessing driver (the reference's ian_code/nsd_get_data +
-    data_mean + SVD/svd.py stage): per-key npy betas -> pack; per-voxel
-    mean/std; optional PCA model; tokenizer from the captions dir."""
-    import glob
-
+    data_mean + SVD/svd.py stage): [optionally session files -> per-trial
+    npy (my_get_betas, nsd_get_data.py:174-281), then] per-key npy betas ->
+    pack (repeats averaged, nsd_get_data.py:527); per-voxel mean/std;
+    optional PCA model; tokenizer from the captions dir."""
     from masters_thesis_tpu.data.captions import load_captions_dir
     from masters_thesis_tpu.data.pack import open_pack, write_pack
     from masters_thesis_tpu.data.pairs import clean_caption
     from masters_thesis_tpu.data.preprocess.pca import fit_pca
+    from masters_thesis_tpu.data.preprocess.sessions import (
+        averaged_rows,
+        ingest_sessions,
+    )
     from masters_thesis_tpu.data.preprocess.zscore import voxelwise_stats
     from masters_thesis_tpu.data.tokenizer import Tokenizer
 
     os.makedirs(out_dir, exist_ok=True)
     report: dict = {}
 
-    npys = sorted(glob.glob(os.path.join(cfg.dataset.betas_path, "*_KID*.npy")))
-    assert npys, f"no *_KID*.npy under {cfg.dataset.betas_path}"
-
-    def rows():
-        import re
-
-        for p in npys:
-            key = int(re.search(r"KID(\d+)", p).group(1))
-            yield key, np.load(p)
+    betas_path = cfg.dataset.betas_path
+    captions_path = cfg.dataset.captions_path
+    if from_sessions:
+        assert behavior, "--from-sessions needs --behavior (CSV/TSV or dir)"
+        ingest = ingest_sessions(
+            from_sessions, behavior, os.path.join(out_dir, "ingest"),
+            n_sessions=n_sessions, captions_json=captions_json,
+        )
+        report["ingest"] = {k: v for k, v in ingest.items() if k != "subjects"}
+        subjects = ingest["subjects"]
+        assert len(subjects) == 1, (
+            f"session ingest found subjects {sorted(subjects)}; run one "
+            "subject's sessions per preprocess invocation (reference loops "
+            "my_get_betas per subject)"
+        )
+        (_, paths), = subjects.items()
+        betas_path = paths["betas"]
+        if captions_json:
+            captions_path = paths["captions"]
 
     pack_dir = os.path.join(out_dir, "betas_pack")
-    meta = write_pack(pack_dir, None, rows())
+    meta = write_pack(pack_dir, None, averaged_rows(betas_path))
     report["pack"] = meta
 
     store = open_pack(pack_dir)
@@ -446,8 +511,8 @@ def run_preprocess(cfg: Config, out_dir: str, pca_components: int = 0) -> dict:
         model.save(os.path.join(out_dir, "pca_model.npz"))
         report["pca"] = {"components": int(model.components.shape[0])}
 
-    if cfg.dataset.captions_path and os.path.isdir(cfg.dataset.captions_path):
-        caps = load_captions_dir(cfg.dataset.captions_path)
+    if captions_path and os.path.isdir(captions_path):
+        caps = load_captions_dir(captions_path)
         texts = [clean_caption(line) for lines in caps.values() for line in lines]
         tok = Tokenizer(num_words=cfg.top_k)
         tok.fit_on_texts(texts)

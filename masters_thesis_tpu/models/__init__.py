@@ -1,5 +1,6 @@
 from masters_thesis_tpu.models.attention import BahdanauAttention
 from masters_thesis_tpu.models.encoders import (
+    ConcatLocallyDense,
     DeepLocallyDense,
     FullyConnectedEncoder,
     PatchDense,
@@ -14,6 +15,7 @@ from masters_thesis_tpu.models.resnet import resnet
 
 __all__ = [
     "BahdanauAttention",
+    "ConcatLocallyDense",
     "DeepLocallyDense",
     "FullyConnectedEncoder",
     "PatchDense",

@@ -9,6 +9,10 @@
   the same attention interface.
 - DeepLocallyDense: depth-n per-region stacks with BN between layers
   (AttemptFour/Model/deep_layers.py:6-75), built on the bucketed layout.
+- ConcatLocallyDense: per-group linear projections concatenated flat, then a
+  LeakyReLU(0.2) Dense(embed_dim) bottleneck
+  (AttemptFour/Model/localDense.py:44-63, the "concat method"); emits
+  (B, 1, embed_dim) — one fused region, used without spatial attention.
 """
 
 from __future__ import annotations
@@ -57,6 +61,34 @@ class FullyConnectedEncoder(nn.Module):
             name="bn",
         )(y)
         y = nn.Dropout(self.dropout, deterministic=not training)(y)
+        return y[:, None, :]
+
+
+class ConcatLocallyDense(nn.Module):
+    """(B, N) -> (B, 1, embed_dim): per-group Dense (linear, as the reference
+    configures it: localDense.py call site in lc_NIC.py:71-80 passes
+    activation=None), outputs concatenated to (B, G*D), dropout, then
+    Dense(embed_dim) with LeakyReLU(0.2) (localDense.py:36-39, 58-63)."""
+
+    layout: GroupLayout
+    out_dim: int = 32        # per-group width (reference output_groups entry)
+    embed_dim: int = 512
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = LocallyDense(
+            layout=self.layout,
+            out_dim=self.out_dim,
+            dropout=0.0,
+            use_bn=False,
+            activation="linear",
+            name="groups",
+        )(x, training=training)                       # (B, G, D)
+        y = y.reshape(y.shape[0], -1)                 # concat: (B, G*D)
+        y = nn.Dropout(self.dropout, deterministic=not training)(y)
+        y = nn.Dense(self.embed_dim, kernel_init=he_normal, name="embed")(y)
+        y = leaky_relu(y)
         return y[:, None, :]
 
 

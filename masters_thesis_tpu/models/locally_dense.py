@@ -62,6 +62,8 @@ class LocallyDense(nn.Module):
     dropout: float = 0.2
     use_bn: bool = True
     negative_slope: float = 0.2
+    activation: str = "leaky_relu"  # 'linear' for the concat variant
+    #                                 (localDense.py: activation=None)
     pregathered: bool = False   # input already in grouped layout
     #                             (GroupLayout.permute_rows — no hot-path gather)
     use_pallas: bool = False    # fused Pallas block-dense kernel
@@ -94,6 +96,9 @@ class LocallyDense(nn.Module):
                 f"bias_{b}", nn.initializers.zeros, (gb, self.out_dim),
             )
             if self.use_pallas:
+                assert self.activation == "leaky_relu", (
+                    "the fused Pallas block-dense kernel bakes in leaky_relu"
+                )
                 from masters_thesis_tpu.ops.block_dense import block_dense_leaky
 
                 outs.append(
@@ -103,7 +108,9 @@ class LocallyDense(nn.Module):
                 y = jnp.einsum(
                     "bgp,gpd->bgd", xg, w, preferred_element_type=jnp.float32
                 ) + bias
-                outs.append(leaky_relu(y, self.negative_slope))
+                if self.activation == "leaky_relu":
+                    y = leaky_relu(y, self.negative_slope)
+                outs.append(y)
 
         out = jnp.concatenate(outs, axis=1)                 # (B, ΣG_b, D)
         out = jnp.take(out, jnp.asarray(self.layout.unpermute), axis=1)

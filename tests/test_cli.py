@@ -50,7 +50,8 @@ def test_cli_metrics_smoke(tmp_path, capsys):
     assert glob.glob(os.path.join(out["run_path"], "output_captions_*.npy"))
 
 
-@pytest.mark.parametrize("model", ["showtell", "cnn_rnn", "guse_nic", "img_nic"])
+@pytest.mark.parametrize("model", ["showtell", "cnn_rnn", "guse_nic", "img_nic",
+                                   "concat_lc_nic", "deep_lc_nic", "fc_nic"])
 def test_cli_train_other_families(tmp_path, capsys, model):
     over = {"model": model}
     if model == "guse_nic":

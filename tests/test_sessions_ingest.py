@@ -1,0 +1,155 @@
+"""Session-level ingestion (my_get_betas, nsd_get_data.py:174-281): synthetic
+multi-session fixture proving per-session z-score + repeat-average equals the
+reference recipe end-to-end (sessions -> per-trial npy -> averaged pack)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from masters_thesis_tpu.cli import main
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.data.preprocess.sessions import (
+    averaged_rows,
+    ingest_sessions,
+    read_behavior,
+)
+
+V = 12  # 6 vertices per hemisphere
+
+
+def _write_fixture(tmp_path, n_sessions=2, trials_per_session=4, subject=2):
+    """Two sessions; KIDs repeat across sessions (NSD shared-image repeats)."""
+    rng = np.random.default_rng(7)
+    sessions_dir = tmp_path / "sessions"
+    sessions_dir.mkdir()
+    # KID schedule: session 1 -> 11,12,13,11 ; session 2 -> 12,14,11,15
+    kid_schedule = [[11, 12, 13, 11], [12, 14, 11, 15]][:n_sessions]
+    behav_lines = ["SUBJECT,SESSION,RUN,TRIAL,73KID"]
+    raw = {}
+    for s in range(1, n_sessions + 1):
+        lh = rng.standard_normal((V // 2, trials_per_session))
+        rh = rng.standard_normal((V // 2, trials_per_session))
+        np.save(sessions_dir / f"lh.betas_session{s:02d}.npy", lh)
+        np.save(sessions_dir / f"rh.betas_session{s:02d}.npy", rh)
+        raw[s] = np.vstack([lh, rh])  # (V, T) — reference layout
+        for t, kid in enumerate(kid_schedule[s - 1]):
+            behav_lines.append(f"{subject},{s},1,{t + 1},{kid}")
+    behav = tmp_path / "behavior.csv"
+    behav.write_text("\n".join(behav_lines) + "\n")
+    caps = {str(k): [f"a photo of thing {k}.", f"another view of {k}."]
+            for k in {11, 12, 13, 14, 15}}
+    caps_json = tmp_path / "captions.json"
+    caps_json.write_text(json.dumps(caps))
+    return sessions_dir, behav, caps_json, raw, kid_schedule
+
+
+def _reference_recipe(raw, kid_schedule):
+    """The nsd_get_data math, written independently: z-score each session's
+    (V, T) across trials (axis=1), then average trials sharing a KID
+    (first-appearance order)."""
+    per_trial = []  # (kid, vec) in trial order
+    for s, kids in zip(sorted(raw), kid_schedule):
+        arr = raw[s]
+        z = (arr - arr.mean(axis=1, keepdims=True)) / arr.std(
+            axis=1, keepdims=True)
+        for t, kid in enumerate(kids):
+            per_trial.append((kid, z[:, t]))
+    order, sums, counts = [], {}, {}
+    for kid, vec in per_trial:
+        if kid not in sums:
+            order.append(kid)
+            sums[kid] = vec.astype(np.float64)
+            counts[kid] = 1
+        else:
+            sums[kid] += vec
+            counts[kid] += 1
+    return {k: (sums[k] / counts[k]).astype(np.float32) for k in order}, order
+
+
+def test_ingest_writes_reference_contract(tmp_path):
+    sessions_dir, behav, caps_json, raw, schedule = _write_fixture(tmp_path)
+    out = tmp_path / "ingested"
+    report = ingest_sessions(str(sessions_dir), str(behav), str(out),
+                             n_sessions=5, captions_json=str(caps_json))
+    # sessions 3..5 absent -> skipped like the reference's valid_trials guard
+    assert report["sessions"] == 2 and report["skipped"] == [3, 4, 5]
+    assert report["trials"] == 8
+    betas_dir = out / "subj_2" / "betas"
+    # reference file-name contract
+    assert (betas_dir / "betas_SUB2_S1_R1_T1_KID11.npy").exists()
+    assert (betas_dir / "betas_SUB2_S2_R1_T4_KID15.npy").exists()
+    # per-trial content = session z-score of that trial's column
+    arr = raw[1]
+    z = (arr - arr.mean(axis=1, keepdims=True)) / arr.std(axis=1, keepdims=True)
+    got = np.load(betas_dir / "betas_SUB2_S1_R1_T2_KID12.npy")
+    np.testing.assert_allclose(got, z[:, 1].astype(np.float32), rtol=1e-6)
+    # caption files carry the Flickr8k-style path#i\tcaption lines
+    cap = (out / "subj_2" / "captions" / "SUB2_KID11.txt").read_text()
+    lines = cap.strip().splitlines()
+    assert len(lines) == 2 and "#0\t" in lines[0] and "#1\t" in lines[1]
+    assert lines[0].endswith("a photo of thing 11.")
+
+
+def test_repeat_average_matches_reference_recipe(tmp_path):
+    sessions_dir, behav, caps_json, raw, schedule = _write_fixture(tmp_path)
+    out = tmp_path / "ingested"
+    ingest_sessions(str(sessions_dir), str(behav), str(out), n_sessions=2)
+    want, order = _reference_recipe(raw, schedule)
+    got = dict(averaged_rows(str(out / "subj_2" / "betas")))
+    assert set(got) == set(want)
+    for kid in want:
+        np.testing.assert_allclose(got[kid], want[kid], rtol=1e-5, atol=1e-6)
+    # KID11 repeats 3x across both sessions — averaged, not duplicated
+    assert len(got) == 5
+
+
+def test_behavior_reader_formats(tmp_path):
+    p = tmp_path / "b.tsv"
+    p.write_text("SUBJECT\tSESSION\tRUN\tTRIAL\t73KID\n2\t1\t1\t1\t42\n"
+                 "2\t2\t1\t1\t43\n")
+    rows = read_behavior(str(p))
+    assert [r["73KID"] for r in rows] == [42, 43]
+    assert [r["73KID"] for r in read_behavior(str(p), session_index=2)] == [43]
+    bad = tmp_path / "bad.csv"
+    bad.write_text("SUBJECT,SESSION\n2,1\n")
+    with pytest.raises(AssertionError, match="missing columns"):
+        read_behavior(str(bad))
+
+
+def test_preprocess_cli_from_sessions(tmp_path, capsys):
+    sessions_dir, behav, caps_json, raw, schedule = _write_fixture(tmp_path)
+    cfg = Config(top_k=20)
+    cfg_path = tmp_path / "c.yaml"
+    cfg.save(cfg_path)
+    out_dir = tmp_path / "out"
+    assert main([
+        "preprocess", "--config", str(cfg_path), "--out", str(out_dir),
+        "--from-sessions", str(sessions_dir), "--behavior", str(behav),
+        "--captions-json", str(caps_json), "--n-sessions", "2",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ingest"]["trials"] == 8
+    assert report["pack"]["n_rows"] == 5          # repeats averaged
+    assert report["voxel_stats"]["n_voxels"] == V
+    assert report["tokenizer"]["n_captions"] == 10
+    # packed rows equal the reference recipe
+    from masters_thesis_tpu.data.pack import open_pack
+
+    store = open_pack(str(out_dir / "betas_pack"))
+    want, order = _reference_recipe(raw, schedule)
+    assert store.keys.tolist() == order
+    for i, kid in enumerate(order):
+        np.testing.assert_allclose(np.asarray(store.data[i]), want[kid],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_caption_prefix_stripped_for_tokenizer(tmp_path):
+    from masters_thesis_tpu.data.captions import load_captions_dir
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    (d / "SUB2_KID9.txt").write_text(
+        "/x/betas_SUB2_S1_R1_T1_KID9.npy#0\ta cat sleeps.\nplain caption.\n")
+    caps = load_captions_dir(str(d))
+    assert caps[9] == ["a cat sleeps.", "plain caption."]

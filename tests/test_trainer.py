@@ -255,3 +255,39 @@ def test_modelsummary_written(tmp_path):
     text = open(f"{run_path}/modelsummary.txt").read()
     assert "Total params:" in text and "Trainable params:" in text
     assert "lstm" in text and "attention" in text
+
+
+def test_analyze_vertex_attention(tmp_path):
+    """`mtt analyze --atlas-lh/--atlas-rh` projects region attention to the
+    vertex vector and renders the LH/RH figure (compare_attention.py
+    stand-in); --flat-coords switches to the scatter flatmap."""
+    import os
+
+    import numpy as np
+
+    from masters_thesis_tpu.cli import main as cli_main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    # synthetic atlas: 10 vertices/hemi, labels 0..2 (0 = unlabeled)
+    rng = np.random.default_rng(0)
+    lh = rng.integers(0, 3, 10)
+    rh = rng.integers(0, 3, 10)
+    lh[:2] = [1, 2]
+    rh[:2] = [1, 2]  # every label present in both hemis -> 4 groups
+    np.save(tmp_path / "lh.npy", lh)
+    np.save(tmp_path / "rh.npy", rh)
+    # attention over 4 regions (2 per hemi), any leading dims
+    np.save(run / "attention_scores_1.npy", rng.random((3, 5, 4)))
+    np.savez(tmp_path / "flat.npz",
+             lh=rng.random((10, 2)), rh=rng.random((10, 2)))
+
+    rc = cli_main([
+        "analyze", "--run", str(run),
+        "--atlas-lh", str(tmp_path / "lh.npy"),
+        "--atlas-rh", str(tmp_path / "rh.npy"),
+        "--flat-coords", str(tmp_path / "flat.npz"),
+    ])
+    assert rc == 0
+    assert os.path.exists(run / "analysis" / "region_attention_1.png")
+    assert os.path.exists(run / "analysis" / "vertex_attention_1.png")
