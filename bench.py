@@ -202,6 +202,10 @@ def main() -> None:
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+                # the reference publishes no throughput; the denominator is a
+                # reasoned ESTIMATE of its eager TF pipeline (module docstring)
+                "vs_baseline_kind": "estimate",
+                "baseline_steps_per_sec_estimate": REFERENCE_STEPS_PER_SEC,
                 "extra": {
                     "captions_per_sec_greedy": round(captions_per_sec, 1),
                     "captions_per_sec_per_dispatch": round(

@@ -218,6 +218,13 @@ def main(argv=None) -> int:
     tu.add_argument("--processes", type=int, default=1,
                     help="parallel trial processes (tune.py's fractional-GPU "
                     "multi-trial analogue)")
+    tu.add_argument("--queue", default=None, metavar="DIR",
+                    help="shared-filesystem trial queue for multi-host "
+                    "dispatch (the ray.init(address=...) analogue, "
+                    "tune.py:215-228); coordinator enqueues + works inline")
+    tu.add_argument("--worker", action="store_true",
+                    help="with --queue: join as a worker host instead of "
+                    "coordinating")
 
     pp = sub.add_parser("preprocess", help="pack betas, stats, PCA, tokenizer")
     pp.add_argument("--config", required=True)
@@ -383,13 +390,30 @@ def main(argv=None) -> int:
                 "output_reg": LogUniform(1e-7, 1e-3),
             }
             search = RandomSearch(space, num, seed=cfg.seed)
-        res = run_experiment(
-            trial,
-            search,
-            ASHAScheduler(max_t=epochs, grace_period=max(1, epochs // 4)),
-            log_dir=cfg.log,
-            processes=args.processes,
-        )
+        sched = ASHAScheduler(max_t=epochs, grace_period=max(1, epochs // 4))
+        if args.queue and args.worker:
+            # join an existing multi-host queue (ray.init(address=...) flow,
+            # tune.py:215-228): work trials until the coordinator writes STOP
+            from masters_thesis_tpu.tune.dispatch import run_worker
+
+            n_done = run_worker(args.queue, trial, sched)
+            print(json.dumps({"worker_trials": n_done, "queue": args.queue}))
+            return 0
+        if args.queue:
+            from masters_thesis_tpu.tune.dispatch import (
+                run_distributed_experiment,
+            )
+
+            res = run_distributed_experiment(
+                trial, search, sched, queue_dir=args.queue)
+        else:
+            res = run_experiment(
+                trial,
+                search,
+                sched,
+                log_dir=cfg.log,
+                processes=args.processes,
+            )
         print(json.dumps({"best": res.best()["config"],
                           "best_metric": res.best()["final_metric"],
                           "n_trials": len(res.trials)}))

@@ -1,0 +1,226 @@
+"""Pallas TPU kernel: the ENTIRE greedy decode loop in one kernel.
+
+``ops/fused_step.py`` fuses one attention+LSTM step but still leaves
+``max_length`` kernel launches per caption batch, with h/c/logits bouncing
+through HBM between them and the vocab head + argmax + re-embedding in XLA.
+This kernel runs all ``max_length`` steps for a batch tile with everything
+resident in VMEM:
+
+    per step:  alpha   = softmax(vᵀ tanh(pre + h W2 + b2))   # attention
+               ctx     = Σ alpha · features
+               h, c    = LSTM([ctx ; emb], h, c)
+               logits  = ([h W_i + b_i]⁺) W_o + b_o          # vocab head
+               word    = argmax(logits)
+               emb     = onehot(word) @ E                    # re-embed (MXU)
+
+The re-embedding is a one-hot matmul against the embedding table instead of
+a dynamic gather — a (Bt, Vp)x(Vp, E) MXU op, which Pallas TPU handles where
+a data-dependent row gather would not map to the hardware. Weights are fed
+bf16 (fp32 accumulation via preferred_element_type) — this matches XLA's own
+DEFAULT matmul precision on TPU, which also rounds fp32 operands to bf16 —
+and halves the VMEM weight footprint (~12.5 MB total at flagship shape:
+LSTM 4.2 MB, head 2.9 MB, embedding 5.2 MB; 16 MB/core VMEM).
+
+Vocab is padded to a lane multiple with the padded head bias set to -1e30 so
+argmax can never select a padded id; regions are padded to a sublane multiple
+and masked to -inf before the softmax (numerics match the unpadded XLA path).
+
+Reference hot loop being fused: AttemptFour/Model/lc_NIC.py:607-632
+(greedy_predict_attention) — eager per-step TF ops with host argmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from masters_thesis_tpu.ops.fused_step import pad_regions
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
+                   wx_ref, wh_ref, b_ref, wi_ref, bi_ref, wo_ref, bo_ref,
+                   emb_ref, emb0_ref, words_out, alpha_out,
+                   *, n_regions: int, units: int, max_length: int,
+                   slope: float):
+    bt = pre_ref.shape[0]
+    h = jnp.zeros((bt, units), jnp.float32)
+    c = jnp.zeros((bt, units), jnp.float32)
+    emb = jnp.broadcast_to(emb0_ref[0], (bt, emb0_ref.shape[1])).astype(
+        jnp.float32)
+
+    words, alphas = [], []
+    for _ in range(max_length):
+        # --- Bahdanau attention (pre = features @ W1 + b1, computed once) ---
+        hw = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+        s = jnp.tanh(pre_ref[:] + (hw + b2_ref[0])[:, None, :])  # (Bt, Rp, A)
+        e = jnp.sum(s * v_ref[0][None, None, :], axis=-1) + bv_ref[0, 0]
+        rid = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+        e = jnp.where(rid < n_regions, e, -1e30)
+        e = e - jnp.max(e, axis=1, keepdims=True)
+        w = jnp.exp(e)
+        alpha = w / jnp.sum(w, axis=1, keepdims=True)            # (Bt, Rp)
+        alphas.append(alpha)
+        ctx = jnp.sum(alpha[:, :, None] * feat_ref[:], axis=1)   # (Bt, D)
+
+        # --- LSTM cell (gate order i,f,g,o: models/lstm.py:47-49) ---
+        x = jnp.concatenate([ctx, emb], axis=-1)
+        wdt = wx_ref.dtype
+        z = (
+            jnp.dot(x.astype(wdt), wx_ref[:],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(wdt), wh_ref[:],
+                      preferred_element_type=jnp.float32)
+            + b_ref[0]
+        )
+        i = jax.nn.sigmoid(z[:, :units])
+        f = jax.nn.sigmoid(z[:, units:2 * units])
+        g = jnp.tanh(z[:, 2 * units:3 * units])
+        o = jax.nn.sigmoid(z[:, 3 * units:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+
+        # --- vocab head + argmax (head: models/nic.py:115-119, eval mode) ---
+        hi = jnp.dot(h.astype(wi_ref.dtype), wi_ref[:],
+                     preferred_element_type=jnp.float32) + bi_ref[0]
+        hi = jnp.where(hi >= 0, hi, slope * hi)
+        logits = jnp.dot(hi.astype(wo_ref.dtype), wo_ref[:],
+                         preferred_element_type=jnp.float32) + bo_ref[0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # (Bt,)
+        words.append(nxt)
+
+        # --- re-embed via one-hot matmul (gather-free) ---
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                  == nxt[:, None])
+        emb = jnp.dot(onehot.astype(emb_ref.dtype), emb_ref[:],
+                      preferred_element_type=jnp.float32)
+
+    words_out[:] = jnp.stack(words, axis=1)                      # (Bt, T)
+    alpha_out[:] = jnp.stack(alphas, axis=1)                     # (Bt, T, Rp)
+
+
+def fused_greedy_decode(pre, features, w2, b2, v, bv, wx, wh, b,
+                        wi, bi, wo, bo, emb_table, emb0,
+                        n_regions: int, units: int, max_length: int,
+                        slope: float = 0.2, batch_tile: int = 8):
+    """Run the whole greedy decode for (B, Rp, ·) padded inputs.
+
+    Returns (words (B, T) int32, alphas (B, T, Rp) f32). All weight arrays
+    arrive pre-padded (vocab axis) from ``make_whole_fused_greedy_decoder``.
+    """
+    B = pre.shape[0]
+    Rp = pre.shape[1]
+    bt = min(batch_tile, B)
+    grid = (pl.cdiv(B, bt),)
+
+    on_tpu = jax.default_backend() == "tpu"
+    wdt = jnp.bfloat16 if on_tpu else jnp.float32
+    wx, wh, wi, wo = (a.astype(wdt) for a in (wx, wh, wi, wo))
+    emb_table = emb_table.astype(wdt)
+
+    b2r = b2.reshape(1, -1)
+    vr = v.reshape(1, -1)
+    bvr = jnp.asarray(bv, jnp.float32).reshape(1, 1)
+    br = b.reshape(1, -1)
+    bir = bi.reshape(1, -1)
+    bor = bo.reshape(1, -1)
+    emb0r = emb0.reshape(1, -1)
+
+    batched = lambda width: pl.BlockSpec(
+        (bt,) + width, lambda i: (i,) + (0,) * len(width),
+        memory_space=pltpu.VMEM,
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _decode_kernel, n_regions=n_regions, units=units,
+        max_length=max_length, slope=slope,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            batched(pre.shape[1:]),      # pre
+            batched(features.shape[1:]),  # features
+            full(w2.shape), full(b2r.shape), full(vr.shape), full(bvr.shape),
+            full(wx.shape), full(wh.shape), full(br.shape),
+            full(wi.shape), full(bir.shape), full(wo.shape), full(bor.shape),
+            full(emb_table.shape), full(emb0r.shape),
+        ],
+        out_specs=(
+            batched((max_length,)),
+            batched((max_length, Rp)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, max_length), jnp.int32),
+            jax.ShapeDtypeStruct((B, max_length, Rp), jnp.float32),
+        ),
+        interpret=not on_tpu,
+    )(pre, features, w2, b2r, vr, bvr, wx, wh, br, wi, bir, wo, bor,
+      emb_table, emb0r)
+
+
+def extract_decode_params(params: dict) -> dict:
+    """Attention + LSTM + head + embedding weights from a NIC param tree."""
+    attn = params["attention"]
+    return {
+        "w1": attn["W1"]["kernel"], "b1": attn["W1"]["bias"],
+        "w2": attn["W2"]["kernel"], "b2": attn["W2"]["bias"],
+        "v": attn["V"]["kernel"][:, 0], "bv": attn["V"]["bias"][0],
+        "wx": params["lstm"]["kernel"],
+        "wh": params["lstm"]["recurrent_kernel"],
+        "b": params["lstm"]["bias"],
+        "wi": params["dense_inter"]["kernel"],
+        "bi": params["dense_inter"]["bias"],
+        "wo": params["dense_out"]["kernel"],
+        "bo": params["dense_out"]["bias"],
+        "embedding": params["embedding"],
+    }
+
+
+def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
+                                    batch_tile: int = 8):
+    """Drop-in for decode.greedy.make_greedy_decoder on LSTM NIC models,
+    minus the raw logits output (words, alphas only — the serving contract).
+
+    decode(variables, betas, start_id) -> (words (B, T), alphas (B, T, R)).
+    """
+    slope = 0.2 if model.head_activation == "leaky_relu" else 0.0
+
+    def decode(variables, betas, start_id):
+        params = variables["params"]
+        sp = extract_decode_params(params)
+        features = model.apply(variables, betas, False, method="encode")
+        B, R, D = features.shape
+
+        pre = features @ sp["w1"] + sp["b1"]
+        pre_p, _ = pad_regions(pre)
+        feat_p, _ = pad_regions(features)
+
+        vocab, E = sp["embedding"].shape
+        vp = _round_up(vocab, 128)
+        wo = jnp.pad(sp["wo"], ((0, 0), (0, vp - vocab)))
+        # padded vocab ids must never win the argmax
+        bo = jnp.pad(sp["bo"], (0, vp - vocab), constant_values=-1e30)
+        emb_table = jnp.pad(sp["embedding"], ((0, vp - vocab), (0, 0)))
+        emb0 = jnp.take(sp["embedding"], start_id, axis=0)
+
+        words, alphas = fused_greedy_decode(
+            pre_p, feat_p, sp["w2"], sp["b2"], sp["v"], sp["bv"],
+            sp["wx"], sp["wh"], sp["b"], sp["wi"], sp["bi"], wo, bo,
+            emb_table, emb0,
+            n_regions=R, units=units, max_length=max_length,
+            slope=slope, batch_tile=batch_tile,
+        )
+        return words, alphas[:, :, :R]
+
+    return jax.jit(decode)

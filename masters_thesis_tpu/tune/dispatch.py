@@ -1,0 +1,245 @@
+"""Multi-host trial dispatch over a shared filesystem — the remote-cluster
+analogue of the reference's ``ray.init(address="auto")`` + Ray Tune workers
+(AttemptFour/tune.py:215-228).
+
+TPU pods don't run Ray/NCCL control planes; the idiomatic coordination
+substrate is the shared filesystem every host already mounts (NFS / GCS
+fuse). The protocol is a directory queue:
+
+    queue/
+      pending/trial_0007.json     trial specs (config + id)
+      running/trial_0007.json     claimed via atomic os.rename
+      done/trial_0007.json        result records
+      rungs.json + rungs.lock     cross-host ASHA rung state
+      STOP                        sentinel: workers drain and exit
+
+A coordinator enqueues the search space and (optionally) works the queue
+itself; any number of extra hosts join with ``mtt tune --worker --queue DIR``.
+``os.rename`` within one directory is atomic on POSIX (and on NFS for the
+same-directory case), so each trial runs exactly once; the ASHA rung file is
+guarded by an O_EXCL lockfile so the top-1/rf cutoff is computed against all
+hosts' results (ASHAScheduler.on_result_shared semantics, asha.py:44-50).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+PENDING, RUNNING, DONE = "pending", "running", "done"
+
+
+class FileLock:
+    """O_EXCL spin lock. Reentrant-free, crash-tolerant via stale timeout."""
+
+    def __init__(self, path: str, stale_s: float = 30.0, poll_s: float = 0.02):
+        self.path = path
+        self.stale_s = stale_s
+        self.poll_s = poll_s
+
+    def __enter__(self):
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.path) > self.stale_s:
+                        os.unlink(self.path)  # holder died; break the lock
+                        continue
+                except OSError:
+                    pass
+                time.sleep(self.poll_s)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
+class FileRungs:
+    """dict-like ASHA rung store backed by rungs.json; every access reads
+    fresh state so the get->append->set inside the scheduler's lock window
+    sees all hosts' reports."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict:
+        try:
+            with open(self.path) as f:
+                return {int(k): v for k, v in json.load(f).items()}
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def get(self, t: int, default=None):
+        return self._load().get(int(t), default)
+
+    def __setitem__(self, t: int, vals) -> None:
+        data = self._load()
+        data[int(t)] = list(vals)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in data.items()}, f)
+        os.replace(tmp, self.path)
+
+
+def init_queue(queue_dir: str) -> None:
+    for sub in (PENDING, RUNNING, DONE):
+        os.makedirs(os.path.join(queue_dir, sub), exist_ok=True)
+
+
+def enqueue_trials(queue_dir: str, configs) -> int:
+    """Write one spec per trial into pending/. Returns the trial count."""
+    init_queue(queue_dir)
+    n = 0
+    for i, cfg in enumerate(configs):
+        spec = {"trial_id": i, "config": cfg}
+        path = os.path.join(queue_dir, PENDING, f"trial_{i:04d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp, path)
+        n += 1
+    return n
+
+
+def claim_next(queue_dir: str, worker_id: str) -> dict | None:
+    """Atomically move one pending spec to running/; None when empty."""
+    pending = os.path.join(queue_dir, PENDING)
+    for name in sorted(os.listdir(pending)):
+        if not name.endswith(".json"):
+            continue
+        src = os.path.join(pending, name)
+        dst = os.path.join(queue_dir, RUNNING, name)
+        try:
+            os.rename(src, dst)  # atomic claim; loser raises
+        except OSError:
+            continue
+        with open(dst) as f:
+            spec = json.load(f)
+        spec["_claimed"] = dst
+        spec["_worker"] = worker_id
+        return spec
+    return None
+
+
+def write_result(queue_dir: str, spec: dict, record: dict) -> None:
+    name = f"trial_{spec['trial_id']:04d}.json"
+    path = os.path.join(queue_dir, DONE, name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, path)
+    try:
+        os.unlink(spec["_claimed"])
+    except OSError:
+        pass
+
+
+def stop_queue(queue_dir: str) -> None:
+    with open(os.path.join(queue_dir, "STOP"), "w") as f:
+        f.write("1")
+
+
+def _stopped(queue_dir: str) -> bool:
+    return os.path.exists(os.path.join(queue_dir, "STOP"))
+
+
+def run_worker(queue_dir: str, trial_fn, scheduler=None,
+               worker_id: str | None = None, poll_s: float = 0.5,
+               max_idle_s: float | None = None) -> int:
+    """Work the queue until STOP (or ``max_idle_s`` with nothing pending).
+    Returns the number of trials this worker completed."""
+    init_queue(queue_dir)
+    worker_id = worker_id or f"{os.uname().nodename}:{os.getpid()}"
+    rungs = FileRungs(os.path.join(queue_dir, "rungs.json"))
+    lock = FileLock(os.path.join(queue_dir, "rungs.lock"))
+    n_done = 0
+    idle_since = time.time()
+    while True:
+        spec = claim_next(queue_dir, worker_id)
+        if spec is None:
+            if _stopped(queue_dir):
+                return n_done
+            if max_idle_s is not None and time.time() - idle_since > max_idle_s:
+                return n_done
+            time.sleep(poll_s)
+            continue
+        idle_since = time.time()
+        history: list = []
+        stopped_early = False
+
+        def report(t, metrics):
+            nonlocal stopped_early
+            history.append({"t": t, **{k: float(v) for k, v in metrics.items()}})
+            if scheduler is not None:
+                decision = scheduler.on_result_shared(t, metrics, rungs, lock)
+                if decision == "stop":
+                    stopped_early = True
+                return decision
+            return "continue"
+
+        t0 = time.time()
+        try:
+            final = float(trial_fn(spec["config"], report))
+            record = {
+                "trial_id": spec["trial_id"], "config": spec["config"],
+                "history": history, "final_metric": final,
+                "stopped_early": stopped_early,
+                "wall_s": time.time() - t0, "worker": worker_id,
+            }
+        except Exception as e:  # record the failure; keep the queue moving
+            record = {
+                "trial_id": spec["trial_id"], "config": spec["config"],
+                "history": history, "final_metric": None,
+                "error": f"{type(e).__name__}: {e}",
+                "wall_s": time.time() - t0, "worker": worker_id,
+            }
+        write_result(queue_dir, spec, record)
+        n_done += 1
+
+
+def collect_results(queue_dir: str, n_expected: int, poll_s: float = 0.5,
+                    timeout_s: float | None = None) -> list[dict]:
+    """Block until n_expected results exist in done/; returns them sorted."""
+    done = os.path.join(queue_dir, DONE)
+    t0 = time.time()
+    while True:
+        names = [n for n in os.listdir(done) if n.endswith(".json")]
+        if len(names) >= n_expected:
+            break
+        if timeout_s is not None and time.time() - t0 > timeout_s:
+            raise TimeoutError(
+                f"{len(names)}/{n_expected} trials done after {timeout_s}s")
+        time.sleep(poll_s)
+    out = []
+    for name in sorted(names):
+        with open(os.path.join(done, name)) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda r: r["trial_id"])
+
+
+def run_distributed_experiment(trial_fn, search, scheduler=None,
+                               metric: str = "val_loss", mode: str = "min",
+                               queue_dir: str = None, work_inline: bool = True,
+                               timeout_s: float | None = None):
+    """Coordinator: enqueue the search space, optionally work the queue on
+    this host, gather all results. Extra hosts attach any time with
+    ``run_worker(queue_dir, ...)`` / ``mtt tune --worker --queue DIR``."""
+    from masters_thesis_tpu.tune.runner import TuneResult
+
+    assert queue_dir, "queue_dir required"
+    configs = list(search)
+    n = enqueue_trials(queue_dir, configs)
+    if work_inline:
+        run_worker(queue_dir, trial_fn, scheduler, max_idle_s=2.0)
+    records = collect_results(queue_dir, n, timeout_s=timeout_s)
+    stop_queue(queue_dir)
+    result = TuneResult(metric=metric, mode=mode)
+    result.trials = [r for r in records if r.get("final_metric") is not None]
+    return result

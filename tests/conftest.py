@@ -15,6 +15,57 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
+
+# ---- fast/slow tiering -------------------------------------------------
+# Tests measured >=15s on the virtual-CPU mesh (dominated by end-to-end
+# run_training compiles and full-resolution backbone graph builds) are
+# auto-marked `slow`, centrally, from this list. Default `pytest` runs
+# everything; `pytest -m "not slow"` is the <5 min tier that still covers
+# all core numerics (model/cell/attention/decode/loss/optimizer parity,
+# sharding rules, data layer, eval suite).
+_SLOW_TESTS = {
+    "test_batch_stats_update",
+    "test_bf16_config_runs_and_keeps_fp32_masters",
+    "test_captioner_from_run_dir",
+    "test_cli_features_subcommand",
+    "test_cli_metrics_smoke",
+    "test_cli_train_other_families",
+    "test_cli_train_smoke",
+    "test_cli_tune_smoke",
+    "test_different_seed_differs",
+    "test_dryrun_multichip_4",
+    "test_dryrun_multichip_8",
+    "test_dryrun_reexec_when_backend_locked",
+    "test_efficientnet_b0_block_structure",
+    "test_efficientnet_b3_pooled_width",
+    "test_grad_stats_and_analyze_artifacts",
+    "test_groups_to_remove_applied",
+    "test_inception_v3_full_resolution_shapes",
+    "test_modelsummary_written",
+    "test_ms2_nic_sharded_train_step_over_mesh",
+    "test_ms2_nic_trains_and_modes_share_params",
+    "test_real_data_build_and_train",
+    "test_resnet50_structure_and_shapes",
+    "test_resume_from_checkpoint",
+    "test_run_eval_beam_writes_nonzero_attention",
+    "test_run_training_activates_scanned_mode",
+    "test_sam_step_runs",
+    "test_same_seed_same_everything",
+    "test_scanned_steps_match_sequential_gathered",
+    "test_scanned_steps_sam_matches_per_step",
+    "test_train_step_reduces_loss",
+    "test_trainer_runs_and_logs",
+    "test_trainer_with_scanned_steps",
+    "test_warm_start_by_name_merge",
+    "test_analyze_vertex_attention",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

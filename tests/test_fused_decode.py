@@ -1,0 +1,63 @@
+"""Whole-decode fused kernel: token/alpha parity vs the XLA greedy decoder
+(interpret mode on the CPU mesh; fp32 weights so numerics are exact)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+from masters_thesis_tpu.models.nic import LcNIC
+from masters_thesis_tpu.ops.fused_decode import make_whole_fused_greedy_decoder
+from masters_thesis_tpu.ops.group_layout import GroupLayout
+
+
+def _build(b=6, n_voxels=48, groups=None, units=16, vocab=40, max_len=5,
+           attn=8, gsize=4):
+    groups = groups or [np.arange(i * 8, (i + 1) * 8) for i in range(6)]
+    layout = GroupLayout(groups, n_voxels)
+    model = LcNIC(layout=layout, units=units, group_size=gsize,
+                  embedding_text=12, attn_units=attn, vocab_size=vocab,
+                  max_length=max_len)
+    betas = jax.random.normal(jax.random.PRNGKey(0), (b, n_voxels))
+    tokens = jnp.zeros((b, max_len), jnp.int32)
+    a0 = jnp.zeros((b, units))
+    variables = model.init(jax.random.PRNGKey(1), betas, tokens, a0, a0)
+    return model, variables, betas, units, max_len
+
+
+@pytest.mark.parametrize("batch_tile", [8, 3])
+def test_fused_whole_decode_matches_xla(batch_tile):
+    model, variables, betas, units, max_len = _build()
+    ref = make_greedy_decoder(model, units, max_len)
+    fused = make_whole_fused_greedy_decoder(model, units, max_len,
+                                            batch_tile=batch_tile)
+    words_ref, _, alphas_ref = ref(variables, betas, 1)
+    words, alphas = fused(variables, betas, 1)
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(words_ref))
+    np.testing.assert_allclose(np.asarray(alphas), np.asarray(alphas_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_whole_decode_vocab_padding_never_wins():
+    # vocab 40 pads to 128; if the -1e30 pad bias were missing, argmax could
+    # land in [40, 128) — assert all ids in range
+    model, variables, betas, units, max_len = _build(vocab=40)
+    fused = make_whole_fused_greedy_decoder(model, units, max_len)
+    words, _ = fused(variables, betas, 1)
+    assert int(np.max(np.asarray(words))) < 40
+
+
+def test_fused_whole_decode_ragged_regions():
+    # 5 groups (odd region count exercises the region-pad mask)
+    groups = [np.arange(i * 8, (i + 1) * 8) for i in range(5)]
+    model, variables, betas, units, max_len = _build(
+        b=4, n_voxels=40, groups=groups)
+    ref = make_greedy_decoder(model, units, max_len)
+    fused = make_whole_fused_greedy_decoder(model, units, max_len)
+    words_ref, _, alphas_ref = ref(variables, betas, 1)
+    words, alphas = fused(variables, betas, 1)
+    assert alphas.shape == alphas_ref.shape  # (B, T, 5) — pad stripped
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(words_ref))
+    np.testing.assert_allclose(np.asarray(alphas), np.asarray(alphas_ref),
+                               rtol=1e-5, atol=1e-6)
