@@ -112,19 +112,25 @@ def main() -> None:
         )
 
     # ---- headline: scanned multi-step training (device throughput) ----
-    sstep = make_scanned_train_steps(model, cfg, rules)
+    # the store rides the packed (N, S, 128) layout so the in-step batch
+    # gather runs through the Pallas DMA kernel (ops/gather.py)
+    from masters_thesis_tpu.ops.gather import pack_rows
+
+    packed = pack_rows(np.asarray(store)) if jax.default_backend() == "tpu" \
+        else store
+    sstep = make_scanned_train_steps(model, cfg, rules, store_width=N_VOXELS)
     idx = jnp.asarray(rng.integers(0, n_store, (SCAN_K, B)), jnp.int32)
     toks = jnp.broadcast_to(tokens, (SCAN_K, B, cfg.max_length))
     tgts = jnp.broadcast_to(target, (SCAN_K, B, cfg.max_length))
     state = fresh_state()
-    state, metrics = sstep(state, store, idx, toks, tgts)  # compile + warm
+    state, metrics = sstep(state, packed, idx, toks, tgts)  # compile + warm
     float(np.asarray(metrics["loss"])[-1])
     # NOTE: timings force a host transfer of the result each call —
     # block_until_ready does not reliably track completion on the remote
     # (axon) runtime and reports dispatch time instead of execution time
     t0 = time.perf_counter()
     for _ in range(SCAN_REPS):
-        state, metrics = sstep(state, store, idx, toks, tgts)
+        state, metrics = sstep(state, packed, idx, toks, tgts)
         final_loss = float(np.asarray(metrics["loss"])[-1])
     steps_per_sec = SCAN_K * SCAN_REPS / (time.perf_counter() - t0)
 
@@ -152,13 +158,14 @@ def main() -> None:
         try:
             bcfg = dataclasses.replace(cfg)
             bcfg.tpu = dataclasses.replace(cfg.tpu, compute_dtype="bfloat16")
-            bstep = make_scanned_train_steps(model, bcfg, rules)
+            bstep = make_scanned_train_steps(model, bcfg, rules,
+                                             store_width=N_VOXELS)
             bstate = fresh_state()
-            bstate, bm = bstep(bstate, store, idx, toks, tgts)
+            bstate, bm = bstep(bstate, packed, idx, toks, tgts)
             float(np.asarray(bm["loss"])[-1])
             t0 = time.perf_counter()
             for _ in range(SCAN_REPS):
-                bstate, bm = bstep(bstate, store, idx, toks, tgts)
+                bstate, bm = bstep(bstate, packed, idx, toks, tgts)
                 float(np.asarray(bm["loss"])[-1])
             bf16_steps_per_sec = (
                 SCAN_K * SCAN_REPS / (time.perf_counter() - t0)

@@ -35,15 +35,25 @@ class ArrayStore:
     """Dense (N, ...) row store with key → row-index lookup."""
 
     def __init__(self, data, keys: Sequence[int], device_resident: bool = False,
-                 dtype=None):
+                 dtype=None, pack_lanes: bool = False):
         keys = [int(k) for k in keys]
         assert len(keys) == len(data), "keys must match rows"
         self.key_to_idx = {k: i for i, k in enumerate(keys)}
         self.keys = np.asarray(keys, dtype=np.int64)
         self.device_resident = device_resident
+        self.n_cols = int(np.shape(data)[1]) if np.ndim(data) == 2 else None
+        self.packed = False
         if device_resident:
             assert jnp is not None, "jax required for device-resident store"
-            self.data = jnp.asarray(data, dtype=dtype)
+            if pack_lanes:
+                # (N, S, 128) row-block layout for the Pallas DMA gather
+                # (ops/gather.py) — ~6x jnp.take row-fetch bandwidth on TPU
+                from masters_thesis_tpu.ops.gather import pack_rows
+
+                self.data = pack_rows(data, dtype=dtype)
+                self.packed = True
+            else:
+                self.data = jnp.asarray(data, dtype=dtype)
         else:
             self.data = data if dtype is None else np.asarray(data, dtype=dtype)
 
@@ -57,12 +67,24 @@ class ArrayStore:
         return np.asarray(self.data[idx])
 
     def device_array(self):
-        """The full store as a device array (for on-device gather)."""
+        """The full store as a device array (for on-device gather); packed
+        stores return the (N, S, 128) layout — gather via ``device_gather``
+        or ``ops.gather.gather_rows``."""
         assert self.device_resident
         return self.data
 
+    def device_gather(self, idx):
+        """On-device batch gather honouring the store layout; returns
+        (B, n_cols)."""
+        from masters_thesis_tpu.ops.gather import gather_rows
+
+        assert self.device_resident
+        return gather_rows(self.data, jnp.asarray(idx), width=self.n_cols)
+
     @property
     def row_shape(self):
+        if self.packed:
+            return (self.n_cols,)
         return tuple(self.data.shape[1:])
 
     def __len__(self) -> int:

@@ -306,12 +306,17 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
     if cfg.tpu.scan_steps > 1 and not store.device_resident:
         # multi-step training gathers betas on device: move the store into
-        # HBM once (optionally bf16 — the gather is the probed bottleneck)
+        # HBM once (optionally bf16). On TPU the store is packed into the
+        # (N, S, 128) row-block layout so the in-step gather runs through
+        # the Pallas DMA kernel (ops/gather.py, measured 5.8x jnp.take)
+        import jax
+
         from masters_thesis_tpu.data.store import ArrayStore
 
         store = ArrayStore(
             np.asarray(store.data), store.keys.tolist(),
             device_resident=True, dtype=cfg.tpu.store_dtype,
+            pack_lanes=jax.default_backend() == "tpu",
         )
 
     train_enc = encode_pairs(pairs["train"], tok, cfg.max_length)
@@ -322,7 +327,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
     batch = next(iter(BatchPipeline(train_enc, store, bs, seed=0, prefetch=0).epoch()))
     betas0 = (np.asarray(batch["betas"]) if "betas" in batch
-              else np.asarray(store.device_array(), np.float32)[batch["idx"]])
+              else np.asarray(store.device_gather(batch["idx"]), np.float32))
     params, batch_stats, rng = init_model(model, cfg, betas0, batch["tokens"])
     if cfg.warm_start:
         from masters_thesis_tpu.train.checkpoint import warm_start_from_run
@@ -436,7 +441,8 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         from masters_thesis_tpu.train.steps import make_scanned_train_steps
 
         trainer.use_scanned_steps(
-            make_scanned_train_steps(model, cfg, l2_rules, masked=masked)
+            make_scanned_train_steps(model, cfg, l2_rules, masked=masked,
+                                     store_width=n_voxels)
         )
     logs = trainer.fit(epochs=epochs, start_epoch=start_epoch)
     bundle = {
@@ -562,8 +568,7 @@ def run_eval(bundle, run_path: str, epoch: int | None = None,
     all_words, all_attn, all_keys = [], [], []
     for batch in pipe.epoch():
         betas = (jnp.asarray(batch["betas"]) if "betas" in batch
-                 else jnp.take(store.device_array(),
-                               jnp.asarray(batch["idx"]), axis=0))
+                 else store.device_gather(batch["idx"]))
         if decoder == "greedy":
             words, _, attn = dec(variables, betas, tok.start_id)
         else:

@@ -109,11 +109,14 @@ def _decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
 def fused_greedy_decode(pre, features, w2, b2, v, bv, wx, wh, b,
                         wi, bi, wo, bo, emb_table, emb0,
                         n_regions: int, units: int, max_length: int,
-                        slope: float = 0.2, batch_tile: int = 8):
+                        slope: float = 0.2, batch_tile: int = 8,
+                        feat_bf16: bool = False):
     """Run the whole greedy decode for (B, Rp, ·) padded inputs.
 
     Returns (words (B, T) int32, alphas (B, T, Rp) f32). All weight arrays
     arrive pre-padded (vocab axis) from ``make_whole_fused_greedy_decoder``.
+    ``feat_bf16`` stores the per-tile pre/features blocks in bf16, halving
+    their VMEM so larger batch tiles fit (better MXU row utilisation).
     """
     B = pre.shape[0]
     Rp = pre.shape[1]
@@ -124,6 +127,9 @@ def fused_greedy_decode(pre, features, w2, b2, v, bv, wx, wh, b,
     wdt = jnp.bfloat16 if on_tpu else jnp.float32
     wx, wh, wi, wo = (a.astype(wdt) for a in (wx, wh, wi, wo))
     emb_table = emb_table.astype(wdt)
+    if feat_bf16 and on_tpu:
+        pre = pre.astype(jnp.bfloat16)
+        features = features.astype(jnp.bfloat16)
 
     b2r = b2.reshape(1, -1)
     vr = v.reshape(1, -1)
@@ -164,6 +170,9 @@ def fused_greedy_decode(pre, features, w2, b2, v, bv, wx, wh, b,
             jax.ShapeDtypeStruct((B, max_length), jnp.int32),
             jax.ShapeDtypeStruct((B, max_length, Rp), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=not on_tpu,
     )(pre, features, w2, b2r, vr, bvr, wx, wh, br, wi, bir, wo, bor,
       emb_table, emb0r)
@@ -188,7 +197,8 @@ def extract_decode_params(params: dict) -> dict:
 
 
 def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
-                                    batch_tile: int = 8):
+                                    batch_tile: int = 8,
+                                    feat_bf16: bool = False):
     """Drop-in for decode.greedy.make_greedy_decoder on LSTM NIC models,
     minus the raw logits output (words, alphas only — the serving contract).
 
@@ -219,7 +229,7 @@ def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
             sp["wx"], sp["wh"], sp["b"], sp["wi"], sp["bi"], wo, bo,
             emb_table, emb0,
             n_regions=R, units=units, max_length=max_length,
-            slope=slope, batch_tile=batch_tile,
+            slope=slope, batch_tile=batch_tile, feat_bf16=feat_bf16,
         )
         return words, alphas[:, :, :R]
 

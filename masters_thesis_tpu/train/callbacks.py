@@ -114,10 +114,7 @@ class PredictPreview(Callback):
         if "betas" in self.batch:
             betas = jnp.asarray(self.batch["betas"])
         else:  # device-resident store: gather by index
-            betas = jnp.take(
-                trainer.store.device_array(),
-                jnp.asarray(self.batch["idx"]), axis=0,
-            )
+            betas = trainer.store.device_gather(self.batch["idx"])
         words, _, _ = self.decoder(variables, betas, self.tokenizer.start_id)
         texts = self.tokenizer.sequences_to_texts(list(words))
         with open(self.path, "a") as f:
@@ -158,10 +155,7 @@ class CaptionImagePreview(Callback):
         if "betas" in self.batch:
             betas = jnp.asarray(self.batch["betas"])
         else:
-            betas = jnp.take(
-                trainer.store.device_array(),
-                jnp.asarray(self.batch["idx"]), axis=0,
-            )
+            betas = trainer.store.device_gather(self.batch["idx"])
         words, _, _ = self.decoder(variables, betas, self.tokenizer.start_id)
         texts = self.tokenizer.sequences_to_texts(list(words))
         for i, text in enumerate(texts[: self.max_images]):
@@ -230,10 +224,7 @@ class GradStats(Callback):
         if "betas" in self.batch:
             betas = jnp.asarray(self.batch["betas"])
         else:
-            betas = jnp.take(
-                trainer.store.device_array(),
-                jnp.asarray(self.batch["idx"]), axis=0,
-            )
+            betas = trainer.store.device_gather(self.batch["idx"])
         stats = self.stats_fn(
             trainer.state, betas, jnp.asarray(self.batch["tokens"]),
             jnp.asarray(self.batch["target"]),

@@ -125,9 +125,7 @@ class Trainer:
         if "betas" in batch:
             betas = jnp.asarray(batch["betas"])
         else:
-            betas = jnp.take(
-                self.store.device_array(), jnp.asarray(batch["idx"]), axis=0
-            )
+            betas = self.store.device_gather(batch["idx"])
         return betas, jnp.asarray(batch["tokens"]), jnp.asarray(batch["target"])
 
     def fit(self, epochs: int | None = None, start_epoch: int = 0) -> dict:

@@ -14,6 +14,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from masters_thesis_tpu.ops.gather import gather_rows
+
 from masters_thesis_tpu.train.losses import (
     accuracy,
     attention_loss,
@@ -192,7 +194,8 @@ def make_grad_stats_fn(model, cfg, l2_rules, masked: bool = False):
     return fn
 
 
-def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False):
+def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
+                             store_width: int | None = None):
     """Multi-step trainer: ONE device call runs K optimisation steps via
     ``lax.scan`` over stacked index/token batches, gathering betas from the
     HBM-resident store inside the loop.
@@ -209,7 +212,10 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False):
     def steps(state, store, idx, tokens, target):
         def body(state, batch):
             idx_, tok_, tgt_ = batch
-            betas = jnp.take(store, idx_, axis=0)
+            # honours both store layouts: 2D jnp.take or the packed
+            # (N, S, 128) Pallas DMA gather (ops/gather.py — the probed
+            # 5.8x row-fetch win that dominated the step)
+            betas = gather_rows(store, idx_, width=store_width)
             mask = (tgt_ != 0) if masked else None
             rng = jax.random.fold_in(state.rng, state.step)
 
@@ -248,13 +254,14 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False):
     return steps
 
 
-def make_gathered_train_step(model, cfg, l2_rules, masked: bool = False):
+def make_gathered_train_step(model, cfg, l2_rules, masked: bool = False,
+                             store_width: int | None = None):
     """Train step taking (state, store, idx, tokens, target): the beta rows
     are gathered from the HBM-resident store INSIDE the compiled step, so the
     host only ships ~KB of token ids per step."""
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, store, idx, tokens, target):
-        betas = jnp.take(store, idx, axis=0)
+        betas = gather_rows(store, idx, width=store_width)
         mask = (target != 0) if masked else None
         rng = jax.random.fold_in(state.rng, state.step)
 

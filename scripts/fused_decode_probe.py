@@ -45,12 +45,13 @@ def bench(tag, dec):
     return np.asarray(w)
 
 w_plain = bench("plain XLA", make_greedy_decoder(model, cfg.units, cfg.max_length))
-for bt in (8, 16, 32):
+for bt, fb in ((8, False), (16, True), (32, True)):
     try:
-        w_fused = bench(f"fused whole-decode bt={bt}",
+        w_fused = bench(f"fused whole-decode bt={bt} fb16={fb}",
                         make_whole_fused_greedy_decoder(
-                            model, cfg.units, cfg.max_length, batch_tile=bt))
+                            model, cfg.units, cfg.max_length, batch_tile=bt,
+                            feat_bf16=fb))
         agree = float((w_plain == w_fused).mean())
         print(f"  token agreement vs XLA: {agree:.4f}", flush=True)
     except Exception as e:
-        print(f"  bt={bt} failed:", str(e)[:400], flush=True)
+        print(f"  bt={bt} failed:", str(e)[:300], flush=True)
