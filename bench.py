@@ -112,13 +112,28 @@ def main() -> None:
         )
 
     # ---- headline: scanned multi-step training (device throughput) ----
-    # the store rides the packed (N, S, 128) layout so the in-step batch
-    # gather runs through the Pallas DMA kernel (ops/gather.py)
+    # production input path: the store is permuted ONCE into the encoder's
+    # grouped layout (pregathered encoder skips its 84 MB/step gather) and
+    # packed (N, S, 128) so the in-step batch fetch runs through the Pallas
+    # DMA kernel (ops/gather.py)
     from masters_thesis_tpu.ops.gather import pack_rows
 
-    packed = pack_rows(np.asarray(store)) if jax.default_backend() == "tpu" \
-        else store
-    sstep = make_scanned_train_steps(model, cfg, rules, store_width=N_VOXELS)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        permuted = layout.permute_rows(np.asarray(store))
+        store_width = None   # pregathered encoder ignores the padded tail
+        packed = pack_rows(permuted)
+        del permuted
+        train_model = LcNIC(
+            layout=layout, units=cfg.units, group_size=cfg.group_size,
+            embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+            vocab_size=cfg.vocab_size, max_length=cfg.max_length,
+            pregathered=True,
+        )
+    else:
+        packed, store_width, train_model = store, N_VOXELS, model
+    sstep = make_scanned_train_steps(train_model, cfg, rules,
+                                     store_width=store_width)
     idx = jnp.asarray(rng.integers(0, n_store, (SCAN_K, B)), jnp.int32)
     toks = jnp.broadcast_to(tokens, (SCAN_K, B, cfg.max_length))
     tgts = jnp.broadcast_to(target, (SCAN_K, B, cfg.max_length))
@@ -158,8 +173,8 @@ def main() -> None:
         try:
             bcfg = dataclasses.replace(cfg)
             bcfg.tpu = dataclasses.replace(cfg.tpu, compute_dtype="bfloat16")
-            bstep = make_scanned_train_steps(model, bcfg, rules,
-                                             store_width=N_VOXELS)
+            bstep = make_scanned_train_steps(train_model, bcfg, rules,
+                                             store_width=store_width)
             bstate = fresh_state()
             bstate, bm = bstep(bstate, packed, idx, toks, tgts)
             float(np.asarray(bm["loss"])[-1])

@@ -153,9 +153,10 @@ def _build_real_data(cfg: Config):
 
 # ---------------------------------------------------------------- model
 
-def build_model(cfg: Config, groups, n_voxels: int):
+def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
     """Select the model family from cfg.model; returns (model, l2_rules,
-    masked)."""
+    masked). ``pregathered`` (LcNIC family only) builds the encoder for
+    grouped-layout inputs (permuted HBM store fast path)."""
     name = cfg.model.lower()
     if name in ("lc_nic", "ms_nic"):
         from masters_thesis_tpu.models.nic import LcNIC
@@ -163,6 +164,7 @@ def build_model(cfg: Config, groups, n_voxels: int):
         layout = GroupLayout(groups, n_voxels)
         model = LcNIC(
             layout=layout,
+            pregathered=pregathered,
             units=cfg.units,
             group_size=cfg.group_size,
             embedding_text=cfg.embedding_text,
@@ -298,23 +300,42 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     split, pairs, tok, store, groups = build_data(cfg, smoke_keys)
     tok.save(os.path.join(run_path, "tokenizer.json"))
 
+    import jax
+
     n_voxels = store.row_shape[0]
-    model, l2_rules, masked = build_model(cfg, groups, n_voxels)
+    # pregathered fast path: when the whole run trains from an HBM store on
+    # TPU with a LocallyDense encoder, permute the store into the grouped
+    # padded layout ONCE at upload — the encoder then skips its own
+    # 84 MB/step voxel->group gather (the layout is the encoder's static
+    # bucket order; params/checkpoints are identical either way)
+    pregathered = (
+        cfg.tpu.scan_steps > 1
+        and not store.device_resident
+        and jax.default_backend() == "tpu"
+        and cfg.model.lower() in ("lc_nic", "ms_nic")
+    )
+    model, l2_rules, masked = build_model(cfg, groups, n_voxels,
+                                          pregathered=pregathered)
     # persist the group layout so the model can be rebuilt for serving
     if cfg.model.lower() in ("lc_nic", "ms_nic", "ms2_nic"):
         GroupLayout(groups, n_voxels).save(os.path.join(run_path, "layout.npz"))
 
+    store_width = n_voxels
     if cfg.tpu.scan_steps > 1 and not store.device_resident:
         # multi-step training gathers betas on device: move the store into
         # HBM once (optionally bf16). On TPU the store is packed into the
         # (N, S, 128) row-block layout so the in-step gather runs through
         # the Pallas DMA kernel (ops/gather.py, measured 5.8x jnp.take)
-        import jax
-
         from masters_thesis_tpu.data.store import ArrayStore
 
+        data = np.asarray(store.data)
+        if pregathered:
+            data = GroupLayout(groups, n_voxels).permute_rows(data)
+            # no width slice: the pregathered encoder ignores the packed
+            # store's lane-padding tail (per-bucket segment slices)
+            store_width = None
         store = ArrayStore(
-            np.asarray(store.data), store.keys.tolist(),
+            data, store.keys.tolist(),
             device_resident=True, dtype=cfg.tpu.store_dtype,
             pack_lanes=jax.default_backend() == "tpu",
         )
@@ -442,7 +463,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
         trainer.use_scanned_steps(
             make_scanned_train_steps(model, cfg, l2_rules, masked=masked,
-                                     store_width=n_voxels)
+                                     store_width=store_width)
         )
     logs = trainer.fit(epochs=epochs, start_epoch=start_epoch)
     bundle = {

@@ -71,8 +71,11 @@ class LocallyDense(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         if self.pregathered:
-            assert x.shape[-1] == self.layout.padded_total, (
-                f"pregathered input must be {self.layout.padded_total} wide"
+            # >= : packed HBM stores carry a lane-padding tail beyond
+            # padded_total; the per-bucket segment slices below never touch
+            # it, so no up-front width slice (an 85 MB/step copy) is needed
+            assert x.shape[-1] >= self.layout.padded_total, (
+                f"pregathered input must be >= {self.layout.padded_total} wide"
             )
         else:
             # x: (B, N) -> pad a zero column for the padding gather slot

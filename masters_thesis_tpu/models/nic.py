@@ -201,15 +201,21 @@ def LcNIC(
     dropout_attn: float = 0.2,
     dropout_lstm: float = 0.2,
     dropout_out: float = 0.2,
+    pregathered: bool = False,
     **kw: Any,
 ) -> NIC:
     """Flagship brain-decoder (lc_NIC.py configuration). Extra kwargs pass
     through to NIC (e.g. pretrained_embedding for the glove_NIC variant,
-    learned_init_state for the tmp_lc_NIC init-from-features variant)."""
+    learned_init_state for the tmp_lc_NIC init-from-features variant).
+
+    ``pregathered=True`` expects inputs already in the grouped padded layout
+    (GroupLayout.permute_rows) — the training fast path where the HBM store
+    is permuted once at upload so the encoder skips its 84 MB/step gather.
+    Same param tree either way (checkpoints interchange freely)."""
     return NIC(
         encoder=LocallyDense(
             layout=layout, out_dim=group_size, dropout=dropout_features,
-            name="encoder",
+            pregathered=pregathered, name="encoder",
         ),
         units=units,
         embedding_text=embedding_text,

@@ -111,3 +111,59 @@ def test_store_pack_lanes_and_device_gather():
     assert store.device_array().shape == (6, 2, 128)
     got = store.device_gather(np.asarray([2, 5]))
     np.testing.assert_allclose(np.asarray(got), data[[2, 5]], rtol=0)
+
+
+def test_scanned_steps_pregathered_store_parity():
+    """Permuted store + pregathered encoder produces the exact trajectory of
+    the raw store + gathering encoder (the production TPU fast path's
+    numerics, validated on the CPU mesh)."""
+    import jax
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.models.nic import LcNIC
+    from masters_thesis_tpu.ops.group_layout import GroupLayout
+    from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+    from masters_thesis_tpu.train.optim import make_optimizer
+    from masters_thesis_tpu.train.state import TrainState, init_model
+    from masters_thesis_tpu.train.steps import make_scanned_train_steps
+
+    cfg = Config(batch_size=4, max_length=6, units=16, attn_units=8,
+                 group_size=4, embedding_text=8, top_k=40)
+    n_voxels, n_keys, K = 180, 10, 3
+    groups = [np.arange(i * 20, (i + 1) * 20) for i in range(9)]
+    layout = GroupLayout(groups, n_voxels)
+    mk = lambda pg: LcNIC(
+        layout=layout, units=cfg.units, group_size=cfg.group_size,
+        embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+        vocab_size=cfg.vocab_size, max_length=cfg.max_length, pregathered=pg)
+    model, model_pg = mk(False), mk(True)
+
+    rng = np.random.default_rng(5)
+    store2d = jnp.asarray(rng.standard_normal((n_keys, n_voxels)), jnp.float32)
+    permuted = layout.permute_rows(np.asarray(store2d))
+    packed = pack_rows(permuted)
+    idx = jnp.asarray(rng.integers(0, n_keys, (K, cfg.batch_size)), jnp.int32)
+    toks = jnp.asarray(
+        rng.integers(1, 40, (K, cfg.batch_size, cfg.max_length)), jnp.int32)
+    tgts = jnp.asarray(
+        rng.integers(0, 40, (K, cfg.batch_size, cfg.max_length)), jnp.int32)
+
+    params, bstats, prng = init_model(model, cfg, store2d[: cfg.batch_size],
+                                      toks[0])
+    tx = make_optimizer(cfg)
+
+    def fresh():
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        return TrainState.create(params=copy(params), batch_stats=copy(bstats),
+                                 tx=tx, rng=jnp.copy(prng))
+
+    rules = lc_nic_l2_rules(cfg)
+    s_raw = make_scanned_train_steps(model, cfg, rules)
+    s_pg = make_scanned_train_steps(model_pg, cfg, rules,
+                                    store_width=permuted.shape[1])
+    _, m1 = s_raw(fresh(), store2d, idx, toks, tgts)
+    _, m2 = s_pg(fresh(), packed, idx, toks, tgts)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1["accuracy"]),
+                               np.asarray(m2["accuracy"]), rtol=1e-6)
