@@ -74,3 +74,105 @@ for sb in (8, 24, 856, S):
         bench(f"pallas gather s_block={sb}", make_pallas_take(sb), store3)
     except Exception as e:
         print(f"  s_block={sb} failed: {str(e)[:200]}", flush=True)
+
+
+# ---- variant 2: direct HBM->HBM row copies, NB outstanding DMAs ----------
+# refs stay in ANY (HBM) memory space: no VMEM staging, no tiling
+# constraints, so this works on the raw 2D (N, V) store directly.
+def make_dma_take(nb, store_arr):
+    def _kernel(idx_ref, store_ref, out_ref, sem):
+        nrows = out_ref.shape[0]
+
+        def dma(i):
+            return pltpu.make_async_copy(
+                store_ref.at[idx_ref[i]], out_ref.at[i], sem.at[i % nb])
+
+        def body(i, _):
+            @pl.when(i >= nb)
+            def _():
+                dma(i - nb).wait()
+            dma(i).start()
+            return 0
+
+        jax.lax.fori_loop(0, nrows, body, 0)
+
+        def drain(i, _):
+            dma(i).wait()
+            return 0
+
+        jax.lax.fori_loop(jnp.maximum(0, nrows - nb), nrows, drain, 0)
+
+    def gather(st, flat_idx):
+        return pl.pallas_call(
+            _kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((nb,))],
+            ),
+            out_shape=jax.ShapeDtypeStruct((flat_idx.shape[0],)
+                                           + st.shape[1:], st.dtype),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(flat_idx, st)
+
+    @jax.jit
+    def fn(st, idx):
+        def body(c, i):
+            rows = gather(st, i)
+            return c + rows.sum(), 0
+        s, _ = jax.lax.scan(body, 0.0, idx)
+        return s
+    return fn
+
+
+for nb in (2, 4, 8, 16):
+    try:
+        bench(f"dma hbm2hbm 2D nb={nb}", make_dma_take(nb, store), store)
+    except Exception as e:
+        print(f"  nb={nb} failed: {str(e)[:300]}", flush=True)
+
+# correctness: dma gather == take
+@jax.jit
+def take_once(st, i):
+    return jnp.take(st, i, axis=0)
+one_idx = idx[0]
+got = None
+try:
+    g = make_dma_take(4, store)
+    # reuse the inner gather via a fresh call for value check
+    def _check():
+        def _kernel(idx_ref, store_ref, out_ref, sem):
+            nrows = out_ref.shape[0]
+            def dma(i):
+                return pltpu.make_async_copy(
+                    store_ref.at[idx_ref[i]], out_ref.at[i], sem.at[i % 4])
+            def body(i, _):
+                @pl.when(i >= 4)
+                def _():
+                    dma(i - 4).wait()
+                dma(i).start()
+                return 0
+            jax.lax.fori_loop(0, nrows, body, 0)
+            def drain(i, _):
+                dma(i).wait()
+                return 0
+            jax.lax.fori_loop(jnp.maximum(0, nrows - 4), nrows, drain, 0)
+        return pl.pallas_call(
+            _kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+            ),
+            out_shape=jax.ShapeDtypeStruct((one_idx.shape[0], V), store.dtype),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(one_idx, store)
+    rows = _check()
+    ref = take_once(store, one_idx)
+    print("dma gather exact:", bool((np.asarray(rows) == np.asarray(ref)).all()),
+          flush=True)
+except Exception as e:
+    print("check failed:", str(e)[:300], flush=True)
