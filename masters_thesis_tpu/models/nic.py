@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from masters_thesis_tpu.models.attention import BahdanauAttention
@@ -136,6 +137,11 @@ class NIC(nn.Module):
 
         if self.learned_init_state:
             a0, c0 = self.init_carry(features)
+        # recurrent state rides in fp32 regardless of compute dtype: the
+        # cell's matmuls accumulate in fp32 anyway (bf16 inputs come from the
+        # weights), and nn.scan requires a dtype-stable carry
+        a0 = a0.astype(jnp.float32)
+        c0 = c0.astype(jnp.float32)
         carry = self._carry(a0, c0)
 
         def step(mod, carry, emb_t):
@@ -143,6 +149,8 @@ class NIC(nn.Module):
             context, alpha = mod.attention(h, features, training=training)
             x = jnp.concatenate([context, emb_t], axis=-1)
             carry, out = mod.cell(carry, x)
+            carry = jax.tree_util.tree_map(
+                lambda s: s.astype(jnp.float32), carry)
             out = mod.drop_lstm(out, deterministic=not training)
             return carry, (out, alpha[..., 0])
 

