@@ -49,7 +49,11 @@ class TPUConfig:
     compute_dtype: str = "float32"   # bfloat16 for speed once parity is locked
     donate_state: bool = True
     prefetch_depth: int = 2
-    use_pallas: bool = False         # fused Pallas kernels on the hot path
+    use_pallas: bool = True          # Pallas kernels where measured faster:
+    #                                  the DMA store gather (ops/gather.py)
+    #                                  and the whole-decode serving kernel
+    #                                  (ops/fused_decode.py); False forces
+    #                                  plain-XLA paths everywhere
     remat: bool = False              # jax.checkpoint the per-step scan body
     scan_steps: int = 0              # >0: run K optimisation steps per device
     #                                  call (needs a device-resident store)

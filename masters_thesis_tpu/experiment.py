@@ -337,7 +337,8 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         store = ArrayStore(
             data, store.keys.tolist(),
             device_resident=True, dtype=cfg.tpu.store_dtype,
-            pack_lanes=jax.default_backend() == "tpu",
+            pack_lanes=(jax.default_backend() == "tpu"
+                        and cfg.tpu.use_pallas),
         )
 
     train_enc = encode_pairs(pairs["train"], tok, cfg.max_length)

@@ -66,7 +66,6 @@ class LocallyDense(nn.Module):
     #                                 (localDense.py: activation=None)
     pregathered: bool = False   # input already in grouped layout
     #                             (GroupLayout.permute_rows — no hot-path gather)
-    use_pallas: bool = False    # fused Pallas block-dense kernel
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -98,22 +97,12 @@ class LocallyDense(nn.Module):
             bias = self.param(
                 f"bias_{b}", nn.initializers.zeros, (gb, self.out_dim),
             )
-            if self.use_pallas:
-                assert self.activation == "leaky_relu", (
-                    "the fused Pallas block-dense kernel bakes in leaky_relu"
-                )
-                from masters_thesis_tpu.ops.block_dense import block_dense_leaky
-
-                outs.append(
-                    block_dense_leaky(xg, w, bias, self.negative_slope)
-                )
-            else:
-                y = jnp.einsum(
-                    "bgp,gpd->bgd", xg, w, preferred_element_type=jnp.float32
-                ) + bias
-                if self.activation == "leaky_relu":
-                    y = leaky_relu(y, self.negative_slope)
-                outs.append(y)
+            y = jnp.einsum(
+                "bgp,gpd->bgd", xg, w, preferred_element_type=jnp.float32
+            ) + bias
+            if self.activation == "leaky_relu":
+                y = leaky_relu(y, self.negative_slope)
+            outs.append(y)
 
         out = jnp.concatenate(outs, axis=1)                 # (B, ΣG_b, D)
         out = jnp.take(out, jnp.asarray(self.layout.unpermute), axis=1)

@@ -1,10 +1,11 @@
 """Pallas TPU kernel: the ENTIRE greedy decode loop in one kernel.
 
-``ops/fused_step.py`` fuses one attention+LSTM step but still leaves
-``max_length`` kernel launches per caption batch, with h/c/logits bouncing
-through HBM between them and the vocab head + argmax + re-embedding in XLA.
-This kernel runs all ``max_length`` steps for a batch tile with everything
-resident in VMEM:
+A per-step fused kernel (attention+LSTM only) leaves ``max_length`` kernel
+launches per caption batch, with h/c/logits bouncing through HBM between
+them and the vocab head + argmax + re-embedding in XLA — measured SLOWER
+than plain XLA (round 1; that kernel has been removed). This kernel instead
+runs all ``max_length`` steps for a batch tile with everything resident in
+VMEM:
 
     per step:  alpha   = softmax(vᵀ tanh(pre + h W2 + b2))   # attention
                ctx     = Σ alpha · features
@@ -38,11 +39,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from masters_thesis_tpu.ops.fused_step import pad_regions
-
-
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def pad_regions(x, multiple: int = 8):
+    """Pad axis 1 (regions) up to a multiple; returns (padded, true_R)."""
+    r = x.shape[1]
+    rp = -(-r // multiple) * multiple
+    if rp == r:
+        return x, r
+    pad = [(0, 0)] * x.ndim
+    pad[1] = (0, rp - r)
+    return jnp.pad(x, pad), r
 
 
 def _decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,

@@ -22,7 +22,8 @@ from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
 class Captioner:
     def __init__(self, model, variables, tokenizer, units: int,
                  max_length: int, batch_size: int = 64, beam_width: int = 5,
-                 input_width: int | None = None):
+                 input_width: int | None = None,
+                 use_fused: bool | None = None):
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -33,7 +34,26 @@ class Captioner:
         # XLA clamps out-of-bounds gathers, so a wrong-width input would
         # silently produce garbage captions — validate explicitly
         self.input_width = input_width
+        # greedy fast path: the whole-decode Pallas kernel
+        # (ops/fused_decode.py — measured >= XLA with identical tokens at
+        # flagship shape). None = auto: on for LSTM NIC models on TPU.
+        self.use_fused = use_fused
         self._decoders: dict = {}
+
+    def _fused_eligible(self) -> bool:
+        import jax
+
+        from masters_thesis_tpu.models.nic import NIC
+
+        if self.use_fused is not None:
+            return self.use_fused
+        return (
+            jax.default_backend() == "tpu"
+            and isinstance(self.model, NIC)
+            and self.model.cell_type == "lstm"
+            and not self.model.learned_init_state
+            and not getattr(self.model.encoder, "pregathered", False)
+        )
 
     @classmethod
     def from_components(cls, model, params, batch_stats, tokenizer, units,
@@ -90,7 +110,22 @@ class Captioner:
 
     def _decoder(self, kind: str):
         if kind not in self._decoders:
-            if kind == "greedy":
+            if kind == "greedy" and self._fused_eligible():
+                from masters_thesis_tpu.ops.fused_decode import (
+                    make_whole_fused_greedy_decoder,
+                )
+
+                fused = make_whole_fused_greedy_decoder(
+                    self.model, self.units, self.max_length,
+                    batch_tile=min(64, self.batch_size),
+                )
+
+                def dec(variables, betas, start_id):
+                    words, alphas = fused(variables, betas, start_id)
+                    return words, None, alphas
+
+                self._decoders[kind] = dec
+            elif kind == "greedy":
                 from masters_thesis_tpu.decode.greedy import make_greedy_decoder
 
                 self._decoders[kind] = make_greedy_decoder(

@@ -45,7 +45,7 @@ def bench(tag, dec):
     return np.asarray(w)
 
 w_plain = bench("plain XLA", make_greedy_decoder(model, cfg.units, cfg.max_length))
-for bt, fb in ((8, False), (16, True), (32, True)):
+for bt, fb in ((16, False), (32, False), (64, True), (64, False)):
     try:
         w_fused = bench(f"fused whole-decode bt={bt} fb16={fb}",
                         make_whole_fused_greedy_decoder(

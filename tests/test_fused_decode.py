@@ -61,3 +61,21 @@ def test_fused_whole_decode_ragged_regions():
     np.testing.assert_array_equal(np.asarray(words), np.asarray(words_ref))
     np.testing.assert_allclose(np.asarray(alphas), np.asarray(alphas_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_captioner_fused_path_matches_xla():
+    """Captioner with use_fused=True produces the same captions as the XLA
+    greedy decoder (interpret-mode kernel on the CPU mesh)."""
+    from masters_thesis_tpu.data.tokenizer import Tokenizer
+    from masters_thesis_tpu.serve import Captioner
+
+    model, variables, betas, units, max_len = _build(b=4)
+    tok = Tokenizer(num_words=38)
+    tok.fit_on_texts(["<start> a b c <end>"] * 3)
+    tok.install_pad()
+
+    mk = lambda fused: Captioner(
+        model, variables, tok, units, max_len, batch_size=4, use_fused=fused)
+    ids_fused = mk(True).caption_ids(np.asarray(betas), decoder="greedy")
+    ids_xla = mk(False).caption_ids(np.asarray(betas), decoder="greedy")
+    np.testing.assert_array_equal(ids_fused, ids_xla)
