@@ -204,11 +204,41 @@ def _dryrun_impl(n_devices: int) -> None:
     state, metrics = step(state, betas, tokens, target)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), f"non-finite loss {loss}"
+
+    # the production multi-step path: K scanned steps per call over a mesh-
+    # sharded HBM store (store voxel axis over 'model', batch over 'data')
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from masters_thesis_tpu.parallel.sharding import (
+        make_sharded_scanned_train_steps,
+    )
+
+    K = 2
+    store = jnp.asarray(
+        rng.standard_normal((4 * cfg.batch_size, n_voxels)), jnp.float32
+    )
+    store = jax.device_put(store, NamedSharding(mesh, P(None, "model")))
+    idx = jax.device_put(
+        jnp.asarray(rng.integers(0, store.shape[0], (K, cfg.batch_size)),
+                    jnp.int32),
+        NamedSharding(mesh, P(None, "data")))
+    toks = jax.device_put(
+        jnp.broadcast_to(tokens, (K,) + tokens.shape),
+        NamedSharding(mesh, P(None, "data")))
+    tgts = jax.device_put(
+        jnp.broadcast_to(target, (K,) + target.shape),
+        NamedSharding(mesh, P(None, "data")))
+    sstep = make_sharded_scanned_train_steps(model, cfg, rules, mesh, state)
+    state, smetrics = sstep(state, store, idx, toks, tgts)
+    sloss = float(np.asarray(smetrics["loss"])[-1])
+    assert np.isfinite(sloss), f"non-finite scanned loss {sloss}"
+
     realized = _realized_shardings(state)
     print(
         f"dryrun_multichip({n_devices}): "
         f"mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
-        f"loss={loss:.4f} shardings={realized} ok"
+        f"loss={loss:.4f} scanned_k{K}_loss={sloss:.4f} "
+        f"shardings={realized} ok"
     )
 
 

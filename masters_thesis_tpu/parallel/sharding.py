@@ -161,6 +161,45 @@ def make_sharded_train_step(model, cfg, l2_rules, mesh: Mesh, state,
     return step
 
 
+def make_sharded_scanned_train_steps(model, cfg, l2_rules, mesh: Mesh, state,
+                                     masked: bool = False,
+                                     store_width: int | None = None,
+                                     store_ndim: int = 2):
+    """The K-steps-per-call trainer jitted over the mesh.
+
+    Shardings: the HBM beta store rides P(None, 'model') — its voxel axis is
+    sharded like the encoder's padded-voxel weight axis, so the in-loop row
+    gather produces betas already laid out P('data', 'model') for the
+    voxel-sharded encoder, and no full-width batch is ever materialised on
+    one chip. idx/tokens/targets shard their batch axis over 'data' (the K
+    leading axis stays unsharded — it is the sequential scan).
+
+    The gather inside runs through XLA's partitioned gather (GSPMD handles
+    sharded ``jnp.take``); the single-chip Pallas DMA gather is not GSPMD-
+    partitionable, so multi-chip stores stay in the 2D layout — per-chip
+    Pallas gather over a shard_map is the future integration point if the
+    partitioned gather shows up in multi-chip profiles.
+
+    ``steps(state, store (N, V), idx (K, B), tokens, target)``.
+    """
+    from masters_thesis_tpu.train.steps import make_scanned_train_steps
+
+    base = make_scanned_train_steps(model, cfg, l2_rules, masked=masked,
+                                    store_width=store_width, jit=False)
+    st_sh = state_shardings(state, mesh)
+    rep = NamedSharding(mesh, P())
+    store_sh = NamedSharding(
+        mesh, P(None, "model") if store_ndim == 2 else P(None, "model", None))
+    kb = NamedSharding(mesh, P(None, "data"))
+
+    return jax.jit(
+        base,
+        in_shardings=(st_sh, store_sh, kb, kb, kb),
+        out_shardings=(st_sh, rep),
+        donate_argnums=(0,),
+    )
+
+
 def global_batch_from_host_local(batch: dict, mesh: Mesh,
                                  with_voxel_axis: bool = False) -> dict:
     """Multi-host input: assemble per-host batch shards into global arrays.

@@ -195,7 +195,8 @@ def make_grad_stats_fn(model, cfg, l2_rules, masked: bool = False):
 
 
 def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
-                             store_width: int | None = None):
+                             store_width: int | None = None,
+                             jit: bool = True):
     """Multi-step trainer: ONE device call runs K optimisation steps via
     ``lax.scan`` over stacked index/token batches, gathering betas from the
     HBM-resident store inside the loop.
@@ -206,9 +207,9 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
     per-step metrics (K, ...).
 
     ``steps(state, store, idx (K,B), tokens (K,B,T), target (K,B,T))``.
-    """
+    ``jit=False`` returns the raw python body (the sharded wrapper in
+    parallel/sharding.py jits it with explicit in/out shardings)."""
 
-    @partial(jax.jit, donate_argnums=(0,))
     def steps(state, store, idx, tokens, target):
         def body(state, batch):
             idx_, tok_, tgt_ = batch
@@ -251,7 +252,9 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
 
         return jax.lax.scan(body, state, (idx, tokens, target))
 
-    return steps
+    if not jit:
+        return steps
+    return jax.jit(steps, donate_argnums=(0,))
 
 
 def make_gathered_train_step(model, cfg, l2_rules, masked: bool = False,

@@ -62,6 +62,7 @@ _SLOW_TESTS = {
     "test_trainer_with_scanned_steps",
     "test_warm_start_by_name_merge",
     "test_analyze_vertex_attention",
+    "test_sharded_scanned_steps_match_unsharded",
 }
 
 

@@ -45,3 +45,69 @@ def test_resume_from_checkpoint(tmp_path):
     )
     assert bundle2["manager"].latest_epoch() == 1
     assert int(bundle2["state"].step) > int(bundle["state"].step)
+
+
+def test_sharded_scanned_steps_match_unsharded():
+    """K scanned steps over the ('data','model') mesh with a voxel-sharded
+    store reproduce the single-device trajectory (GSPMD numerics)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.models.nic import LcNIC
+    from masters_thesis_tpu.ops.group_layout import GroupLayout
+    from masters_thesis_tpu.parallel.mesh import make_mesh
+    from masters_thesis_tpu.parallel.sharding import (
+        make_sharded_scanned_train_steps,
+        shard_params,
+    )
+    from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+    from masters_thesis_tpu.train.optim import make_optimizer
+    from masters_thesis_tpu.train.state import TrainState, init_model
+    from masters_thesis_tpu.train.steps import make_scanned_train_steps
+
+    mesh = make_mesh(data=4, model=2)
+    cfg = Config(batch_size=8, max_length=5, top_k=63, units=16, attn_units=8,
+                 group_size=4, embedding_text=8, dropout_features=0.0,
+                 dropout_text=0.0, dropout_attn=0.0, dropout_lstm=0.0,
+                 dropout_out=0.0)
+    n_voxels, K = 256, 3
+    groups = [np.arange(i * 32, (i + 1) * 32) for i in range(8)]
+    model = LcNIC(layout=GroupLayout(groups, n_voxels), units=cfg.units,
+                  group_size=cfg.group_size, embedding_text=cfg.embedding_text,
+                  attn_units=cfg.attn_units, vocab_size=cfg.vocab_size,
+                  max_length=cfg.max_length)
+    rng = np.random.default_rng(0)
+    store = jnp.asarray(rng.standard_normal((32, n_voxels)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 32, (K, cfg.batch_size)), jnp.int32)
+    toks = jnp.asarray(rng.integers(1, cfg.vocab_size,
+                                    (K, cfg.batch_size, cfg.max_length)),
+                       jnp.int32)
+    tgts = jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                    (K, cfg.batch_size, cfg.max_length)),
+                       jnp.int32)
+    params, bstats, prng = init_model(model, cfg, store[: cfg.batch_size],
+                                      toks[0])
+    tx = make_optimizer(cfg)
+
+    def fresh():
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        return TrainState.create(params=copy(params), batch_stats=copy(bstats),
+                                 tx=tx, rng=jnp.copy(prng))
+
+    rules = lc_nic_l2_rules(cfg)
+    _, m_ref = make_scanned_train_steps(model, cfg, rules)(
+        fresh(), store, idx, toks, tgts)
+
+    state = shard_params(fresh(), mesh)
+    sstep = make_sharded_scanned_train_steps(model, cfg, rules, mesh, state)
+    from jax.sharding import PartitionSpec as PS
+
+    store_s = jax.device_put(store, NamedSharding(mesh, PS(None, "model")))
+    kb = NamedSharding(mesh, PS(None, "data"))
+    _, m_sh = sstep(state, store_s,
+                    jax.device_put(idx, kb), jax.device_put(toks, kb),
+                    jax.device_put(tgts, kb))
+    np.testing.assert_allclose(np.asarray(m_ref["loss"]),
+                               np.asarray(m_sh["loss"]), rtol=2e-5, atol=1e-6)
