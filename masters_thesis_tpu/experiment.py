@@ -577,9 +577,30 @@ def run_eval(bundle, run_path: str, epoch: int | None = None,
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if decoder == "greedy":
-        from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+        import jax
 
-        dec = make_greedy_decoder(model, cfg.units, cfg.max_length)
+        from masters_thesis_tpu.models.nic import NIC
+
+        if (jax.default_backend() == "tpu" and cfg.tpu.use_pallas
+                and isinstance(model, NIC) and model.cell_type == "lstm"
+                and not model.learned_init_state):
+            # serving fast path: whole-decode Pallas kernel — same tokens
+            # (parity-tested), real per-step alphas for the attention
+            # artifact; raw logits aren't consumed by the eval artifacts
+            from masters_thesis_tpu.ops.fused_decode import (
+                make_whole_fused_greedy_decoder,
+            )
+
+            fused = make_whole_fused_greedy_decoder(
+                model, cfg.units, cfg.max_length, batch_tile=min(64, bs))
+
+            def dec(variables, betas, start_id):
+                words, alphas = fused(variables, betas, start_id)
+                return words, None, alphas
+        else:
+            from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+
+            dec = make_greedy_decoder(model, cfg.units, cfg.max_length)
     else:
         from masters_thesis_tpu.decode.beam import make_beam_decoder
 
