@@ -53,100 +53,100 @@ def _gates(z, units):
 
 
 def _fwd_kernel(pre_ref, feat_ref, emb_ref, w2_ref, b2_ref, v_ref, bv_ref,
-                wx_ref, wh_ref, b_ref,
+                wxc_ref, wxe_ref, wh_ref, b_ref,
                 hseq_out, alpha_out, hst_out, cst_out,
                 *, n_regions: int, units: int, max_length: int):
     bt = pre_ref.shape[0]
-    h = jnp.zeros((bt, units), jnp.float32)
-    c = jnp.zeros((bt, units), jnp.float32)
-    wdt = wx_ref.dtype
+    wdt = wxc_ref.dtype
+    rid = jax.lax.broadcasted_iota(
+        jnp.int32, (bt, pre_ref.shape[1]), 1)
 
-    hs, alphas, hstack, cstack = [], [], [h], [c]
-    for t in range(max_length):
+    h0 = jnp.zeros((bt, units), jnp.float32)
+    hst_out[:, 0, :] = h0
+    cst_out[:, 0, :] = h0
+
+    def step(t, carry):
+        h, c = carry
         hw = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
         s = jnp.tanh(pre_ref[:] + (hw + b2_ref[0])[:, None, :])
         e = jnp.sum(s * v_ref[0][None, None, :], axis=-1) + bv_ref[0, 0]
-        rid = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
         e = jnp.where(rid < n_regions, e, -1e30)
         e = e - jnp.max(e, axis=1, keepdims=True)
         w = jnp.exp(e)
         alpha = w / jnp.sum(w, axis=1, keepdims=True)
-        alphas.append(alpha)
+        alpha_out[:, t, :] = alpha
         ctx = jnp.sum(alpha[:, :, None] * feat_ref[:], axis=1)
 
-        x = jnp.concatenate([ctx, emb_ref[:, t, :]], axis=-1)
-        z = (jnp.dot(x.astype(wdt), wx_ref[:],
+        # x = [ctx; emb] @ Wx done as two dots — Mosaic cannot concat
+        # vectors with mismatched lane layouts, and the split is free math
+        z = (jnp.dot(ctx.astype(wdt), wxc_ref[:],
                      preferred_element_type=jnp.float32)
+             + jnp.dot(emb_ref[:, t, :].astype(wdt), wxe_ref[:],
+                       preferred_element_type=jnp.float32)
              + jnp.dot(h.astype(wdt), wh_ref[:],
                        preferred_element_type=jnp.float32)
              + b_ref[0])
         i, f, g, o = _gates(z, units)
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        hs.append(h)
-        hstack.append(h)
-        cstack.append(c)
+        hseq_out[:, t, :] = h
+        hst_out[:, t + 1, :] = h
+        cst_out[:, t + 1, :] = c
+        return h, c
 
-    hseq_out[:] = jnp.stack(hs, axis=1)              # (Bt, T, U)
-    alpha_out[:] = jnp.stack(alphas, axis=1)         # (Bt, T, Rp)
-    hst_out[:] = jnp.stack(hstack, axis=1)           # (Bt, T+1, U)
-    cst_out[:] = jnp.stack(cstack, axis=1)
+    jax.lax.fori_loop(0, max_length, step, (h0, h0))
 
 
 def _bwd_kernel(pre_ref, feat_ref, emb_ref, w2_ref, b2_ref, v_ref, bv_ref,
-                wx_ref, wh_ref, b_ref, alpha_ref, hst_ref, cst_ref,
+                wxc_ref, wxe_ref, wh_ref, b_ref, alpha_ref, hst_ref, cst_ref,
                 ghseq_ref, galpha_ref,
-                gpre_out, gfeat_out, gemb_out, gw2_out, gb2_out, gv_out,
-                gbv_out, gwx_out, gwh_out, gb_out,
+                gpre_out, gfeat_out, gemb_out, gb2_out, gv_out,
+                gbv_out, dz_out, dhw_out,
                 *, n_regions: int, units: int, max_length: int,
                 total_b: int):
     bt = pre_ref.shape[0]
-    D = feat_ref.shape[2]
-    wdt = wx_ref.dtype
+    wdt = wxc_ref.dtype
 
     # ragged last tile: out-of-range block rows are clamped duplicates (TPU)
     # or uninitialised/NaN (interpret mode) — either way they must not reach
-    # the weight-gradient accumulators. Zero every loaded row (NaN-safe
-    # jnp.where, not multiplication) so the whole chain for invalid rows is
-    # exactly zero.
+    # the gradient outputs. Zero every loaded row (NaN-safe jnp.where).
     row = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
     valid = row + pl.program_id(0) * bt < total_b          # (bt, 1) bool
     v3 = valid[:, :, None]
     zero = jnp.float32(0.0)
     pre_l = jnp.where(v3, pre_ref[:], zero)
     feat_l = jnp.where(v3, feat_ref[:], zero)
-    emb_l = jnp.where(v3, emb_ref[:], zero)
-
-    gh = jnp.zeros((bt, units), jnp.float32)
-    gc = jnp.zeros((bt, units), jnp.float32)
-    gpre = jnp.zeros(pre_ref.shape, jnp.float32)
-    gfeat = jnp.zeros(feat_ref.shape, jnp.float32)
-    gw2 = jnp.zeros(w2_ref.shape, jnp.float32)
-    gb2 = jnp.zeros((1, w2_ref.shape[1]), jnp.float32)
-    gv = jnp.zeros((1, v_ref.shape[1]), jnp.float32)
-    gbv = jnp.zeros((1, 1), jnp.float32)
-    gwx = jnp.zeros(wx_ref.shape, jnp.float32)
-    gwh = jnp.zeros(wh_ref.shape, jnp.float32)
-    gb = jnp.zeros((1, b_ref.shape[1]), jnp.float32)
-    gembs = []
 
     rid = jax.lax.broadcasted_iota(
         jnp.int32, (bt, pre_ref.shape[1]), 1)
     region_mask = (rid < n_regions).astype(jnp.float32)
 
-    for t in range(max_length - 1, -1, -1):
+    # the fori_loop (vs python unroll) keeps one body's register pressure;
+    # the (Bt,R,·) accumulators live in the output refs (VMEM), updated
+    # in place per step
+    gpre_out[:] = jnp.zeros(pre_ref.shape, jnp.float32)
+    gfeat_out[:] = jnp.zeros(feat_ref.shape, jnp.float32)
+    gb2_out[0] = jnp.zeros((1, w2_ref.shape[1]), jnp.float32)
+    gv_out[0] = jnp.zeros((1, v_ref.shape[1]), jnp.float32)
+    gbv_out[0] = jnp.zeros((1, 1), jnp.float32)
+
+    def step(k, carry):
+        gh, gc = carry
+        t = max_length - 1 - k
         h_t = jnp.where(valid, hst_ref[:, t, :], zero)
         c_t = jnp.where(valid, cst_ref[:, t, :], zero)
         c_next = jnp.where(valid, cst_ref[:, t + 1, :], zero)
         alpha = jnp.where(valid, alpha_ref[:, t, :], zero)
+        emb_t = jnp.where(valid, emb_ref[:, t, :], zero)
 
         # ---- recompute the step's forward intermediates ----
         hw = jnp.dot(h_t, w2_ref[:], preferred_element_type=jnp.float32)
         s = jnp.tanh(pre_l + (hw + b2_ref[0])[:, None, :])
         ctx = jnp.sum(alpha[:, :, None] * feat_l, axis=1)
-        x = jnp.concatenate([ctx, emb_l[:, t, :]], axis=-1)
-        z = (jnp.dot(x.astype(wdt), wx_ref[:],
+        z = (jnp.dot(ctx.astype(wdt), wxc_ref[:],
                      preferred_element_type=jnp.float32)
+             + jnp.dot(emb_t.astype(wdt), wxe_ref[:],
+                       preferred_element_type=jnp.float32)
              + jnp.dot(h_t.astype(wdt), wh_ref[:],
                        preferred_element_type=jnp.float32)
              + b_ref[0])
@@ -167,49 +167,35 @@ def _bwd_kernel(pre_ref, feat_ref, emb_ref, w2_ref, b2_ref, v_ref, bv_ref,
             dg * (1.0 - g * g),
             do * o * (1.0 - o),
         ], axis=-1)                                   # (Bt, 4U)
-        gwx = gwx + jnp.dot(x.T, dz,
-                            preferred_element_type=jnp.float32).astype(gwx.dtype)
-        gwh = gwh + jnp.dot(h_t.T, dz,
-                            preferred_element_type=jnp.float32).astype(gwh.dtype)
-        gb = gb + jnp.sum(dz, axis=0, keepdims=True)
-        dx = jnp.dot(dz.astype(wdt), wx_ref[:].T,
-                     preferred_element_type=jnp.float32)
+        dz_out[:, t, :] = dz
+        dctx = jnp.dot(dz.astype(wdt), wxc_ref[:].T,
+                       preferred_element_type=jnp.float32)
+        gemb_out[:, t, :] = jnp.dot(dz.astype(wdt), wxe_ref[:].T,
+                                    preferred_element_type=jnp.float32)
         gh_lstm = jnp.dot(dz.astype(wdt), wh_ref[:].T,
                           preferred_element_type=jnp.float32)
-        dctx = dx[:, :D]
-        gembs.append(dx[:, D:])
 
         # ---- attention backward ----
         dalpha = jnp.sum(feat_l * dctx[:, None, :], axis=-1)
         dalpha = dalpha + jnp.where(valid, galpha_ref[:, t, :], zero)
-        gfeat = gfeat + alpha[:, :, None] * dctx[:, None, :]
+        gfeat_out[:] += alpha[:, :, None] * dctx[:, None, :]
         de = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=1, keepdims=True))
         de = de * region_mask
-        gbv = gbv + jnp.sum(de)[None, None]
+        gbv_out[0] += jnp.sum(de)[None, None]
         ds = de[:, :, None] * v_ref[0][None, None, :]
-        gv = gv + jnp.sum(s * de[:, :, None], axis=(0, 1))[None, :]
+        gv_out[0] += jnp.sum(s * de[:, :, None], axis=(0, 1))[None, :]
         dtanh = ds * (1.0 - s * s)
-        gpre = gpre + dtanh
-        gb2 = gb2 + jnp.sum(dtanh, axis=(0, 1))[None, :]
+        gpre_out[:] += dtanh
+        gb2_out[0] += jnp.sum(dtanh, axis=(0, 1))[None, :]
         dhw = jnp.sum(dtanh, axis=1)                  # (Bt, A)
-        gw2 = gw2 + jnp.dot(h_t.T, dhw,
-                            preferred_element_type=jnp.float32)
+        dhw_out[:, t, :] = dhw
         gh_attn = jnp.dot(dhw, w2_ref[:].T,
                           preferred_element_type=jnp.float32)
 
-        gh = gh_lstm + gh_attn
+        return gh_lstm + gh_attn, gc
 
-    gpre_out[:] = gpre
-    gfeat_out[:] = gfeat
-    gemb_out[:] = jnp.stack(gembs[::-1], axis=1)      # (Bt, T, E)
-    # weight grads land in this tile's slot of the (ntiles, ...) outputs
-    gw2_out[0] = gw2
-    gb2_out[0] = gb2
-    gv_out[0] = gv
-    gbv_out[0] = gbv
-    gwx_out[0] = gwx.astype(jnp.float32)
-    gwh_out[0] = gwh.astype(jnp.float32)
-    gb_out[0] = gb
+    z0 = jnp.zeros((bt, units), jnp.float32)
+    jax.lax.fori_loop(0, max_length, step, (z0, z0))
 
 
 def _specs(bt, shapes_batched, shapes_full, n_extra_grid_outs=0):
@@ -227,7 +213,7 @@ def _specs(bt, shapes_batched, shapes_full, n_extra_grid_outs=0):
     return batched, full, tiled
 
 
-def _pallas_fwd(pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
+def _pallas_fwd(pre, feat, emb, w2, b2r, vr, bvr, wxc, wxe, wh, br,
                 n_regions, units, max_length, batch_tile, interpret):
     B, Rp, A = pre.shape
     bt = min(batch_tile, B)
@@ -242,7 +228,7 @@ def _pallas_fwd(pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
             batched(pre.shape[1:]), batched(feat.shape[1:]),
             batched(emb.shape[1:]),
             full(w2.shape), full(b2r.shape), full(vr.shape), full(bvr.shape),
-            full(wx.shape), full(wh.shape), full(br.shape),
+            full(wxc.shape), full(wxe.shape), full(wh.shape), full(br.shape),
         ],
         out_specs=(
             batched((max_length, units)),
@@ -259,10 +245,10 @@ def _pallas_fwd(pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br)
+    )(pre, feat, emb, w2, b2r, vr, bvr, wxc, wxe, wh, br)
 
 
-def _pallas_bwd(pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
+def _pallas_bwd(pre, feat, emb, w2, b2r, vr, bvr, wxc, wxe, wh, br,
                 alphas, hst, cst, ghseq, galphas,
                 n_regions, units, max_length, batch_tile, interpret):
     B, Rp, A = pre.shape
@@ -281,7 +267,7 @@ def _pallas_bwd(pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
             batched(pre.shape[1:]), batched(feat.shape[1:]),
             batched(emb.shape[1:]),
             full(w2.shape), full(b2r.shape), full(vr.shape), full(bvr.shape),
-            full(wx.shape), full(wh.shape), full(br.shape),
+            full(wxc.shape), full(wxe.shape), full(wh.shape), full(br.shape),
             batched(alphas.shape[1:]), batched(hst.shape[1:]),
             batched(cst.shape[1:]),
             batched(ghseq.shape[1:]), batched(galphas.shape[1:]),
@@ -290,36 +276,45 @@ def _pallas_bwd(pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
             batched((Rp, A)),                 # gpre
             batched((Rp, D)),                 # gfeat
             batched((max_length, E)),         # gemb
-            tiled(w2.shape),                  # per-tile weight grads ...
-            tiled((1, A)),
-            tiled((1, A)),
-            tiled((1, 1)),
-            tiled(wx.shape),
-            tiled(wh.shape),
-            tiled((1, 4 * units)),
+            tiled((1, A)),                    # gb2 (per tile)
+            tiled((1, A)),                    # gv
+            tiled((1, 1)),                    # gbv
+            batched((max_length, 4 * units)),  # dz stack
+            batched((max_length, A)),          # dhw stack
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Rp, A), jnp.float32),
             jax.ShapeDtypeStruct((B, Rp, D), jnp.float32),
             jax.ShapeDtypeStruct((B, max_length, E), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles,) + w2.shape, jnp.float32),
             jax.ShapeDtypeStruct((ntiles, 1, A), jnp.float32),
             jax.ShapeDtypeStruct((ntiles, 1, A), jnp.float32),
             jax.ShapeDtypeStruct((ntiles, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles,) + wx.shape, jnp.float32),
-            jax.ShapeDtypeStruct((ntiles,) + wh.shape, jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, 1, 4 * units), jnp.float32),
+            jax.ShapeDtypeStruct((B, max_length, 4 * units), jnp.float32),
+            jax.ShapeDtypeStruct((B, max_length, A), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
+    )(pre, feat, emb, w2, b2r, vr, bvr, wxc, wxe, wh, br,
       alphas, hst, cst, ghseq, galphas)
-    (gpre, gfeat, gemb, gw2_t, gb2_t, gv_t, gbv_t, gwx_t, gwh_t, gb_t) = outs
-    # cross-tile reduction of the per-tile weight grads (XLA)
+    (gpre, gfeat, gemb, gb2_t, gv_t, gbv_t, dz, dhw) = outs
+    # weight-gradient contractions over (B*T) rows in XLA (MXU-friendly
+    # big matmuls; the kernel owns only the sequential chain)
+    T = max_length
+    region_ok = (jnp.arange(Rp) < n_regions)[None, None, :]
+    ctx = jnp.einsum("btr,brd->btd", alphas * region_ok, feat,
+                     preferred_element_type=jnp.float32)
+    DZ = dz.reshape(B * T, -1)
+    gwxc = ctx.reshape(B * T, -1).T @ DZ
+    gwxe = emb.reshape(B * T, -1).T @ DZ
+    HT = hst[:, :T, :].reshape(B * T, -1)
+    gwh = HT.T @ DZ
+    gw2 = HT.T @ dhw.reshape(B * T, -1)
+    gb = DZ.sum(axis=0)
+    gwx = jnp.concatenate([gwxc, gwxe], axis=0)
     return (gpre, gfeat, gemb,
-            gw2_t.sum(0), gb2_t.sum(0)[0], gv_t.sum(0)[0],
-            gbv_t.sum()[()], gwx_t.sum(0), gwh_t.sum(0), gb_t.sum(0)[0])
+            gw2, gb2_t.sum(0)[0], gv_t.sum(0)[0],
+            gbv_t.sum(), gwx, gwh, gb)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
@@ -343,21 +338,23 @@ def _fused_rnn_fwd(pre, feat, emb, w2, b2, v, bv, wx, wh, b,
                    n_regions, units, max_length, batch_tile):
     interpret = jax.default_backend() != "tpu"
     b2r, vr, bvr, br = _prep(b2, v, bv, b)
+    D = feat.shape[2]
+    wxc, wxe = wx[:D], wx[D:]
     hseq, alphas, hst, cst = _pallas_fwd(
-        pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
+        pre, feat, emb, w2, b2r, vr, bvr, wxc, wxe, wh, br,
         n_regions, units, max_length, batch_tile, interpret)
-    residuals = (pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
+    residuals = (pre, feat, emb, w2, b2r, vr, bvr, wxc, wxe, wh, br,
                  alphas, hst, cst)
     return (hseq, alphas), residuals
 
 
 def _fused_rnn_bwd(n_regions, units, max_length, batch_tile, residuals, cts):
     ghseq, galphas = cts
-    (pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
+    (pre, feat, emb, w2, b2r, vr, bvr, wxc, wxe, wh, br,
      alphas, hst, cst) = residuals
     interpret = jax.default_backend() != "tpu"
     (gpre, gfeat, gemb, gw2, gb2, gv, gbv, gwx, gwh, gb) = _pallas_bwd(
-        pre, feat, emb, w2, b2r, vr, bvr, wx, wh, br,
+        pre, feat, emb, w2, b2r, vr, bvr, wxc, wxe, wh, br,
         alphas, hst, cst, ghseq, galphas,
         n_regions, units, max_length, batch_tile, interpret)
     return (gpre, gfeat, gemb, gw2, gb2, gv, gbv, gwx, gwh, gb)
