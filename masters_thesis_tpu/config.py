@@ -61,6 +61,8 @@ class TPUConfig:
     #                                  [10, 10+N) -> <run>/profile.json (the
     #                                  reference's commented-out profile_batch,
     #                                  main.py:210)
+    profile_trace: bool = False      # capture a JAX profiler (XPlane) trace
+    #                                  of the first epoch -> <run>/trace/
     store_dtype: str = "float32"     # HBM beta-store dtype; bfloat16 halves
     #                                  the per-step gather bytes (the probed
     #                                  bottleneck) at ~3 decimal digits of

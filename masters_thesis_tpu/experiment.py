@@ -279,6 +279,12 @@ def _step_profiling(run_path: str, cfg: Config):
     return StepProfiling(run_path, cfg.tpu.profile_steps)
 
 
+def _trace_capture(run_path: str):
+    from masters_thesis_tpu.train.callbacks import TraceCapture
+
+    return TraceCapture(run_path)
+
+
 def _greedy_decoder(model, cfg):
     from masters_thesis_tpu.decode.greedy import make_greedy_decoder
 
@@ -454,6 +460,8 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             ),
             *([_step_profiling(run_path, cfg)]
               if cfg.tpu.profile_steps > 0 else []),
+            *([_trace_capture(run_path)]
+              if cfg.tpu.profile_trace else []),
             *extra_callbacks,
         ],
         store=store,

@@ -204,6 +204,36 @@ class StepProfiling(Callback):
                 json.dump(stats, f, indent=1)
 
 
+class TraceCapture(Callback):
+    """JAX profiler (XPlane) trace of the first epoch -> <run>/trace/
+    (viewable in TensorBoard's profile tab / Perfetto — the deep-dive half
+    of the reference's profile_batch plan, SURVEY §5 tracing; enabled via
+    ``tpu.profile_trace``)."""
+
+    def __init__(self, run_path: str):
+        self.logdir = os.path.join(run_path, "trace")
+        self._active = False
+
+    def on_train_begin(self, trainer):
+        import jax
+
+        jax.profiler.start_trace(self.logdir)
+        self._active = True
+
+    def _stop(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        self._stop()  # first epoch only: traces grow fast
+
+    def on_train_end(self, trainer):
+        self._stop()  # safety net for 0-epoch/interrupted runs
+
+
 class GradStats(Callback):
     """Per-parameter gradient norms/means/maxes -> df_grads.csv
     (main.py:359-361's gradient dump, but per-epoch rather than a single

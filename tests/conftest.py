@@ -63,6 +63,7 @@ _SLOW_TESTS = {
     "test_warm_start_by_name_merge",
     "test_analyze_vertex_attention",
     "test_sharded_scanned_steps_match_unsharded",
+    "test_profile_trace_capture",
 }
 
 

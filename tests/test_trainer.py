@@ -291,3 +291,24 @@ def test_analyze_vertex_attention(tmp_path):
     assert rc == 0
     assert os.path.exists(run / "analysis" / "region_attention_1.png")
     assert os.path.exists(run / "analysis" / "vertex_attention_1.png")
+
+
+def test_profile_trace_capture(tmp_path):
+    """tpu.profile_trace captures a first-epoch XPlane trace into
+    <run>/trace/ (SURVEY §5 tracing plan)."""
+    import glob
+    import os
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.experiment import run_training
+
+    cfg = Config(run="traced", top_k=40, batch_size=8, max_length=6,
+                 units=16, attn_units=8, group_size=4, embedding_text=8,
+                 epochs=1, log=str(tmp_path) + "/")
+    cfg.tpu.profile_trace = True
+    run_path, _, _ = run_training(cfg, epochs=1, smoke_keys=16)
+    trace_dir = os.path.join(run_path, "trace")
+    assert os.path.isdir(trace_dir)
+    # the profiler writes plugins/profile/<session>/*.xplane.pb
+    assert glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                     recursive=True)
