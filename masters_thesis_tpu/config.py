@@ -63,6 +63,13 @@ class TPUConfig:
     #                                  main.py:210)
     profile_trace: bool = False      # capture a JAX profiler (XPlane) trace
     #                                  of the first epoch -> <run>/trace/
+    prng_impl: str = "default"       # 'rbg' uses the TPU's hardware RNG for
+    #                                  dropout masks: +21% flagship steps/s
+    #                                  measured (threefry mask generation was
+    #                                  ~a fifth of the step). Different
+    #                                  dropout stream than threefry; key
+    #                                  shapes differ too, so resume a run
+    #                                  with the impl it started with
     store_dtype: str = "float32"     # HBM beta-store dtype; bfloat16 halves
     #                                  the per-step gather bytes (the probed
     #                                  bottleneck) at ~3 decimal digits of

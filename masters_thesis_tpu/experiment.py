@@ -302,6 +302,12 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     CNN_RNN/train.py:272-287). ``extra_callbacks`` are appended to the
     standard callback list (the tune runner injects its per-epoch reporter
     here, like Ray's TuneReportCallback, tune.py:146-153)."""
+    if cfg.tpu.prng_impl != "default":
+        # affects keys created from here on (dropout masks); must run before
+        # init_model builds the state's rng
+        import jax as _jax
+
+        _jax.config.update("jax_default_prng_impl", cfg.tpu.prng_impl)
     run_path = setup_run_dir(cfg.log, cfg.run, cfg)
     split, pairs, tok, store, groups = build_data(cfg, smoke_keys)
     tok.save(os.path.join(run_path, "tokenizer.json"))

@@ -64,6 +64,7 @@ _SLOW_TESTS = {
     "test_analyze_vertex_attention",
     "test_sharded_scanned_steps_match_unsharded",
     "test_profile_trace_capture",
+    "test_prng_impl_knob",
 }
 
 
