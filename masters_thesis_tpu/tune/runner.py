@@ -81,16 +81,20 @@ def run_experiment(
         # a Manager dict that every worker reports into, so the scheduler can
         # stop poor trials at rung boundaries across processes — Ray's
         # AsyncHyperBand-with-parallel-workers behavior (tune.py:166-205)
-        from multiprocessing import Manager
+        import multiprocessing as mp
 
-        with Manager() as man:
+        # spawn, not fork: the parent is a multithreaded JAX process and
+        # fork() under threads deadlocks (the RuntimeWarning is real)
+        ctx = mp.get_context("spawn")
+        with ctx.Manager() as man:
             shared = man.dict() if scheduler is not None else None
             lock = man.Lock() if scheduler is not None else None
             jobs = [
                 (trial_fn, i, cfg, metric, scheduler, shared, lock)
                 for i, cfg in enumerate(search)
             ]
-            with ProcessPoolExecutor(max_workers=processes) as pool:
+            with ProcessPoolExecutor(max_workers=processes,
+                                     mp_context=ctx) as pool:
                 for (trial_id, cfg, history, final, stopped_early,
                      wall_s) in pool.map(_run_one, jobs):
                     result.trials.append(
