@@ -187,24 +187,28 @@ def averaged_rows(betas_dir: str):
     The reference averages repeated presentations of the same NSD image after
     loading (``average_over_conditions``, nsd_get_data.py:527 via
     load_avg_betas.py); here the average happens at pack time so the packed
-    store holds one row per unique KID, in first-appearance order.
+    store holds one row per unique KID, in first-appearance order (of the
+    sorted per-trial file list).
+
+    Streaming: trials are grouped by KID from the file NAMES first, then each
+    group is loaded and averaged one KID at a time — O(one row) of memory,
+    not O(dataset) (30k trials x 1.3 MB would need ~26 GB of accumulators).
     """
     import re
 
     paths = sorted(glob.glob(os.path.join(betas_dir, "*_KID*.npy")))
     assert paths, f"no *_KID*.npy under {betas_dir}"
     order: list[int] = []
-    sums: dict[int, np.ndarray] = {}
-    counts: dict[int, int] = {}
+    by_kid: dict[int, list[str]] = {}
     for p in paths:
         kid = int(re.search(r"KID(\d+)", p).group(1))
-        arr = np.load(p).astype(np.float64)
-        if kid not in sums:
+        if kid not in by_kid:
             order.append(kid)
-            sums[kid] = arr
-            counts[kid] = 1
-        else:
-            sums[kid] += arr
-            counts[kid] += 1
+            by_kid[kid] = []
+        by_kid[kid].append(p)
     for kid in order:
-        yield kid, (sums[kid] / counts[kid]).astype(np.float32)
+        group = by_kid[kid]
+        acc = np.load(group[0]).astype(np.float64)
+        for p in group[1:]:
+            acc += np.load(p)
+        yield kid, (acc / len(group)).astype(np.float32)

@@ -47,10 +47,24 @@ def average_over_repeats(
     return uniq[order], avg[order]
 
 
-def voxelwise_stats(betas: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-voxel mean/std over the full train set (ThinkAndTell/data_mean.py),
-    streamed-friendly: accepts (N, V)."""
-    mean = betas.mean(axis=0)
-    std = betas.std(axis=0)
+def voxelwise_stats(betas: np.ndarray,
+                    chunk: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    """Per-voxel mean/std over the full train set (ThinkAndTell/data_mean.py).
+
+    Two chunked passes (mean, then variance) so a memmapped pack streams
+    through without materialising the dataset (30k x 327k fp32 is ~40 GB;
+    data_mean.py:8-11 notes 78 GB at fp64) — same math as the one-shot
+    ``betas.mean/std`` up to summation order.
+    """
+    n, v = betas.shape[0], betas.shape[1]
+    total = np.zeros(v, np.float64)
+    for i in range(0, n, chunk):
+        total += np.asarray(betas[i:i + chunk], np.float64).sum(axis=0)
+    mean = total / n
+    sq = np.zeros(v, np.float64)
+    for i in range(0, n, chunk):
+        d = np.asarray(betas[i:i + chunk], np.float64) - mean
+        sq += (d * d).sum(axis=0)
+    std = np.sqrt(sq / n)
     std = np.where(std == 0, 1.0, std)
     return mean.astype(np.float32), std.astype(np.float32)

@@ -544,7 +544,8 @@ def run_preprocess(
     report["pack"] = meta
 
     store = open_pack(pack_dir)
-    mean, std = voxelwise_stats(np.asarray(store.data))
+    # keep the memmap: voxelwise_stats streams chunked passes over it
+    mean, std = voxelwise_stats(store.data)
     np.savez(os.path.join(out_dir, "voxel_stats.npz"), mean=mean, std=std)
     report["voxel_stats"] = {"n_voxels": int(mean.shape[0])}
 

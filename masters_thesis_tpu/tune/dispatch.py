@@ -47,8 +47,16 @@ class FileLock:
                 return self
             except FileExistsError:
                 try:
+                    # break dead holders' locks via atomic rename so only ONE
+                    # contender removes it (a bare unlink could race another
+                    # breaker and delete a freshly re-acquired lock); re-stat
+                    # immediately before renaming to shrink the stale window
                     if time.time() - os.path.getmtime(self.path) > self.stale_s:
-                        os.unlink(self.path)  # holder died; break the lock
+                        broken = f"{self.path}.broken.{os.getpid()}"
+                        if (time.time() - os.path.getmtime(self.path)
+                                > self.stale_s):
+                            os.rename(self.path, broken)
+                            os.unlink(broken)
                         continue
                 except OSError:
                     pass
