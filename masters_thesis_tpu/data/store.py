@@ -45,7 +45,7 @@ class ArrayStore:
         self.packed = False
         if device_resident:
             assert jnp is not None, "jax required for device-resident store"
-            if pack_lanes:
+            if pack_lanes and np.ndim(data) == 2:
                 # (N, S, 128) row-block layout for the Pallas DMA gather
                 # (ops/gather.py) — ~6x jnp.take row-fetch bandwidth on TPU
                 from masters_thesis_tpu.ops.gather import pack_rows
@@ -79,7 +79,8 @@ class ArrayStore:
         from masters_thesis_tpu.ops.gather import gather_rows
 
         assert self.device_resident
-        return gather_rows(self.data, jnp.asarray(idx), width=self.n_cols)
+        return gather_rows(self.data, jnp.asarray(idx), width=self.n_cols,
+                           packed=self.packed)
 
     @property
     def row_shape(self):

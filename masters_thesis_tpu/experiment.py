@@ -478,7 +478,8 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
         trainer.use_scanned_steps(
             make_scanned_train_steps(model, cfg, l2_rules, masked=masked,
-                                     store_width=store_width)
+                                     store_width=store_width,
+                                     store_packed=store.packed)
         )
     logs = trainer.fit(epochs=epochs, start_epoch=start_epoch)
     bundle = {

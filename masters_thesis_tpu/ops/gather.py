@@ -64,14 +64,23 @@ def _pallas_gather(store3, idx, interpret: bool = False):
     )(idx.astype(jnp.int32), store3)
 
 
-def gather_rows(store, idx, width: int | None = None):
+def gather_rows(store, idx, width: int | None = None,
+                packed: bool | None = None):
     """Batch row gather from either store layout.
 
-    - 2D (N, V): plain ``jnp.take`` (host-upload and CPU-mesh paths).
-    - 3D (N, S, 128) packed: Pallas DMA gather on TPU, take+reshape
-      elsewhere; sliced back to ``width`` logical columns when given.
+    - unpacked (2D betas or 3D (N, P, C) conv-feature rows): plain
+      ``jnp.take``.
+    - packed (N, S, 128): Pallas DMA gather on TPU, take+reshape elsewhere;
+      flattened back to (B, S*128) and sliced to ``width`` logical columns
+      when given.
+
+    ``packed=None`` infers from the shape — but a conv-feature store with
+    128 channels is indistinguishable from the packed layout, so callers
+    that know (ArrayStore.packed, the trainer factories) pass it explicitly.
     """
-    if store.ndim == 2:
+    if packed is None:
+        packed = store.ndim == 3 and store.shape[-1] == LANES
+    if not packed:
         return jnp.take(store, idx, axis=0)
     assert store.ndim == 3 and store.shape[-1] == LANES, store.shape
     if jax.default_backend() == "tpu":

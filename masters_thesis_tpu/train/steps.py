@@ -196,7 +196,8 @@ def make_grad_stats_fn(model, cfg, l2_rules, masked: bool = False):
 
 def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
                              store_width: int | None = None,
-                             jit: bool = True):
+                             jit: bool = True,
+                             store_packed: bool | None = None):
     """Multi-step trainer: ONE device call runs K optimisation steps via
     ``lax.scan`` over stacked index/token batches, gathering betas from the
     HBM-resident store inside the loop.
@@ -216,7 +217,8 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
             # honours both store layouts: 2D jnp.take or the packed
             # (N, S, 128) Pallas DMA gather (ops/gather.py — the probed
             # 5.8x row-fetch win that dominated the step)
-            betas = gather_rows(store, idx_, width=store_width)
+            betas = gather_rows(store, idx_, width=store_width,
+                                packed=store_packed)
             mask = (tgt_ != 0) if masked else None
             rng = jax.random.fold_in(state.rng, state.step)
 
@@ -258,13 +260,15 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
 
 
 def make_gathered_train_step(model, cfg, l2_rules, masked: bool = False,
-                             store_width: int | None = None):
+                             store_width: int | None = None,
+                             store_packed: bool | None = None):
     """Train step taking (state, store, idx, tokens, target): the beta rows
     are gathered from the HBM-resident store INSIDE the compiled step, so the
     host only ships ~KB of token ids per step."""
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, store, idx, tokens, target):
-        betas = gather_rows(store, idx, width=store_width)
+        betas = gather_rows(store, idx, width=store_width,
+                            packed=store_packed)
         mask = (target != 0) if masked else None
         rng = jax.random.fold_in(state.rng, state.step)
 

@@ -167,3 +167,30 @@ def test_scanned_steps_pregathered_store_parity():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(m1["accuracy"]),
                                np.asarray(m2["accuracy"]), rtol=1e-6)
+
+
+def test_gather_rows_3d_feature_store_not_misrouted():
+    """A conv-feature store with 128 channels is shape-identical to the
+    packed layout — explicit packed=False must route it through jnp.take
+    and preserve the (B, P, C) row shape."""
+    feats = np.random.default_rng(6).standard_normal((5, 4, 128)).astype(
+        np.float32)
+    idx = jnp.asarray([4, 0, 2])
+    got = gather_rows(jnp.asarray(feats), idx, packed=False)
+    assert got.shape == (3, 4, 128)
+    np.testing.assert_array_equal(np.asarray(got), feats[[4, 0, 2]])
+
+
+def test_store_pack_lanes_ignored_for_3d_features():
+    """pack_lanes on a (N, P, C) feature store is a no-op (packing is a 2D
+    betas-layout concept); device_gather returns full feature rows."""
+    from masters_thesis_tpu.data.store import ArrayStore
+
+    feats = np.random.default_rng(7).standard_normal((6, 4, 128)).astype(
+        np.float32)
+    store = ArrayStore(feats, list(range(6)), device_resident=True,
+                       pack_lanes=True)
+    assert not store.packed
+    assert store.row_shape == (4, 128)
+    got = store.device_gather(np.asarray([1, 5]))
+    np.testing.assert_array_equal(np.asarray(got), feats[[1, 5]])
