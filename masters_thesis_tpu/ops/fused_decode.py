@@ -213,6 +213,10 @@ def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
 
     decode(variables, betas, start_id) -> (words (B, T), alphas (B, T, R)).
     """
+    assert model.cell_type == "lstm" and not model.learned_init_state, (
+        "the fused decode kernel implements the LSTM/zero-init NIC step; "
+        "use decode.greedy for GRU or learned-init models"
+    )
     slope = 0.2 if model.head_activation == "leaky_relu" else 0.0
 
     def decode(variables, betas, start_id):
