@@ -62,8 +62,10 @@ def evaluate_captions(candidates: list[str], references_list: list[list[str]],
         "CIDEr": cider,
         # Java SPICE (scene-graph F1) is approximated by the rule-based
         # chunker in spice.py; keyed distinctly so nobody mistakes it for
-        # the jar's numbers
-        "SPICE_lite": corpus_spice(refs_tok, cand_tok),
+        # the jar's numbers. When the WordNet table is present, tuple slots
+        # match on synset overlap (the Java scorer's similarTo semantics).
+        "SPICE_lite": corpus_spice(refs_tok, cand_tok,
+                                   synonyms=meteor_synonyms),
     }
 
 

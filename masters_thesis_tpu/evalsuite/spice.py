@@ -9,9 +9,13 @@ with a lightweight caption-grammar chunker in place of the dependency
 parser. COCO-style captions are syntactically simple ("a man riding a bike
 down the street"), which is what makes the rule-based extraction workable.
 
-Tuple matching uses exact-or-Porter-stem equality (SPICE matches WordNet
-synsets; stems are the offline approximation). Scores correlate with but
-are not numerically identical to Java SPICE — reported as "SPICE_lite".
+Tuple matching uses exact-or-Porter-stem equality, upgraded to the Java
+pipeline's WordNet-synset semantics (two slot words match when their synset
+id sets intersect) when an offline synonym table is available — the same
+table (and ``MTT_METEOR_SYNONYMS`` discovery) the METEOR synonym stage uses
+(``scripts/convert_wordnet_synonyms.py``). Scores correlate with but are not
+numerically identical to Java SPICE (the parser differs) — reported as
+"SPICE_lite" either way.
 """
 
 from __future__ import annotations
@@ -68,6 +72,13 @@ class SceneTuples:
                 | {("r", porter_stem(s), porter_stem(r), porter_stem(o))
                    for s, r, o in self.relations})
 
+    def raw_tuples(self) -> set:
+        """Unstemmed tuples — the synonym-table match path needs surface
+        forms (the table is keyed on vocabulary words, not stems)."""
+        return ({("o", o) for o in self.objects}
+                | {("a", n, a) for n, a in self.attributes}
+                | {("r", s, r, o) for s, r, o in self.relations})
+
 
 def parse_caption(tokens) -> SceneTuples:
     """Chunk a caption into noun phrases linked by verbs/prepositions.
@@ -120,24 +131,68 @@ def parse_caption(tokens) -> SceneTuples:
     return out
 
 
-def spice_lite(references, hypothesis) -> float:
-    """Tuple F1 of the hypothesis against the union of reference tuples."""
-    hyp_t = parse_caption(hypothesis).all_tuples()
-    ref_t: set = set()
-    for ref in references:
-        ref_t |= parse_caption(ref).all_tuples()
-    if not hyp_t or not ref_t:
-        return 0.0
-    matched = len(hyp_t & ref_t)
+def _slot_match(a: str, b: str, synonyms) -> bool:
+    """SPICE's per-word match: stem equality OR WordNet synset overlap
+    (SpiceScorer's similarTo — lemma match via intersecting synsets)."""
+    if porter_stem(a) == porter_stem(b):
+        return True
+    if synonyms is not None:
+        sa = synonyms.synsets(a)
+        return bool(sa) and not sa.isdisjoint(synonyms.synsets(b))
+    return False
+
+
+def _match_count(hyp_t: set, ref_t: set, synonyms) -> int:
+    """Greedy bipartite tuple matching: every slot must match (same arity);
+    each reference tuple is consumed at most once."""
+    used: set = set()
+    matched = 0
+    for h in hyp_t:
+        for r in ref_t:
+            if r in used or len(r) != len(h) or r[0] != h[0]:
+                continue  # r[0] is the category tag ("o"/"a"/"r")
+            if all(_slot_match(hw, rw, synonyms)
+                   for hw, rw in zip(h[1:], r[1:])):
+                used.add(r)
+                matched += 1
+                break
+    return matched
+
+
+def spice_lite(references, hypothesis, synonyms=None) -> float:
+    """Tuple F1 of the hypothesis against the union of reference tuples.
+
+    ``synonyms``: optional ``meteor.SynonymTable``; when given, slots match
+    on WordNet synset overlap as in Java SPICE, not just stem equality.
+    """
+    hyp = parse_caption(hypothesis)
+    if synonyms is None:
+        hyp_t = hyp.all_tuples()
+        ref_t: set = set()
+        for ref in references:
+            ref_t |= parse_caption(ref).all_tuples()
+        if not hyp_t or not ref_t:
+            return 0.0
+        matched = len(hyp_t & ref_t)
+    else:
+        # synonym matching runs on raw (unstemmed) words so the table's
+        # surface-form keys apply (stem fallback happens per slot)
+        hyp_t = hyp.raw_tuples()
+        ref_t = set()
+        for ref in references:
+            ref_t |= parse_caption(ref).raw_tuples()
+        if not hyp_t or not ref_t:
+            return 0.0
+        matched = _match_count(hyp_t, ref_t, synonyms)
     p = matched / len(hyp_t)
     r = matched / len(ref_t)
     return 0.0 if p + r == 0 else 2 * p * r / (p + r)
 
 
-def corpus_spice(references_list, hypotheses) -> float:
+def corpus_spice(references_list, hypotheses, synonyms=None) -> float:
     if not hypotheses:
         return 0.0
     return sum(
-        spice_lite(refs, hyp)
+        spice_lite(refs, hyp, synonyms=synonyms)
         for refs, hyp in zip(references_list, hypotheses)
     ) / len(hypotheses)

@@ -213,6 +213,43 @@ def test_spice_lite_parses_caption_grammar():
     assert spice_lite(refs, []) == 0.0
 
 
+def test_spice_synonym_matching():
+    """With a WordNet table, tuple slots match on synset overlap (Java
+    SPICE's similarTo); without it, couch/sofa is a miss."""
+    from masters_thesis_tpu.evalsuite.meteor import SynonymTable
+    from masters_thesis_tpu.evalsuite.spice import spice_lite
+
+    refs = [["a", "cat", "sitting", "on", "a", "red", "sofa"]]
+    hyp = ["a", "cat", "sitting", "on", "a", "red", "couch"]
+    table = SynonymTable({"sofa": [11], "couch": [11, 4]})
+    assert spice_lite(refs, hyp, synonyms=table) == 1.0
+    assert spice_lite(refs, hyp) < 1.0
+    # relation slots go through the same matcher
+    refs2 = [["a", "cat", "perched", "on", "the", "sofa"]]
+    hyp2 = ["a", "cat", "sitting", "on", "the", "couch"]
+    t2 = SynonymTable({"sofa": [11], "couch": [11],
+                       "perched": [5], "sitting": [5]})
+    with_syn = spice_lite(refs2, hyp2, synonyms=t2)
+    without = spice_lite(refs2, hyp2)
+    assert with_syn > without
+    # a disjoint-synset table must not create matches
+    t3 = SynonymTable({"sofa": [1], "couch": [2]})
+    assert spice_lite(refs, hyp, synonyms=t3) < 1.0
+
+
+def test_metric_suite_spice_uses_synonym_table():
+    from masters_thesis_tpu.evalsuite.meteor import SynonymTable
+    from masters_thesis_tpu.evalsuite.metric_suite import evaluate_captions
+
+    cands = ["a man riding a cycle"]
+    refs = [["a man riding a bicycle"]]
+    table = SynonymTable({"cycle": [9], "bicycle": [9],
+                          "man": [1], "riding": [2]})
+    plain = evaluate_captions(cands, refs)
+    with_table = evaluate_captions(cands, refs, meteor_synonyms=table)
+    assert with_table["SPICE_lite"] > plain["SPICE_lite"]
+
+
 def test_metric_suite_reports_spice_lite():
     from masters_thesis_tpu.evalsuite.metric_suite import evaluate_captions
 
