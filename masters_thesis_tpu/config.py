@@ -27,6 +27,9 @@ class DatasetConfig:
     vgg16_path: str = ""
     guse_path: str = ""
     nsd_dir: str = ""
+    images_path: str = ""   # stimulus pictures KID{key}.(png|jpg|npy) for
+    #                         epoch-end caption-on-image previews (soloist
+    #                         TensorBoardCaption.py:38 feed_pics_dir)
 
 
 @dataclass

@@ -70,6 +70,9 @@ class BatchPipeline:
             "tokens": self.pairs.tokens[sel],
             "target": self.targets[sel],
             "subject": self.pairs.subjects[sel],
+            # NSD keys ride along host-side (never device_put — see
+            # device_batches); previews use them to find stimulus images
+            "keys": self.pairs.keys[sel],
         }
         if self.store is not None and not self.store.device_resident:
             batch["betas"] = self.store.gather_host(batch["idx"])

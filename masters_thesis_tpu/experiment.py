@@ -415,6 +415,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         LossHistory,
         PredictPreview,
         TensorBoardScalars,
+        load_stimulus_images,
     )
     from masters_thesis_tpu.train.steps import make_grad_stats_fn
     from masters_thesis_tpu.train.checkpoint import CheckpointManager
@@ -452,10 +453,14 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             CaptionImagePreview(
                 os.path.join(run_path, "tb"),
                 _greedy_decoder(model, cfg),
-                next(iter(val_pipe.epoch()))
-                if len(val_enc) >= bs
-                else next(iter(train_pipe.epoch())),
+                (preview_batch := next(iter(val_pipe.epoch()))
+                 if len(val_enc) >= bs
+                 else next(iter(train_pipe.epoch()))),
                 tok,
+                # caption drawn over the stimulus picture when the run has
+                # one on disk (soloist TensorBoardCaption semantics)
+                images=load_stimulus_images(
+                    cfg.dataset.images_path, preview_batch.get("keys", [])),
                 every=5,
             ),
             GradStats(

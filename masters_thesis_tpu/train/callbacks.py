@@ -123,6 +123,44 @@ class PredictPreview(Callback):
                 f.write(t + "\n")
 
 
+def load_stimulus_images(images_path: str, keys, max_images: int = 4):
+    """Best-effort load of stimulus pictures ``KID{key}.(png|jpg|jpeg|npy)``
+    for a preview batch (soloist TensorBoardCaption.py:38 loads a pics dir).
+
+    Returns a list aligned with ``keys[:max_images]`` — ``None`` where no
+    file exists — or ``None`` when the dir is unset/missing or nothing was
+    found (the preview then renders text-only banners)."""
+    import os
+
+    if not images_path or not os.path.isdir(images_path):
+        return None
+    out, found = [], False
+    for key in list(keys)[:max_images]:
+        img = None
+        for ext in ("png", "jpg", "jpeg", "npy"):
+            p = os.path.join(images_path, f"KID{int(key)}.{ext}")
+            if not os.path.exists(p):
+                continue
+            try:
+                if ext == "npy":
+                    import numpy as _np
+
+                    img = _np.load(p)
+                else:
+                    from PIL import Image
+
+                    img = Image.open(p).convert("RGB")
+                    import numpy as _np
+
+                    img = _np.asarray(img)
+                found = True
+            except Exception:  # unreadable file -> banner fallback
+                img = None
+            break
+        out.append(img)
+    return out if found else None
+
+
 class CaptionImagePreview(Callback):
     """Epoch-end captions rendered onto their stimulus images as TensorBoard
     image summaries (soloist TensorBoardCaption.py:49-99). ``images`` aligns

@@ -59,6 +59,7 @@ _SLOW_TESTS = {
     "test_scanned_steps_sam_matches_per_step",
     "test_train_step_reduces_loss",
     "test_trainer_runs_and_logs",
+    "test_training_preview_renders_stimulus_images",
     "test_trainer_with_scanned_steps",
     "test_warm_start_by_name_merge",
     "test_analyze_vertex_attention",

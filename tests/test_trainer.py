@@ -159,6 +159,51 @@ def test_grad_stats_and_analyze_artifacts(tmp_path):
     assert os.path.exists(report_png)
 
 
+def test_load_stimulus_images(tmp_path):
+    from PIL import Image
+
+    from masters_thesis_tpu.train.callbacks import load_stimulus_images
+
+    d = tmp_path / "pics"
+    d.mkdir()
+    Image.fromarray(np.full((8, 8, 3), 200, np.uint8)).save(d / "KID3.png")
+    np.save(d / "KID7.npy", np.zeros((4, 4, 3), np.uint8))
+    imgs = load_stimulus_images(str(d), [3, 7, 99], max_images=4)
+    assert imgs[0].shape == (8, 8, 3) and imgs[1].shape == (4, 4, 3)
+    assert imgs[2] is None
+    # unset / missing dir and keys-without-files both mean "no images"
+    assert load_stimulus_images("", [3]) is None
+    assert load_stimulus_images(str(tmp_path / "nope"), [3]) is None
+    assert load_stimulus_images(str(d), [99]) is None
+
+
+def test_training_preview_renders_stimulus_images(tmp_path):
+    """run_training with dataset.images_path draws epoch-end captions over
+    the stimulus pictures (soloist TensorBoardCaption flow)."""
+    import os
+
+    from PIL import Image
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.experiment import run_training
+
+    pics = tmp_path / "pics"
+    pics.mkdir()
+    for k in range(1, 25):
+        Image.fromarray(
+            np.full((8, 8, 3), (k * 9) % 255, np.uint8)
+        ).save(pics / f"KID{k}.png")
+    cfg = Config(run="imgprev", top_k=40, batch_size=8, max_length=6,
+                 units=16, attn_units=8, group_size=4, embedding_text=8,
+                 epochs=1, log=str(tmp_path) + "/")
+    cfg.dataset.images_path = str(pics)
+    run_path, _, _ = run_training(cfg, epochs=1, smoke_keys=24)
+    tb = os.path.join(run_path, "tb")
+    cap_events = [f for f in os.listdir(tb) if f.endswith(".captions")]
+    assert cap_events, "caption image summaries not written"
+    assert os.path.getsize(os.path.join(tb, cap_events[0])) > 1000
+
+
 def test_caption_pos_stats():
     from masters_thesis_tpu.evalsuite.analysis import caption_pos_stats
 
