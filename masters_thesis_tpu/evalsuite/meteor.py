@@ -21,11 +21,16 @@ parameters. This module implements:
     and corpus scores micro-aggregated over segment statistics like the
     jar's final EVAL line (not a mean of segment scores).
 
-The paraphrase stage (paraphrase-en.gz, ~60MB) is not implemented; with a
-real synonym table, scores are METEOR-1.5-without-paraphrases — a close,
-slightly conservative approximation of jar METEOR. The jar's function-word
-list is corpus-derived; ``FUNCTION_WORDS`` here is a standard closed-class
-English list (documented deviation).
+- the paraphrase stage from a bundled phrase table (``ParaphraseTable``,
+  built offline from the jar's paraphrase-en.gz by
+  ``scripts/convert_meteor_paraphrases.py``; point ``MTT_METEOR_PARAPHRASES``
+  at the JSON). Unmatched word spans match when the table holds the phrase
+  pair in either direction, weighted 0.6 like the jar.
+
+The jar's function-word list is corpus-derived; ``FUNCTION_WORDS`` here is a
+standard closed-class English list, and the aligner is greedy-in-order
+rather than the jar's beam search over total-coverage/chunk-count — both
+documented deviations.
 """
 
 from __future__ import annotations
@@ -54,6 +59,7 @@ there here when where why how
 """.split())
 
 _DEFAULT_TABLE_ENV = "MTT_METEOR_SYNONYMS"
+_PARAPHRASE_TABLE_ENV = "MTT_METEOR_PARAPHRASES"
 
 
 class SynonymTable:
@@ -77,6 +83,38 @@ class SynonymTable:
     @classmethod
     def from_env(cls) -> "SynonymTable | None":
         path = os.environ.get(_DEFAULT_TABLE_ENV)
+        if path and os.path.exists(path):
+            return cls.load(path)
+        return None
+
+
+class ParaphraseTable:
+    """phrase -> set of paraphrase phrases; spans match when either
+    direction holds (the jar's paraphrase module looks the pair up in a
+    symmetric phrase DB built from paraphrase-en.gz)."""
+
+    def __init__(self, mapping: dict[str, list]):
+        self._map = {p: frozenset(alts) for p, alts in mapping.items()}
+        self.max_words = max(
+            (len(p.split()) for p in self._map), default=1)
+        for alts in self._map.values():
+            for a in alts:
+                self.max_words = max(self.max_words, len(a.split()))
+
+    def matches(self, a: str, b: str) -> bool:
+        return b in self._map.get(a, ()) or a in self._map.get(b, ())
+
+    def __len__(self) -> int:
+        return len(self._map)
+
+    @classmethod
+    def load(cls, path: str) -> "ParaphraseTable":
+        with open(path) as f:
+            return cls(json.load(f))
+
+    @classmethod
+    def from_env(cls) -> "ParaphraseTable | None":
+        path = os.environ.get(_PARAPHRASE_TABLE_ENV)
         if path and os.path.exists(path):
             return cls.load(path)
         return None
@@ -122,10 +160,61 @@ def _align_synonym_stage(ref, hyp, table: SynonymTable, ref_used, hyp_used):
     return pairs
 
 
-def _align(ref, hyp, stemmer=porter_stem, synonyms: SynonymTable | None = None):
-    """Staged alignment. Returns (stage_pairs, chunks): stage_pairs is a list
-    of per-stage (hyp_idx, ref_idx) pair lists [exact, stem, synonym];
-    chunks counts contiguous runs over ALL matched pairs (hyp order)."""
+def _align_paraphrase_stage(ref, hyp, table: ParaphraseTable,
+                            ref_used, hyp_used):
+    """Match still-unmatched word spans the phrase table pairs up
+    (longest-hypothesis-span-first greedy). Spans may differ in length;
+    returns (hyp_idxs, ref_idxs, anchor_pairs) where anchors pair up the
+    overlapping prefix for chunk counting."""
+    max_n = min(table.max_words, 6)
+    hyp_idxs: list = []
+    ref_idxs: list = []
+    anchors: list = []
+    H, R = len(hyp), len(ref)
+    j = 0
+    while j < H:
+        if j in hyp_used:
+            j += 1
+            continue
+        advanced = False
+        for n in range(min(max_n, H - j), 0, -1):
+            if any((j + t) in hyp_used for t in range(n)):
+                continue
+            h_phrase = " ".join(hyp[j:j + n])
+            for i in range(R):
+                hit_len = 0
+                for k in range(min(max_n, R - i), 0, -1):
+                    if any((i + t) in ref_used for t in range(k)):
+                        continue
+                    if table.matches(h_phrase, " ".join(ref[i:i + k])):
+                        hit_len = k
+                        break
+                if hit_len:
+                    hs = range(j, j + n)
+                    rs = range(i, i + hit_len)
+                    hyp_used.update(hs)
+                    ref_used.update(rs)
+                    hyp_idxs += list(hs)
+                    ref_idxs += list(rs)
+                    anchors += [(j + t, i + t)
+                                for t in range(min(n, hit_len))]
+                    advanced = True
+                    break
+            if advanced:
+                j += n
+                break
+        if not advanced:
+            j += 1
+    return hyp_idxs, ref_idxs, anchors
+
+
+def _align(ref, hyp, stemmer=porter_stem, synonyms: SynonymTable | None = None,
+           paraphrases: ParaphraseTable | None = None):
+    """Staged alignment. Returns (stage_sides, chunks, m): stage_sides is a
+    per-stage [exact, stem, synonym, paraphrase] list of
+    (hyp_idxs, ref_idxs); chunks counts contiguous runs over ALL matched
+    anchor pairs (hyp order); m is the average matched-word count of the
+    two sides (they differ only for unequal paraphrase spans)."""
     ref_used: set = set()
     hyp_used: set = set()
     exact = _align_stage(ref, hyp, ref_used, hyp_used)
@@ -137,23 +226,34 @@ def _align(ref, hyp, stemmer=porter_stem, synonyms: SynonymTable | None = None):
     syn = []
     if synonyms is not None:
         syn = _align_synonym_stage(ref, hyp, synonyms, ref_used, hyp_used)
-    pairs = sorted(exact + stemmed + syn)
+    para_h, para_r, para_anchors = [], [], []
+    if paraphrases is not None:
+        para_h, para_r, para_anchors = _align_paraphrase_stage(
+            ref, hyp, paraphrases, ref_used, hyp_used)
+    stage_sides = [
+        ([j for j, _ in ps], [i for _, i in ps])
+        for ps in (exact, stemmed, syn)
+    ] + [(para_h, para_r)]
+    m_h = sum(len(h) for h, _ in stage_sides)
+    m_r = sum(len(r) for _, r in stage_sides)
+    m = (m_h + m_r) / 2.0
+    pairs = sorted(exact + stemmed + syn + para_anchors)
     if not pairs:
-        return [exact, stemmed, syn], 0
+        return stage_sides, 0, m
     chunks = 1
     for (j0, i0), (j1, i1) in zip(pairs, pairs[1:]):
         if not (j1 == j0 + 1 and i1 == i0 + 1):
             chunks += 1
-    return [exact, stemmed, syn], chunks
+    return stage_sides, chunks, m
 
 
-# stage weights: exact, stem, synonym (meteor-1.5 English defaults; the
-# paraphrase stage/weight 0.6 is not implemented)
+# stage weights: exact, stem, synonym, paraphrase (meteor-1.5 English
+# defaults; 2005 predates staged weighting — equal weights)
 _PARAMS = {
     "2005": dict(alpha=0.9, beta=3.0, gamma=0.5, delta=None,
-                 weights=(1.0, 1.0, 1.0)),
+                 weights=(1.0, 1.0, 1.0, 1.0)),
     "1.5": dict(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
-                weights=(1.0, 0.6, 0.8)),
+                weights=(1.0, 0.6, 0.8, 0.6)),
 }
 
 
@@ -166,18 +266,16 @@ def _weighted_count(words, idxs, delta):
                for k in idxs)
 
 
-def _segment_stats(ref, hyp, stemmer, synonyms, p):
+def _segment_stats(ref, hyp, stemmer, synonyms, p, paraphrases=None):
     """METEOR sufficient statistics for one (ref, hyp) pair:
     (weighted hyp matches, weighted ref matches, weighted |hyp|,
     weighted |ref|, chunks, raw matches)."""
-    stage_pairs, chunks = _align(ref, hyp, stemmer, synonyms)
+    stage_sides, chunks, m = _align(ref, hyp, stemmer, synonyms, paraphrases)
     delta = p["delta"]
     wm_h = wm_r = 0.0
-    m = 0
-    for w, pairs in zip(p["weights"], stage_pairs):
-        m += len(pairs)
-        wm_h += w * _weighted_count(hyp, [j for j, _ in pairs], delta)
-        wm_r += w * _weighted_count(ref, [i for _, i in pairs], delta)
+    for w, (h_idxs, r_idxs) in zip(p["weights"], stage_sides):
+        wm_h += w * _weighted_count(hyp, h_idxs, delta)
+        wm_r += w * _weighted_count(ref, r_idxs, delta)
     len_h = _weighted_count(hyp, range(len(hyp)), delta)
     len_r = _weighted_count(ref, range(len(ref)), delta)
     return wm_h, wm_r, len_h, len_r, chunks, m
@@ -195,7 +293,8 @@ def _score_from_stats(wm_h, wm_r, len_h, len_r, chunks, m, p) -> float:
 
 def meteor_lite(references, hypothesis, use_stem: bool = True,
                 synonyms: SynonymTable | None = None,
-                params: str = "2005") -> float:
+                params: str = "2005",
+                paraphrases: ParaphraseTable | None = None) -> float:
     """Segment METEOR: max over references (metric_suit.py scores per image
     against all 5 ground-truth captions)."""
     hyp = list(hypothesis)
@@ -205,14 +304,16 @@ def meteor_lite(references, hypothesis, use_stem: bool = True,
     stemmer = porter_stem if use_stem else None
     best = 0.0
     for ref in references:
-        stats = _segment_stats(list(ref), hyp, stemmer, synonyms, p)
+        stats = _segment_stats(list(ref), hyp, stemmer, synonyms, p,
+                               paraphrases)
         best = max(best, _score_from_stats(*stats, p))
     return best
 
 
 def corpus_meteor(references_list, hypotheses, use_stem: bool = True,
                   synonyms: SynonymTable | None = None,
-                  params: str = "2005") -> float:
+                  params: str = "2005",
+                  paraphrases: ParaphraseTable | None = None) -> float:
     """Corpus METEOR. ``params="2005"`` averages segment scores (the original
     paper's system score); ``params="1.5"`` micro-aggregates each segment's
     best-reference statistics and scores the aggregate, matching the jar's
@@ -223,7 +324,7 @@ def corpus_meteor(references_list, hypotheses, use_stem: bool = True,
     stemmer = porter_stem if use_stem else None
     if params == "2005":
         return sum(
-            meteor_lite(refs, hyp, use_stem, synonyms, params)
+            meteor_lite(refs, hyp, use_stem, synonyms, params, paraphrases)
             for refs, hyp in zip(references_list, hypotheses)
         ) / len(hypotheses)
 
@@ -234,7 +335,8 @@ def corpus_meteor(references_list, hypotheses, use_stem: bool = True,
             continue
         best_stats, best_score = None, -1.0
         for ref in refs:
-            stats = _segment_stats(list(ref), hyp, stemmer, synonyms, p)
+            stats = _segment_stats(list(ref), hyp, stemmer, synonyms, p,
+                                   paraphrases)
             score = _score_from_stats(*stats, p)
             if score > best_score:
                 best_stats, best_score = stats, score

@@ -25,27 +25,35 @@ from masters_thesis_tpu.evalsuite.tokens import ids_to_caption, postprocess_text
 
 
 def evaluate_captions(candidates: list[str], references_list: list[list[str]],
-                      meteor_synonyms=None) -> dict:
+                      meteor_synonyms=None, meteor_paraphrases=None) -> dict:
     """COCOEvalCap-style score dict from plain text captions.
 
     METEOR runs the jar's 1.5 parameterisation (exact+stem+synonym stages,
-    micro-aggregated) when a WordNet synonym table is available — pass a
+    micro-aggregated, plus the paraphrase stage when a phrase table is
+    available) when a WordNet synonym table is present — pass a
     ``SynonymTable`` or point ``MTT_METEOR_SYNONYMS`` at the JSON produced by
-    ``scripts/convert_wordnet_synonyms.py``. Without one it falls back to
-    exact+stem METEOR-2005, keyed ``METEOR_lite`` so jar-comparable and
-    approximate numbers are never conflated.
+    ``scripts/convert_wordnet_synonyms.py`` (paraphrases:
+    ``MTT_METEOR_PARAPHRASES`` / ``scripts/convert_meteor_paraphrases.py``).
+    Without one it falls back to exact+stem METEOR-2005, keyed
+    ``METEOR_lite`` so jar-comparable and approximate numbers are never
+    conflated.
     """
-    from masters_thesis_tpu.evalsuite.meteor import SynonymTable
+    from masters_thesis_tpu.evalsuite.meteor import (
+        ParaphraseTable,
+        SynonymTable,
+    )
 
     cand_tok = [c.split() for c in candidates]
     refs_tok = [[r.split() for r in refs] for refs in references_list]
 
     if meteor_synonyms is None:
         meteor_synonyms = SynonymTable.from_env()
+    if meteor_paraphrases is None:
+        meteor_paraphrases = ParaphraseTable.from_env()
     if meteor_synonyms is not None:
         meteor_key = "METEOR"
         meteor = corpus_meteor(refs_tok, cand_tok, synonyms=meteor_synonyms,
-                               params="1.5")
+                               params="1.5", paraphrases=meteor_paraphrases)
     else:
         meteor_key = "METEOR_lite"
         meteor = corpus_meteor(refs_tok, cand_tok)

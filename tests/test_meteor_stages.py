@@ -110,3 +110,82 @@ def test_table_load_roundtrip(tmp_path):
     assert len(t) == 2
     assert t.synsets("happy") & t.synsets("glad")
     assert not t.synsets("missing")
+
+
+def test_paraphrase_stage_matches_spans():
+    from masters_thesis_tpu.evalsuite.meteor import ParaphraseTable
+
+    ref = "one man on horseback rides past".split()
+    hyp = "one man riding a horse rides past".split()
+    # "on horseback" <-> "riding a horse": phrase pair, either direction,
+    # unequal span lengths (2 vs 3)
+    table = ParaphraseTable({"on horseback": ["riding a horse"]})
+    without = meteor_lite([ref], hyp, params="1.5")
+    with_para = meteor_lite([ref], hyp, params="1.5", paraphrases=table)
+    assert with_para > without
+    reverse = ParaphraseTable({"riding a horse": ["on horseback"]})
+    assert meteor_lite([ref], hyp, params="1.5", paraphrases=reverse) == \
+        pytest.approx(with_para)
+
+
+def test_paraphrase_stage_unequal_spans():
+    from masters_thesis_tpu.evalsuite.meteor import ParaphraseTable
+
+    ref = "the dog is running quickly".split()
+    hyp = "the dog sprints".split()
+    table = ParaphraseTable({"running quickly": ["sprints"]})
+    without = meteor_lite([ref], hyp, params="1.5")
+    with_para = meteor_lite([ref], hyp, params="1.5", paraphrases=table)
+    # hyp side fully matched, ref gains a 2-word span
+    assert with_para > without > 0.0
+    # paraphrase stage never matches words already consumed by exact stage
+    same = meteor_lite([ref], ref, params="1.5", paraphrases=table)
+    assert same == meteor_lite([ref], ref, params="1.5")
+
+
+def test_paraphrase_env_discovery(tmp_path, monkeypatch):
+    syn = tmp_path / "syn.json"
+    syn.write_text(json.dumps({}))
+    para = tmp_path / "para.json"
+    para.write_text(json.dumps({"on horseback": ["riding a horse"]}))
+    monkeypatch.setenv("MTT_METEOR_SYNONYMS", str(syn))
+    monkeypatch.delenv("MTT_METEOR_PARAPHRASES", raising=False)
+    cands = ["one man riding a horse"]
+    refs = [["one man on horseback"]]
+    base = evaluate_captions(cands, refs)["METEOR"]
+    monkeypatch.setenv("MTT_METEOR_PARAPHRASES", str(para))
+    with_para = evaluate_captions(cands, refs)["METEOR"]
+    assert with_para > base
+
+
+def test_paraphrase_converter_roundtrip(tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        from convert_meteor_paraphrases import build_table, parse_line
+    finally:
+        sys.path.pop(0)
+    assert parse_line("on a bicycle ||| riding a bike ||| 0.73") == (
+        "on a bicycle", "riding a bike")
+    assert parse_line("running quickly\tsprints") == (
+        "running quickly", "sprints")
+    assert parse_line("same ||| same") is None
+    assert parse_line("") is None
+    table = build_table([
+        "on a bicycle ||| riding a bike",
+        "riding a bike ||| on a bicycle",   # dedup: symmetric pair
+        "a very long phrase over the limit ||| short",
+        "dog ||| canine",
+    ], max_words=5)
+    assert table == {"on a bicycle": ["riding a bike"], "canine": ["dog"]}
+    from masters_thesis_tpu.evalsuite.meteor import ParaphraseTable
+
+    t = ParaphraseTable(table)
+    assert t.matches("riding a bike", "on a bicycle")
+    assert t.matches("on a bicycle", "riding a bike")
+    assert t.matches("dog", "canine") and not t.matches("dog", "cat")
+    # vocab filter drops OOV pairs
+    filtered = build_table(["dog ||| canine", "cat ||| feline"],
+                           vocab={"dog", "canine"})
+    assert filtered == {"canine": ["dog"]}
