@@ -7,9 +7,9 @@ unlabelled, excluded), concatenates LH groups then RH groups -> 360 groups
 over the 327,684-vertex full-cortex vector. The visual-cortex mask keeps the
 parcels listed in ``visual_parcels_glasser.csv`` (62,756 vertices).
 
-This module takes plain label VECTORS (np arrays) so it has no nibabel
-dependency; ``load_atlas_vector`` handles .mgz/.npy files when nibabel is
-present.
+This module takes plain label VECTORS (np arrays); ``load_atlas_vector``
+reads .npy directly and .mgh/.mgz through the pure-numpy reader in
+``mgh.py`` (no nibabel dependency).
 """
 
 from __future__ import annotations
@@ -18,16 +18,14 @@ import numpy as np
 
 
 def load_atlas_vector(path: str) -> np.ndarray:
-    """Load a per-vertex label vector from .npy or (if nibabel exists) .mgz."""
+    """Load a per-vertex label vector from .npy or .mgh/.mgz (the pure-numpy
+    reader in ``mgh.py`` — load_avg_betas.py:34-50 uses nibabel for the
+    same HCP_MMP1.mgz files; no nibabel needed here)."""
     if path.endswith(".npy"):
         return np.load(path).reshape(-1)
-    try:
-        import nibabel as nb  # optional; not in this image
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "nibabel needed for .mgz atlases; convert to .npy offline"
-        ) from e
-    return np.asarray(nb.load(path).get_fdata()).reshape(-1)
+    from masters_thesis_tpu.data.preprocess.mgh import read_mgh
+
+    return read_mgh(path).reshape(-1)
 
 
 def groups_from_atlas(

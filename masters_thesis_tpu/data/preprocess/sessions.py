@@ -11,7 +11,8 @@ text file ``SUB{s}_KID{kid}.txt`` holding up to five COCO captions in
 This module reproduces that contract from offline inputs:
 
 - session beta files: ``lh.betas_session{NN}.npy`` / ``.mgh`` / ``.mgz``
-  (``.npy`` always; ``.mgh``/``.mgz`` when nibabel is importable). Each file
+  (``.mgh``/``.mgz`` via the pure-numpy FreeSurfer reader in ``mgh.py``;
+  no nibabel needed). Each file
   is (V, T) vertices x trials, exactly the reference's ``get_data().squeeze``
   layout.
 - behavior: one CSV/TSV per session (``behav_session{NN}.csv``) or a single
@@ -47,20 +48,16 @@ BEHAV_COLS = ("SUBJECT", "SESSION", "RUN", "TRIAL", "73KID")
 def load_hemi(path: str) -> np.ndarray:
     """Load one hemisphere's session betas as (V, T).
 
-    ``.npy`` loads directly; ``.mgh``/``.mgz`` go through nibabel when it is
-    importable (matching nsd_get_data.py:228-241's nb.load().get_data()).
-    """
+    ``.npy`` loads directly; ``.mgh``/``.mgz`` go through the pure-numpy
+    reader in ``mgh.py`` (same (V, 1, 1, T) array nibabel's
+    nb.load().get_fdata() returns in nsd_get_data.py:228-241 — no nibabel
+    dependency needed)."""
     if path.endswith(".npy"):
         arr = np.load(path)
     else:
-        try:
-            import nibabel as nb  # optional; not baked into this image
-        except ImportError as e:  # pragma: no cover - env without nibabel
-            raise ImportError(
-                f"nibabel is required to read {path!r}; convert sessions to "
-                ".npy offline (np.save of the (V, T) array) to ingest without it"
-            ) from e
-        arr = np.asarray(nb.load(path).get_fdata())
+        from masters_thesis_tpu.data.preprocess.mgh import read_mgh
+
+        arr = read_mgh(path)
     arr = np.squeeze(arr)
     assert arr.ndim == 2, f"{path}: expected (V, T) after squeeze, got {arr.shape}"
     return arr

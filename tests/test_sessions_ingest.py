@@ -144,6 +144,88 @@ def test_preprocess_cli_from_sessions(tmp_path, capsys):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_mgh_roundtrip_all_dtypes(tmp_path):
+    """Pure-numpy MGH reader/writer: shapes, dtypes, gzip (.mgz), and the
+    nibabel axis convention (V, 1, 1, T) for surface files."""
+    from masters_thesis_tpu.data.preprocess.mgh import read_mgh, write_mgh
+
+    rng = np.random.default_rng(0)
+    surf = rng.standard_normal((6, 3)).astype(np.float32)  # (V, T)
+    p = tmp_path / "lh.betas_session01.mgh"
+    write_mgh(str(p), surf)
+    got = read_mgh(str(p))
+    assert got.shape == (6, 1, 1, 3)
+    np.testing.assert_array_equal(np.squeeze(got), surf)
+
+    pz = tmp_path / "x.mgz"
+    write_mgh(str(pz), surf)
+    np.testing.assert_array_equal(np.squeeze(read_mgh(str(pz))), surf)
+
+    for dt in (np.uint8, np.int16, np.int32):
+        ints = rng.integers(0, 120, (5, 2)).astype(dt)
+        pi = tmp_path / f"i_{np.dtype(dt).name}.mgh"
+        write_mgh(str(pi), ints)
+        np.testing.assert_array_equal(
+            np.squeeze(read_mgh(str(pi))), ints.astype(np.float32))
+
+    # volume (4D) axis order survives the disk roundtrip
+    vol = rng.standard_normal((3, 4, 5, 2)).astype(np.float32)
+    pv = tmp_path / "vol.mgh"
+    write_mgh(str(pv), vol)
+    np.testing.assert_array_equal(read_mgh(str(pv)), vol)
+
+    import pytest as _pytest
+
+    bad = tmp_path / "trunc.mgh"
+    bad.write_bytes(b"\x00" * 10)
+    with _pytest.raises(ValueError, match="truncated"):
+        read_mgh(str(bad))
+
+
+def test_ingest_from_mgh_sessions(tmp_path):
+    """The .mgh path of --from-sessions produces identical per-trial outputs
+    to the .npy path (nsd_get_data.py:226-246 reads these via nibabel)."""
+    from masters_thesis_tpu.data.preprocess.mgh import write_mgh
+
+    sessions_dir, behav, caps_json, raw, schedule = _write_fixture(tmp_path)
+    # convert the fixture's session files to .mgh (both hemispheres must
+    # share an extension — find_session_files pairs them per ext)
+    for f in sorted(sessions_dir.glob("*.npy")):
+        arr = np.load(f)
+        write_mgh(str(f.with_suffix("")) + ".mgh", arr.astype(np.float32))
+        f.unlink()
+    out = tmp_path / "ingested_mgh"
+    report = ingest_sessions(str(sessions_dir), str(behav), str(out),
+                             n_sessions=2, captions_json=str(caps_json))
+    assert report["trials"] == 8
+    arr = raw[1].astype(np.float32)
+    z = (arr - arr.mean(axis=1, keepdims=True)) / arr.std(axis=1, keepdims=True)
+    got = np.load(out / "subj_2" / "betas" / "betas_SUB2_S1_R1_T2_KID12.npy")
+    np.testing.assert_allclose(got, z[:, 1].astype(np.float32), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_glasser_atlas_from_mgz(tmp_path):
+    from masters_thesis_tpu.data.preprocess.glasser import (
+        groups_from_atlas,
+        load_atlas_vector,
+    )
+    from masters_thesis_tpu.data.preprocess.mgh import write_mgh
+
+    lh = np.array([0, 1, 2, 1, 2, 0], np.int32)
+    rh = np.array([2, 0, 1, 1, 0, 2], np.int32)
+    write_mgh(str(tmp_path / "lh.HCP_MMP1.mgz"), lh)
+    write_mgh(str(tmp_path / "rh.HCP_MMP1.mgz"), rh)
+    lh_v = load_atlas_vector(str(tmp_path / "lh.HCP_MMP1.mgz"))
+    rh_v = load_atlas_vector(str(tmp_path / "rh.HCP_MMP1.mgz"))
+    np.testing.assert_array_equal(lh_v, lh)
+    groups = groups_from_atlas(lh_v, rh_v)
+    # labels 1,2 per hemisphere -> 4 groups; RH offsets by len(lh)
+    assert len(groups) == 4
+    np.testing.assert_array_equal(groups[0], [1, 3])
+    np.testing.assert_array_equal(groups[2], [8, 9])
+
+
 def test_caption_prefix_stripped_for_tokenizer(tmp_path):
     from masters_thesis_tpu.data.captions import load_captions_dir
 
