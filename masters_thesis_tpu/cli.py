@@ -24,59 +24,92 @@ def _add_common(p):
                    help="synthetic dataset size when no real data mounted")
 
 
+def _backbone_for(args):
+    """(model, head, preprocess) for a features run."""
+    from masters_thesis_tpu.models import backbones
+
+    if args.backbone == "vgg16":
+        return (backbones.VGG16(include_top=args.head in (None, "fc2")),
+                args.head or "fc2", backbones.preprocess)
+    if args.backbone == "inception_v3":
+        from masters_thesis_tpu.models import inception
+
+        return (inception.InceptionV3(include_top=False),
+                args.head or "patches", inception.preprocess)
+    if args.backbone == "resnet50":
+        from masters_thesis_tpu.models import resnet
+
+        return (resnet.resnet("resnet50"), args.head or "pooled",
+                resnet.preprocess)
+    from masters_thesis_tpu.models import efficientnet
+
+    model, _ = efficientnet.efficientnet("b3")
+    return model, args.head or "pooled", efficientnet.preprocess
+
+
+def _image_chunks(args, chunk: int):
+    """Yield (N<=chunk, H, W, 3) image arrays from a .npy file or the NSD
+    stimuli HDF5 (imgBrick), optionally restricted to --keys (1-based NSD
+    keys; row key-1 in either source)."""
+    import numpy as np
+
+    keys = None
+    if getattr(args, "keys", None):
+        keys = np.load(args.keys).reshape(-1).astype(np.int64)
+    if args.images.endswith((".hdf5", ".h5")):
+        from masters_thesis_tpu.data.nsd_images import iter_stimuli_chunks
+
+        for _, imgs in iter_stimuli_chunks(args.images, keys, chunk=chunk):
+            yield imgs
+        return
+    images = np.load(args.images, mmap_mode="r")
+    rows = np.arange(len(images)) if keys is None else keys - 1
+    for i in range(0, len(rows), chunk):
+        yield np.asarray(images[rows[i:i + chunk]])
+
+
 def _run_features(args) -> dict:
     """Offline image-feature dump (feature_extractor.py:67-84 semantics:
-    per-key CNN features written once, consumed by the generators)."""
+    per-key CNN features written once, consumed by the generators).
+    Chunked so the 73k-image NSD brick never materialises at once."""
     import jax
     import numpy as np
 
     from masters_thesis_tpu.models import backbones
 
-    images = np.load(args.images, mmap_mode="r")
-    if args.backbone == "vgg16":
-        model = backbones.VGG16(include_top=args.head in (None, "fc2"))
-        head = args.head or "fc2"
-        x = backbones.preprocess(np.asarray(images[:1], np.float32))
-    elif args.backbone == "inception_v3":
-        from masters_thesis_tpu.models import inception
-
-        model = inception.InceptionV3(include_top=False)
-        head = args.head or "patches"
-        x = inception.preprocess(np.asarray(images[:1], np.float32))
-    elif args.backbone == "resnet50":
-        from masters_thesis_tpu.models import resnet
-
-        model = resnet.resnet("resnet50")
-        head = args.head or "pooled"
-        x = resnet.preprocess(np.asarray(images[:1], np.float32))
-    else:
-        from masters_thesis_tpu.models import efficientnet
-
-        model, _ = efficientnet.efficientnet("b3")
-        head = args.head or "pooled"
-        x = efficientnet.preprocess(np.asarray(images[:1], np.float32))
-
-    variables = model.init(jax.random.PRNGKey(0), x)
-    if args.weights:
-        variables = dict(variables)
-        variables["params"] = backbones.load_npz_weights(
-            variables["params"], args.weights)
-
-    prep = {"vgg16": backbones.preprocess}.get(args.backbone)
-    if prep is None:
-        from masters_thesis_tpu.models import efficientnet, inception, resnet
-
-        prep = {"inception_v3": inception.preprocess,
-                "resnet50": resnet.preprocess}.get(
-                    args.backbone, efficientnet.preprocess)
-    feats = backbones.extract_features(
-        model, variables, prep(np.asarray(images, np.float32)),
-        batch_size=args.batch_size, head=head,
-    )
+    model, head, prep = _backbone_for(args)
+    variables = None
+    parts = []
+    for imgs in _image_chunks(args, chunk=max(args.batch_size, 64) * 4):
+        x = prep(np.asarray(imgs, np.float32))
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), x[:1])
+            if args.weights:
+                variables = dict(variables)
+                variables["params"] = backbones.load_npz_weights(
+                    variables["params"], args.weights)
+        parts.append(np.asarray(backbones.extract_features(
+            model, variables, x, batch_size=args.batch_size, head=head)))
+    feats = np.concatenate(parts, axis=0)
     np.save(args.out, feats)
     return {"out": args.out, "shape": list(feats.shape),
             "backbone": args.backbone, "head": head,
             "pretrained": bool(args.weights)}
+
+
+def _run_stimuli(args) -> dict:
+    """Export NSD stimulus pictures as KID{key}.(png|npy) files — the
+    NSDAccess.read_images path (metric_suit.py:75-80) feeding
+    dataset.images_path previews and the analysis figures."""
+    import numpy as np
+
+    from masters_thesis_tpu.data.nsd_images import export_images
+
+    keys = None
+    if args.keys:
+        keys = np.load(args.keys).reshape(-1).astype(np.int64)
+    n = export_images(args.hdf5, keys, args.out_dir, fmt=args.format)
+    return {"out_dir": args.out_dir, "exported": n, "format": args.format}
 
 
 def _run_analyze(args) -> dict:
@@ -283,7 +316,10 @@ def main(argv=None) -> int:
                     choices=["vgg16", "inception_v3", "efficientnet_b3",
                              "resnet50"])
     fe.add_argument("--images", required=True,
-                    help=".npy of (N, H, W, 3) uint8/float RGB images")
+                    help=".npy of (N, H, W, 3) RGB images, or the NSD "
+                    "stimuli .hdf5 (imgBrick read directly)")
+    fe.add_argument("--keys", default=None,
+                    help=".npy of 1-based NSD keys selecting rows")
     fe.add_argument("--out", required=True, help="output .npy path")
     fe.add_argument("--weights", default=None,
                     help="npz of pretrained params ('/'-joined flax paths)")
@@ -292,9 +328,23 @@ def main(argv=None) -> int:
                     "patches|pooled); default per backbone")
     fe.add_argument("--batch-size", type=int, default=64)
 
+    st = sub.add_parser(
+        "stimuli",
+        help="export NSD stimulus pictures from nsd_stimuli.hdf5 as "
+        "KID{key} files (NSDAccess.read_images equivalent)",
+    )
+    st.add_argument("--hdf5", required=True, help="nsd_stimuli.hdf5 path")
+    st.add_argument("--keys", default=None,
+                    help=".npy of 1-based NSD keys (default: all)")
+    st.add_argument("--out-dir", required=True)
+    st.add_argument("--format", default="png", choices=["png", "npy"])
+
     args = ap.parse_args(argv)
     if args.cmd == "features":
         print(json.dumps(_run_features(args)))
+        return 0
+    if args.cmd == "stimuli":
+        print(json.dumps(_run_stimuli(args)))
         return 0
     if args.cmd == "analyze":
         print(json.dumps(_run_analyze(args)))
