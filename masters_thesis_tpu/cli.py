@@ -183,6 +183,52 @@ def _run_analyze(args) -> dict:
             vpng = os.path.join(out_dir, f"vertex_attention_{e}.png")
             plot_vertex_attention(vertex_vals, vpng, n_lh, coords=coords)
             report["artifacts"].append(vpng)
+
+    # caption/image sample grids (Eval/sample_captions.py): BLEU-sorted
+    # best+worst panels over the eval captions, stimulus pictures from
+    # --images (a KID{key} dir, e.g. exported by `mtt stimuli`)
+    from masters_thesis_tpu.evalsuite.analysis import (
+        caption_grid_entries,
+        plot_caption_grid,
+    )
+
+    references = None
+    cfg_path = os.path.join(run, "config.yaml")
+    if os.path.exists(cfg_path):
+        from masters_thesis_tpu.config import Config
+
+        run_cfg = Config.load(cfg_path)
+        if run_cfg.dataset.captions_path and os.path.isdir(
+                run_cfg.dataset.captions_path):
+            from masters_thesis_tpu.data.captions import load_captions_dir
+
+            references = load_captions_dir(run_cfg.dataset.captions_path)
+
+    def _image_loader(key: int):
+        if not args.images:
+            return None
+        from masters_thesis_tpu.train.callbacks import load_stimulus_images
+
+        got = load_stimulus_images(args.images, [key], max_images=1)
+        return None if got is None else got[0]
+
+    for cap_path in sorted(glob.glob(os.path.join(run, "captions_*.txt"))):
+        e = os.path.basename(cap_path).split("_")[-1].split(".")[0]
+        if not e.isdigit():
+            continue
+        keys, texts = [], []
+        for ln in open(cap_path):
+            if "\t" in ln:
+                k, t = ln.rstrip("\n").split("\t", 1)
+                keys.append(int(k))
+                texts.append(t)
+        if not keys:
+            continue
+        entries = caption_grid_entries(
+            keys, texts, image_loader=_image_loader, references=references)
+        gpng = os.path.join(out_dir, f"caption_grid_{e}.png")
+        plot_caption_grid(entries, gpng)
+        report["artifacts"].append(gpng)
     return report
 
 
@@ -306,6 +352,9 @@ def main(argv=None) -> int:
     an.add_argument("--flat-coords", default=None,
                     help="npz of lh/rh (V, 2) flat-surface vertex coords "
                     "(scripts/export_flat_coords.py) for true flatmap scatter")
+    an.add_argument("--images", default=None,
+                    help="KID{key} stimulus-picture dir (mtt stimuli output) "
+                    "for the caption sample grids")
 
     fe = sub.add_parser(
         "features",

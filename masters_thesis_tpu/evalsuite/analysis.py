@@ -340,3 +340,68 @@ def caption_pos_stats(captions: list[str]) -> dict:
                       for k, v in counts.items()},
         "counts": counts,
     }
+
+
+def plot_caption_grid(entries, out_png: str, cols: int = 3) -> None:
+    """Caption/image sample grid (Eval/sample_captions.py's BLEU-sorted
+    figure): each panel shows the stimulus picture (blank when absent)
+    titled with the generated caption; the subtitle carries the BLEU-4
+    score and best reference when available.
+
+    ``entries``: list of (image|None, caption, subtitle|None)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(entries)
+    rows = max(1, -(-n // cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 3.6 * rows),
+                             squeeze=False)
+    for i, ax in enumerate(axes.flat):
+        ax.axis("off")
+        if i >= n:
+            continue
+        img, caption, subtitle = entries[i]
+        if img is not None:
+            ax.imshow(np.asarray(img).astype(np.uint8))
+        ax.set_title(caption, fontsize=8, wrap=True)
+        if subtitle:
+            ax.text(0.5, -0.06, subtitle, fontsize=7, wrap=True,
+                    ha="center", va="top", transform=ax.transAxes)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
+def caption_grid_entries(keys, texts, image_loader=None, references=None,
+                         n: int = 12):
+    """Build grid entries: when references exist, sentence-BLEU-4-sort and
+    show the best n/2 and worst n/2 (sample_captions.py shows both tails);
+    otherwise the first n in eval order. ``image_loader(key) -> img|None``
+    is called only for the selected rows."""
+    rows = list(range(len(keys)))
+    scores = None
+    if references is not None:
+        scores = []
+        for i in rows:
+            refs = references.get(int(keys[i]), [])
+            refs_tok = [r.split() for r in refs]
+            scores.append(
+                sentence_bleu(refs_tok, texts[i].split()) if refs else 0.0)
+        order = sorted(rows, key=lambda i: -scores[i])
+        half = max(1, n // 2)
+        rows = order[:half] + order[-half:] if len(order) > n else order
+    else:
+        rows = rows[:n]
+    entries = []
+    for i in rows:
+        img = None if image_loader is None else image_loader(int(keys[i]))
+        sub = None
+        if scores is not None:
+            refs = references.get(int(keys[i]), [])
+            sub = f"BLEU-4 {scores[i]:.3f}"
+            if refs:
+                sub += f" | ref: {refs[0]}"
+        entries.append((img, f"{keys[i]}: {texts[i]}", sub))
+    return entries

@@ -121,3 +121,39 @@ def test_plot_vertex_attention_writes_png(tmp_path):
     flat = tmp_path / "flat.png"
     plot_vertex_attention(vals, str(flat), n_lh=20, coords=coords)
     assert flat.stat().st_size > 0
+
+
+def test_caption_grid_entries_sorted_best_and_worst(tmp_path):
+    from masters_thesis_tpu.evalsuite.analysis import (
+        caption_grid_entries,
+        plot_caption_grid,
+    )
+
+    keys = [1, 2, 3, 4]
+    texts = ["a dog runs", "a cat sits", "total nonsense words here",
+             "a bird flies"]
+    refs = {1: ["a dog runs"], 2: ["a cat sits"],
+            3: ["a man rides a horse"], 4: ["a bird flies"]}
+    calls = []
+
+    def loader(key):
+        calls.append(key)
+        return np.full((4, 4, 3), 10 * key, np.uint8)
+
+    entries = caption_grid_entries(keys, texts, image_loader=loader,
+                                   references=refs, n=2)
+    # n=2 -> best 1 + worst 1; perfect match first, nonsense last
+    assert len(entries) == 2
+    assert "BLEU-4" in entries[0][2]
+    assert entries[1][0].shape == (4, 4, 3)
+    assert "ref:" in entries[0][2]
+    # loader called only for selected rows
+    assert len(calls) == 2
+    out = tmp_path / "grid.png"
+    plot_caption_grid(entries, str(out))
+    assert out.stat().st_size > 1000
+
+    # no references: first n in order, no subtitle
+    plain = caption_grid_entries(keys, texts, n=3)
+    assert [e[1].split(":")[0] for e in plain] == ["1", "2", "3"]
+    assert plain[0][2] is None and plain[0][0] is None
