@@ -63,23 +63,48 @@ def _image_chunks(args, chunk: int):
             yield imgs
         return
     images = np.load(args.images, mmap_mode="r")
-    rows = np.arange(len(images)) if keys is None else keys - 1
+    if keys is None:
+        rows = np.arange(len(images))
+    else:
+        if keys.min() < 1 or keys.max() > len(images):
+            raise ValueError(
+                f"--keys are 1-based NSD keys in [1, {len(images)}]; "
+                f"got [{keys.min()}, {keys.max()}]")
+        rows = keys - 1
     for i in range(0, len(rows), chunk):
         yield np.asarray(images[rows[i:i + chunk]])
+
+
+def _features_row_count(args) -> int:
+    import numpy as np
+
+    if getattr(args, "keys", None):
+        return len(np.load(args.keys).reshape(-1))
+    if args.images.endswith((".hdf5", ".h5")):
+        import h5py
+
+        from masters_thesis_tpu.data.nsd_images import DATASET
+
+        with h5py.File(args.images, "r") as f:
+            return f[DATASET].shape[0]
+    return len(np.load(args.images, mmap_mode="r"))
 
 
 def _run_features(args) -> dict:
     """Offline image-feature dump (feature_extractor.py:67-84 semantics:
     per-key CNN features written once, consumed by the generators).
-    Chunked so the 73k-image NSD brick never materialises at once."""
+    Chunked input AND memmap-streamed output, so neither the 73k-image NSD
+    brick nor its feature matrix (~38 GB for inception patches) ever
+    materialises in memory."""
     import jax
     import numpy as np
 
     from masters_thesis_tpu.models import backbones
 
     model, head, prep = _backbone_for(args)
-    variables = None
-    parts = []
+    n_rows = _features_row_count(args)
+    variables = out = None
+    row = 0
     for imgs in _image_chunks(args, chunk=max(args.batch_size, 64) * 4):
         x = prep(np.asarray(imgs, np.float32))
         if variables is None:
@@ -88,11 +113,19 @@ def _run_features(args) -> dict:
                 variables = dict(variables)
                 variables["params"] = backbones.load_npz_weights(
                     variables["params"], args.weights)
-        parts.append(np.asarray(backbones.extract_features(
-            model, variables, x, batch_size=args.batch_size, head=head)))
-    feats = np.concatenate(parts, axis=0)
-    np.save(args.out, feats)
-    return {"out": args.out, "shape": list(feats.shape),
+        feats = np.asarray(backbones.extract_features(
+            model, variables, x, batch_size=args.batch_size, head=head))
+        if out is None:
+            out = np.lib.format.open_memmap(
+                args.out, mode="w+", dtype=feats.dtype,
+                shape=(n_rows,) + feats.shape[1:])
+        out[row:row + len(feats)] = feats
+        row += len(feats)
+    assert out is not None and row == n_rows, (row, n_rows)
+    out.flush()
+    shape = list(out.shape)
+    del out
+    return {"out": args.out, "shape": shape,
             "backbone": args.backbone, "head": head,
             "pretrained": bool(args.weights)}
 

@@ -55,6 +55,10 @@ def iter_stimuli_chunks(path: str, keys=None, chunk: int = 256,
             keys = np.arange(1, brick.shape[0] + 1, dtype=np.int64)
         else:
             keys = np.asarray(list(keys), dtype=np.int64)
+            if len(keys) and (keys.min() < 1 or keys.max() > brick.shape[0]):
+                raise ValueError(
+                    f"NSD keys must be in [1, {brick.shape[0]}], "
+                    f"got [{keys.min()}, {keys.max()}]")
         for i in range(0, len(keys), chunk):
             ck = keys[i:i + chunk]
             rows = ck - 1

@@ -54,12 +54,18 @@ def load_hemi(path: str) -> np.ndarray:
     dependency needed)."""
     if path.endswith(".npy"):
         arr = np.load(path)
+        if arr.ndim == 1:           # single-trial session stored as (V,)
+            arr = arr[:, None]
     else:
         from masters_thesis_tpu.data.preprocess.mgh import read_mgh
 
+        # (V, 1, 1, T) -> (V, T); indexing (not squeeze) so a single-trial
+        # session keeps its T=1 axis
         arr = read_mgh(path)
-    arr = np.squeeze(arr)
-    assert arr.ndim == 2, f"{path}: expected (V, T) after squeeze, got {arr.shape}"
+        assert arr.shape[1:3] == (1, 1), (
+            f"{path}: expected surface betas (V, 1, 1, T), got {arr.shape}")
+        arr = arr[:, 0, 0, :]
+    assert arr.ndim == 2, f"{path}: expected (V, T), got {arr.shape}"
     return arr
 
 

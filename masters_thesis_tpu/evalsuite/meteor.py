@@ -166,7 +166,7 @@ def _align_paraphrase_stage(ref, hyp, table: ParaphraseTable,
     (longest-hypothesis-span-first greedy). Spans may differ in length;
     returns (hyp_idxs, ref_idxs, anchor_pairs) where anchors pair up the
     overlapping prefix for chunk counting."""
-    max_n = min(table.max_words, 6)
+    max_n = table.max_words   # span enumeration covers every table entry
     hyp_idxs: list = []
     ref_idxs: list = []
     anchors: list = []

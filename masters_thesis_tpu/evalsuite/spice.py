@@ -72,12 +72,19 @@ class SceneTuples:
                 | {("r", porter_stem(s), porter_stem(r), porter_stem(o))
                    for s, r, o in self.relations})
 
-    def raw_tuples(self) -> set:
-        """Unstemmed tuples — the synonym-table match path needs surface
-        forms (the table is keyed on vocabulary words, not stems)."""
-        return ({("o", o) for o in self.objects}
-                | {("a", n, a) for n, a in self.attributes}
-                | {("r", s, r, o) for s, r, o in self.relations})
+    def raw_map(self) -> dict:
+        """stem -> a surface form that produced it; the synonym table is
+        keyed on vocabulary words, not stems."""
+        out: dict = {}
+        for o in self.objects:
+            out.setdefault(porter_stem(o), o)
+        for n, a in self.attributes:
+            out.setdefault(porter_stem(n), n)
+            out.setdefault(porter_stem(a), a)
+        for s, r, o in self.relations:
+            for w in (s, r, o):
+                out.setdefault(porter_stem(w), w)
+        return out
 
 
 def parse_caption(tokens) -> SceneTuples:
@@ -131,27 +138,31 @@ def parse_caption(tokens) -> SceneTuples:
     return out
 
 
-def _slot_match(a: str, b: str, synonyms) -> bool:
-    """SPICE's per-word match: stem equality OR WordNet synset overlap
-    (SpiceScorer's similarTo — lemma match via intersecting synsets)."""
-    if porter_stem(a) == porter_stem(b):
+def _slot_match(hs: str, rs: str, synonyms, hyp_raw: dict,
+                ref_raw: dict) -> bool:
+    """SPICE's per-word match on STEM slots: stem equality OR WordNet
+    synset overlap of the underlying surface forms (SpiceScorer's
+    similarTo — lemma match via intersecting synsets)."""
+    if hs == rs:
         return True
-    if synonyms is not None:
-        sa = synonyms.synsets(a)
-        return bool(sa) and not sa.isdisjoint(synonyms.synsets(b))
-    return False
+    sa = synonyms.synsets(hyp_raw.get(hs, hs))
+    return bool(sa) and not sa.isdisjoint(
+        synonyms.synsets(ref_raw.get(rs, rs)))
 
 
-def _match_count(hyp_t: set, ref_t: set, synonyms) -> int:
-    """Greedy bipartite tuple matching: every slot must match (same arity);
-    each reference tuple is consumed at most once."""
-    used: set = set()
-    matched = 0
-    for h in hyp_t:
-        for r in ref_t:
+def _match_count(hyp_t: set, ref_t: set, synonyms, hyp_raw: dict,
+                 ref_raw: dict) -> int:
+    """Exact stemmed intersection plus greedy bipartite synonym matching
+    over the remainder (sorted iteration — deterministic across interpreter
+    runs); each reference tuple is consumed at most once."""
+    exact = hyp_t & ref_t
+    matched = len(exact)
+    used: set = set(exact)
+    for h in sorted(hyp_t - exact):
+        for r in sorted(ref_t):
             if r in used or len(r) != len(h) or r[0] != h[0]:
                 continue  # r[0] is the category tag ("o"/"a"/"r")
-            if all(_slot_match(hw, rw, synonyms)
+            if all(_slot_match(hw, rw, synonyms, hyp_raw, ref_raw)
                    for hw, rw in zip(h[1:], r[1:])):
                 used.add(r)
                 matched += 1
@@ -166,24 +177,25 @@ def spice_lite(references, hypothesis, synonyms=None) -> float:
     on WordNet synset overlap as in Java SPICE, not just stem equality.
     """
     hyp = parse_caption(hypothesis)
+    hyp_t = hyp.all_tuples()
+    ref_t: set = set()
+    parsed_refs = [parse_caption(ref) for ref in references]
+    for pr in parsed_refs:
+        ref_t |= pr.all_tuples()
+    if not hyp_t or not ref_t:
+        return 0.0
     if synonyms is None:
-        hyp_t = hyp.all_tuples()
-        ref_t: set = set()
-        for ref in references:
-            ref_t |= parse_caption(ref).all_tuples()
-        if not hyp_t or not ref_t:
-            return 0.0
         matched = len(hyp_t & ref_t)
     else:
-        # synonym matching runs on raw (unstemmed) words so the table's
-        # surface-form keys apply (stem fallback happens per slot)
-        hyp_t = hyp.raw_tuples()
-        ref_t = set()
-        for ref in references:
-            ref_t |= parse_caption(ref).raw_tuples()
-        if not hyp_t or not ref_t:
-            return 0.0
-        matched = _match_count(hyp_t, ref_t, synonyms)
+        # same stemmed tuple sets (identical P/R denominators with or
+        # without a table — the table can only ADD matches); the raw maps
+        # recover surface forms for synset lookups
+        ref_raw: dict = {}
+        for pr in parsed_refs:
+            for k, v in pr.raw_map().items():
+                ref_raw.setdefault(k, v)
+        matched = _match_count(hyp_t, ref_t, synonyms, hyp.raw_map(),
+                               ref_raw)
     p = matched / len(hyp_t)
     r = matched / len(ref_t)
     return 0.0 if p + r == 0 else 2 * p * r / (p + r)

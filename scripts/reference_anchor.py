@@ -16,8 +16,9 @@ anchors the order of magnitude. Run and record in PERF.md:
 
   python scripts/reference_anchor.py [--steps 5] [--groups 64]
 
---groups scales the encoder down (cost is linear in group count; the
-full 345 takes a while on CPU) and the script extrapolates.
+--groups scales the encoder down (cost is linear in group count; the full
+345 takes a while on CPU); scaled runs print the measured number plus a
+note — only a full-groups run yields the anchor figure.
 """
 
 from __future__ import annotations

@@ -237,6 +237,38 @@ def test_spice_synonym_matching():
     assert spice_lite(refs, hyp, synonyms=t3) < 1.0
 
 
+def test_spice_table_presence_cannot_lower_scores():
+    """Regression: the P/R denominators are the same stemmed tuple sets with
+    or without a table, so an irrelevant table leaves scores unchanged (it
+    can only ADD matches). Previously the synonyms path switched to raw
+    surface-form sets and deflated recall ('dog'/'dogs' stopped deduping)."""
+    from masters_thesis_tpu.evalsuite.meteor import SynonymTable
+    from masters_thesis_tpu.evalsuite.spice import spice_lite
+
+    refs = [["a", "dog", "and", "dogs", "running"]]
+    hyp = ["a", "dog", "running"]
+    base = spice_lite(refs, hyp)
+    assert base == 1.0
+    assert spice_lite(refs, hyp,
+                      synonyms=SynonymTable({"unrelated": [1]})) == base
+
+
+def test_spice_synonym_matching_deterministic():
+    """Regression: greedy matching iterates sorted tuples, so the score is
+    stable across interpreter runs (was hash-seed-dependent set order)."""
+    from masters_thesis_tpu.evalsuite.meteor import SynonymTable
+    from masters_thesis_tpu.evalsuite.spice import spice_lite
+
+    refs = [["a", "cat", "and", "a", "feline"]]
+    hyp = ["a", "kitty", "and", "a", "cat"]
+    table = SynonymTable({"kitty": [1], "cat": [1, 2], "feline": [2]})
+    first = spice_lite(refs, hyp, synonyms=table)
+    assert all(spice_lite(refs, hyp, synonyms=table) == first
+               for _ in range(20))
+    # exact stemmed pairs are consumed first (cat<->cat), then synonyms
+    assert first == pytest.approx(0.5)
+
+
 def test_metric_suite_spice_uses_synonym_table():
     from masters_thesis_tpu.evalsuite.meteor import SynonymTable
     from masters_thesis_tpu.evalsuite.metric_suite import evaluate_captions

@@ -159,9 +159,12 @@ def test_paraphrase_env_discovery(tmp_path, monkeypatch):
 
 
 def test_paraphrase_converter_roundtrip(tmp_path):
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/scripts")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
     try:
         from convert_meteor_paraphrases import build_table, parse_line
     finally:
