@@ -66,6 +66,11 @@ class TPUConfig:
     #                                  main.py:210)
     profile_trace: bool = False      # capture a JAX profiler (XPlane) trace
     #                                  of the first epoch -> <run>/trace/
+    compile_cache_dir: str = "~/.cache/masters_thesis_tpu/xla"
+    #                                  persistent XLA compile cache: first
+    #                                  flagship compiles run minutes on
+    #                                  remote/tunneled TPU runtimes; cached
+    #                                  runs start hot. "" disables.
     prng_impl: str = "default"       # 'rbg' uses the TPU's hardware RNG for
     #                                  dropout masks: +21% flagship steps/s
     #                                  measured (threefry mask generation was

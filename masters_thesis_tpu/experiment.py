@@ -293,6 +293,34 @@ def _greedy_decoder(model, cfg):
 
 # ---------------------------------------------------------------- train
 
+def apply_tpu_runtime_config(cfg: Config) -> None:
+    """Process-level JAX knobs from the config's tpu section.
+
+    - ``tpu.prng_impl``: must run before any PRNG keys are created (the
+      state's rng / dropout masks; key SHAPES differ between impls).
+    - ``tpu.compile_cache_dir``: persistent XLA compile cache — first
+      flagship compiles take minutes on remote/tunneled TPU runtimes, so
+      train/eval/serve all start hot after the first run. "" disables.
+      TPU-only: XLA:CPU caches AOT machine code keyed loosely enough that
+      entries compiled under different flags/feature tuning load with
+      feature-mismatch (potential SIGILL) warnings — and CPU compiles are
+      cheap anyway.
+    Idempotent; safe to call from every entry point.
+    """
+    import jax as _jax
+
+    if cfg.tpu.prng_impl != "default":
+        _jax.config.update("jax_default_prng_impl", cfg.tpu.prng_impl)
+    if cfg.tpu.compile_cache_dir and _jax.default_backend() == "tpu":
+        cache = os.path.expanduser(cfg.tpu.compile_cache_dir)
+        try:
+            os.makedirs(cache, exist_ok=True)
+        except OSError:
+            return  # read-only home etc. — run uncached rather than fail
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
                  resume: bool = False, extra_callbacks=()):
     """Full training run; returns (run_path, final logs, state bundle).
@@ -302,12 +330,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     CNN_RNN/train.py:272-287). ``extra_callbacks`` are appended to the
     standard callback list (the tune runner injects its per-epoch reporter
     here, like Ray's TuneReportCallback, tune.py:146-153)."""
-    if cfg.tpu.prng_impl != "default":
-        # affects keys created from here on (dropout masks); must run before
-        # init_model builds the state's rng
-        import jax as _jax
-
-        _jax.config.update("jax_default_prng_impl", cfg.tpu.prng_impl)
+    apply_tpu_runtime_config(cfg)
     run_path = setup_run_dir(cfg.log, cfg.run, cfg)
     split, pairs, tok, store, groups = build_data(cfg, smoke_keys)
     tok.save(os.path.join(run_path, "tokenizer.json"))

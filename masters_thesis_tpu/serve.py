@@ -80,6 +80,11 @@ class Captioner:
         from masters_thesis_tpu.train.state import TrainState, init_model
 
         cfg = Config.load(os.path.join(run_path, "config.yaml"))
+        from masters_thesis_tpu.experiment import apply_tpu_runtime_config
+
+        # prng_impl must match the training run (key shapes differ) and the
+        # persistent compile cache makes repeat serving starts hot
+        apply_tpu_runtime_config(cfg)
         tokenizer = Tokenizer.load(os.path.join(run_path, "tokenizer.json"))
         layout_path = os.path.join(run_path, "layout.npz")
         if os.path.exists(layout_path):

@@ -58,3 +58,30 @@ some_unknown_key: 17
     assert c.run == "multi_subject_baseline"
     assert c.dataset.betas_path == "/x/betas"
     assert c.units == 512
+
+
+def test_apply_tpu_runtime_config_compile_cache(tmp_path, monkeypatch):
+    import jax
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu import experiment
+    from masters_thesis_tpu.experiment import apply_tpu_runtime_config
+
+    before = jax.config.jax_compilation_cache_dir
+    # cache applies only on TPU backends (CPU AOT cache entries are keyed
+    # loosely and can load with machine-feature mismatches)
+    cfg = Config()
+    cfg.tpu.compile_cache_dir = str(tmp_path / "xla_cache")
+    apply_tpu_runtime_config(cfg)
+    assert jax.config.jax_compilation_cache_dir == before
+    assert not (tmp_path / "xla_cache").exists()
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    apply_tpu_runtime_config(cfg)
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla_cache")
+    assert (tmp_path / "xla_cache").is_dir()
+    # "" leaves the existing setting untouched (disable = don't configure)
+    cfg2 = Config()
+    cfg2.tpu.compile_cache_dir = ""
+    apply_tpu_runtime_config(cfg2)
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla_cache")
