@@ -45,3 +45,22 @@ def test_captioner_from_run_dir(tmp_path):
 
     expect = [ids_to_caption(w, bundle["tokenizer"]) for w in np.asarray(words)[:3]]
     assert texts == expect
+
+
+def test_captioner_serves_rbg_trained_run(tmp_path):
+    """Regression: a run trained with tpu.prng_impl='rbg' must restore
+    through Captioner.from_run_dir — the serving template state has to be
+    built under the run's PRNG impl (key shapes differ from threefry)."""
+    import jax
+
+    cfg = Config(run="serve_rbg", model="lc_nic", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
+                 embedding_text=8, log=str(tmp_path))
+    cfg.tpu.prng_impl = "rbg"
+    try:
+        run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+        cap = Captioner.from_run_dir(run_path, batch_size=4)
+        betas = np.asarray(bundle["store"].data[:2], np.float32)
+        assert len(cap.caption(betas)) == 2
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
