@@ -646,29 +646,13 @@ def run_eval(bundle, run_path: str, epoch: int | None = None,
 
             dec = make_greedy_decoder(model, cfg.units, cfg.max_length)
     else:
-        import jax
+        # beam rides the XLA fixed-lattice scan: a whole-beam Pallas kernel
+        # was built and measured SLOWER (PERF.md "whole-beam search kernel")
+        from masters_thesis_tpu.decode.beam import make_beam_decoder
 
-        from masters_thesis_tpu.models.nic import NIC
-
-        if (jax.default_backend() == "tpu" and cfg.tpu.use_pallas
-                and isinstance(model, NIC) and model.cell_type == "lstm"
-                and not model.learned_init_state):
-            # whole-beam Pallas kernel: same tokens as the XLA lattice beam
-            # (parity-tested), winning hypothesis' own attention trail
-            from masters_thesis_tpu.ops.fused_beam import (
-                make_whole_fused_beam_decoder,
-            )
-
-            dec = make_whole_fused_beam_decoder(
-                model, cfg.units, cfg.max_length, beam_width=beam_width,
-                batch_tile=min(64, bs),
-            )
-        else:
-            from masters_thesis_tpu.decode.beam import make_beam_decoder
-
-            dec = make_beam_decoder(
-                model, cfg.units, cfg.max_length, beam_width=beam_width
-            )
+        dec = make_beam_decoder(
+            model, cfg.units, cfg.max_length, beam_width=beam_width
+        )
 
     all_words, all_attn, all_keys = [], [], []
     for batch in pipe.epoch():

@@ -136,21 +136,10 @@ class Captioner:
                 self._decoders[kind] = make_greedy_decoder(
                     self.model, self.units, self.max_length
                 )
-            elif kind == "beam" and self._fused_eligible():
-                # whole-beam Pallas kernel (ops/fused_beam.py) — same tokens
-                # as the XLA lattice beam, parity-tested; batch tile == the
-                # padded service batch (or a multiple of 8, Mosaic's block
-                # constraint)
-                from masters_thesis_tpu.ops.fused_beam import (
-                    make_whole_fused_beam_decoder,
-                )
-
-                self._decoders[kind] = make_whole_fused_beam_decoder(
-                    self.model, self.units, self.max_length,
-                    beam_width=self.beam_width,
-                    batch_tile=min(64, self.batch_size),
-                )
             elif kind == "beam":
+                # the XLA fixed-lattice scan IS the fast beam path: a
+                # whole-beam Pallas kernel was built and measured slower
+                # (PERF.md "whole-beam search kernel")
                 from masters_thesis_tpu.decode.beam import make_beam_decoder
 
                 self._decoders[kind] = make_beam_decoder(
