@@ -369,6 +369,10 @@ def main(argv=None) -> int:
     cp.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
     cp.add_argument("--out", default=None,
                     help="write captions here (default: stdout)")
+    cp.add_argument("--shard", type=int, default=0,
+                    help="data-parallel serving over N chips (0 = single "
+                    "device): batch axis sharded over a ('data',) mesh, "
+                    "params replicated")
 
     an = sub.add_parser(
         "analyze",
@@ -441,7 +445,16 @@ def main(argv=None) -> int:
 
         from masters_thesis_tpu.serve import Captioner
 
-        cap = Captioner.from_run_dir(args.run)
+        kw = {}
+        if args.shard:
+            from masters_thesis_tpu.parallel.mesh import (
+                make_mesh,
+                maybe_distributed_init,
+            )
+
+            maybe_distributed_init()
+            kw["mesh"] = make_mesh(data=args.shard, model=1)
+        cap = Captioner.from_run_dir(args.run, **kw)
         texts = cap.caption(np.load(args.betas), decoder=args.decoder)
         if args.out:
             with open(args.out, "w") as f:

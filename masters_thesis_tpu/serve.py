@@ -23,13 +23,12 @@ class Captioner:
     def __init__(self, model, variables, tokenizer, units: int,
                  max_length: int, batch_size: int = 64, beam_width: int = 5,
                  input_width: int | None = None,
-                 use_fused: bool | None = None):
+                 use_fused: bool | None = None, mesh=None):
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
         self.units = units
         self.max_length = max_length
-        self.batch_size = batch_size
         self.beam_width = beam_width
         # XLA clamps out-of-bounds gathers, so a wrong-width input would
         # silently produce garbage captions — validate explicitly
@@ -38,6 +37,18 @@ class Captioner:
         # (ops/fused_decode.py — measured >= XLA with identical tokens at
         # flagship shape). None = auto: on for LSTM NIC models on TPU.
         self.use_fused = use_fused
+        # multi-chip serving: a jax.sharding.Mesh with a 'data' axis scales
+        # the service batch across chips (pure DP — params replicated, batch
+        # axis sharded, no cross-chip collectives in the decode program; the
+        # reference has no parallelism at all, SURVEY.md §2.7). Decoders ride
+        # the XLA scan paths (the Pallas kernel is single-chip).
+        self.mesh = mesh
+        if mesh is not None:
+            ndata = mesh.shape.get("data", 1)
+            # each chip must hold equal batch rows (GSPMD even-sharding)
+            batch_size = -(-batch_size // ndata) * ndata
+            self._placed_vars = None
+        self.batch_size = batch_size
         self._decoders: dict = {}
 
     def _fused_eligible(self) -> bool:
@@ -45,15 +56,41 @@ class Captioner:
 
         from masters_thesis_tpu.models.nic import NIC
 
-        if self.use_fused is not None:
+        if self.use_fused is not None and self.mesh is None:
             return self.use_fused
         return (
-            jax.default_backend() == "tpu"
+            self.mesh is None
+            and jax.default_backend() == "tpu"
             and isinstance(self.model, NIC)
             and self.model.cell_type == "lstm"
             and not self.model.learned_init_state
             and not getattr(self.model.encoder, "pregathered", False)
         )
+
+    def _variables(self):
+        """Variables for the decode call — placed replicated on the mesh
+        once when sharded serving is on."""
+        if self.mesh is None:
+            return self.variables
+        if self._placed_vars is None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            self._placed_vars = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), self.variables
+            )
+        return self._placed_vars
+
+    def _device_batch(self, chunk):
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return jnp.asarray(chunk)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(chunk, NamedSharding(self.mesh, P("data")))
 
     @classmethod
     def from_components(cls, model, params, batch_stats, tokenizer, units,
@@ -152,8 +189,6 @@ class Captioner:
 
     def caption_ids(self, inputs: np.ndarray, decoder: str = "greedy"):
         """(N, D) inputs -> (N, T) token ids; pads to the service batch."""
-        import jax.numpy as jnp
-
         inputs = np.asarray(inputs, np.float32)
         if self.input_width is not None and inputs.shape[-1] != self.input_width:
             raise ValueError(
@@ -163,6 +198,8 @@ class Captioner:
         n = len(inputs)
         out = []
         bs = self.batch_size
+        dec = self._decoder(decoder)
+        variables = self._variables()
         for i in range(0, n, bs):
             chunk = inputs[i : i + bs]
             pad = bs - len(chunk)
@@ -170,16 +207,20 @@ class Captioner:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)]
                 )
-            dec = self._decoder(decoder)
             if decoder == "greedy":
                 words, _, _ = dec(
-                    self.variables, jnp.asarray(chunk), self.tokenizer.start_id
+                    variables, self._device_batch(chunk),
+                    self.tokenizer.start_id,
                 )
             else:
                 words, _, _, _, _ = dec(
-                    self.variables, jnp.asarray(chunk),
+                    variables, self._device_batch(chunk),
                     self.tokenizer.start_id, self.tokenizer.end_id,
                 )
+            # force per batch: serving from host memory is input-transfer
+            # bound (84 MB betas/batch at flagship width), and measured on
+            # the tunneled runtime a deferred-force pipeline is NOT faster
+            # (in-flight transfers contend; PERF.md serving notes)
             words = np.asarray(words)
             out.append(words[: len(words) - pad] if pad else words)
         return np.concatenate(out)

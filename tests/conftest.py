@@ -67,6 +67,13 @@ _SLOW_TESTS = {
     "test_sharded_scanned_steps_match_unsharded",
     "test_profile_trace_capture",
     "test_prng_impl_knob",
+    "test_scanned_steps_match_over_packed_store",
+    "test_cli_queue_worker_smoke",
+    "test_scanned_steps_pregathered_store_parity",
+    "test_glove_table_and_glove_nic",
+    "test_fused_whole_decode_matches_xla",
+    "test_fused_whole_decode_ragged_regions",
+    "test_learned_init_state_changes_initial_logits",
 }
 
 

@@ -34,3 +34,47 @@ def test_captioner_greedy_and_beam():
     assert texts == t2
     beam_texts = cap.caption(betas, decoder="beam")
     assert len(beam_texts) == 6
+
+
+def test_captioner_sharded_serving_matches_single_device():
+    """DP serving over a ('data',) mesh: params replicated, batch axis
+    sharded, same captions as the single-device path (new TPU surface —
+    the reference has no parallelism, SURVEY.md §2.7)."""
+    import jax
+
+    from masters_thesis_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(top_k=40, batch_size=4, max_length=6, units=16, attn_units=8,
+                 group_size=4, embedding_text=8)
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=8, n_voxels=64, n_groups=3, top_k=cfg.top_k
+    )
+    layout = GroupLayout(groups, 64)
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    betas = store.gather_host(np.arange(7, dtype=np.int32))
+    tokens = np.zeros((4, cfg.max_length), np.int32)
+    params, bstats, _ = init_model(model, cfg, betas[:4], tokens)
+
+    single = Captioner.from_components(
+        model, params, bstats, tok, cfg.units, cfg.max_length, batch_size=4
+    )
+    mesh = make_mesh(data=len(jax.devices()), model=1)
+    sharded = Captioner.from_components(
+        model, params, bstats, tok, cfg.units, cfg.max_length, batch_size=4,
+        mesh=mesh,
+    )
+    # batch rounds up to a multiple of the data axis
+    assert sharded.batch_size % mesh.shape["data"] == 0
+
+    for decoder in ("greedy", "beam"):
+        ref = single.caption(betas, decoder=decoder)
+        got = sharded.caption(betas, decoder=decoder)
+        assert got == ref, decoder
+
+    # the decode really ran sharded: batch axis of the word ids spans
+    # the mesh (output sharding follows the P('data') inputs)
+    full = np.repeat(betas, 2, axis=0)[: sharded.batch_size]
+    ids = sharded.caption_ids(full)
+    assert ids.shape == (sharded.batch_size, cfg.max_length)
