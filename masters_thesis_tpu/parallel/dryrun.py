@@ -233,11 +233,30 @@ def _dryrun_impl(n_devices: int) -> None:
     sloss = float(np.asarray(smetrics["loss"])[-1])
     assert np.isfinite(sloss), f"non-finite scanned loss {sloss}"
 
+    # DP serving over the same mesh (serve.Captioner(mesh=...)): batch axis
+    # sharded over 'data', params replicated, greedy + beam decode execute
+    from masters_thesis_tpu.data.tokenizer import Tokenizer
+    from masters_thesis_tpu.serve import Captioner
+
+    tok = Tokenizer(num_words=cfg.vocab_size - 1)
+    tok.fit_on_texts(["<start> a b c <end>"] * 2)
+    tok.install_pad()
+    cap = Captioner.from_components(
+        model, state.params, state.batch_stats, tok, cfg.units,
+        cfg.max_length, batch_size=cfg.batch_size, mesh=mesh,
+    )
+    serve_in = np.asarray(betas)[: cfg.batch_size]
+    ids_greedy = cap.caption_ids(serve_in)
+    ids_beam = cap.caption_ids(serve_in, decoder="beam")
+    assert ids_greedy.shape == (cfg.batch_size, cfg.max_length)
+    assert ids_beam.shape == (cfg.batch_size, cfg.max_length)
+
     realized = _realized_shardings(state)
     print(
         f"dryrun_multichip({n_devices}): "
         f"mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
         f"loss={loss:.4f} scanned_k{K}_loss={sloss:.4f} "
+        f"serve=greedy+beam@data={mesh.shape['data']} "
         f"shardings={realized} ok"
     )
 

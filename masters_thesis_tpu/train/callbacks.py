@@ -206,6 +206,10 @@ class CaptionImagePreview(Callback):
 
 
 class Checkpointing(Callback):
+    """Epoch-end checkpoint saves. Saves are ASYNC (the write overlaps the
+    next epoch's training — CheckpointManager stages to host inside save);
+    train end / error / interrupt flush the in-flight write."""
+
     def __init__(self, manager):
         self.manager = manager
 
@@ -217,6 +221,14 @@ class Checkpointing(Callback):
         # interrupted run can resume (the reference dumps partial batch data
         # in its finally block, main.py:365-372)
         self.manager.save(trainer.state, epoch, val_loss=None)
+        self.manager.close()
+
+    def on_train_end(self, trainer):
+        self.manager.close()
+
+    def on_error(self, trainer, exc):
+        # commit whatever save was in flight before the process unwinds
+        self.manager.close()
 
 
 class StepProfiling(Callback):

@@ -23,7 +23,17 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.max_to_keep = max_to_keep
-        self._ckpt = ocp.StandardCheckpointer()
+        # async save: ocp stages device arrays to host inside save() (safe
+        # against the train step's donated buffers), then serializes in a
+        # background thread — the next epoch trains while the previous
+        # checkpoint writes. Meta/prune bookkeeping is deferred until the
+        # write commits (_finalize_pending), so a crash mid-write can only
+        # lose the in-flight epoch, never corrupt meta.json.
+        try:
+            self._ckpt = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        except Exception:  # older orbax: fall back to synchronous saves
+            self._ckpt = ocp.StandardCheckpointer()
+        self._pending: tuple[int, float | None] | None = None
         self._meta_path = os.path.join(self.directory, "meta.json")
         self.meta = self._load_meta()
 
@@ -42,7 +52,9 @@ class CheckpointManager:
 
     # ---- save ----
     def save(self, state, epoch: int, val_loss: float | None = None) -> None:
-        """Save epoch checkpoint; update best/latest; prune old epochs."""
+        """Start an (async) epoch-checkpoint save; best/latest/prune
+        bookkeeping for it happens once the write commits."""
+        self._finalize_pending()
         target = {"params": state.params, "batch_stats": state.batch_stats,
                   "opt_state": state.opt_state,
                   "step": np.asarray(state.step),
@@ -51,8 +63,18 @@ class CheckpointManager:
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckpt.save(path, target)
+        self._pending = (epoch, val_loss)
+
+    def _finalize_pending(self) -> None:
+        """Block until the in-flight save commits, then apply its
+        best/latest/prune bookkeeping."""
+        if self._pending is None:
+            return
         self._ckpt.wait_until_finished()
-        self.meta["epochs"].append(epoch)
+        epoch, val_loss = self._pending
+        self._pending = None
+        if epoch not in self.meta["epochs"]:
+            self.meta["epochs"].append(epoch)
         self.meta["latest"] = epoch
         if val_loss is not None and (
             self.meta["best_val_loss"] is None
@@ -70,15 +92,22 @@ class CheckpointManager:
         self.meta["epochs"] = [e for e in self.meta["epochs"] if e in keep]
         self._save_meta()
 
+    def close(self) -> None:
+        """Flush the in-flight save (train end / error / interrupt)."""
+        self._finalize_pending()
+
     # ---- restore ----
     def latest_epoch(self) -> int | None:
+        self._finalize_pending()
         return self.meta.get("latest")
 
     def best_epoch(self) -> int | None:
+        self._finalize_pending()
         return self.meta.get("best_epoch")
 
     def restore(self, state, epoch: int | None = None, best: bool = False):
         """Restore into a template TrainState; returns (state, epoch)."""
+        self._finalize_pending()
         if epoch is None:
             epoch = self.best_epoch() if best else self.latest_epoch()
         if epoch is None:
@@ -102,6 +131,7 @@ class CheckpointManager:
     def restore_params_only(self, params, epoch: int | None = None,
                             best: bool = True):
         """Warm-start path (cf. load_weights(by_name=True) eval.py:140)."""
+        self._finalize_pending()
         if epoch is None:
             epoch = self.best_epoch() if best else self.latest_epoch()
         if epoch is None:

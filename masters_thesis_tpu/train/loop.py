@@ -133,6 +133,22 @@ class Trainer:
         for cb in self.callbacks:
             cb.on_train_begin(self)
         logs: dict = {}
+        # preemption safety: managed TPU runtimes deliver SIGTERM before
+        # reclaiming the slice — route it through the same partial-save
+        # path as Ctrl-C so the run resumes from the interrupted state
+        # (new TPU surface; the reference only handles KeyboardInterrupt).
+        # Signal handlers only install from the main thread (tune workers
+        # run trainers in spawned processes, which qualify).
+        import signal
+        import threading
+
+        prev_term = None
+        in_main = threading.current_thread() is threading.main_thread()
+        if in_main:
+            def _on_term(signum, frame):
+                raise KeyboardInterrupt("SIGTERM (preemption)")
+
+            prev_term = signal.signal(signal.SIGTERM, _on_term)
         try:
             for epoch in range(start_epoch, epochs):
                 self._epoch = epoch
@@ -158,6 +174,10 @@ class Trainer:
                 cb.on_error(self, exc)
             raise
         finally:
+            if in_main and prev_term is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, prev_term)
             for cb in self.callbacks:
                 cb.on_train_end(self)
         return logs

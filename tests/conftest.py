@@ -67,6 +67,7 @@ _SLOW_TESTS = {
     "test_sharded_scanned_steps_match_unsharded",
     "test_profile_trace_capture",
     "test_prng_impl_knob",
+    "test_sigterm_preemption_saves_checkpoint",
     "test_scanned_steps_match_over_packed_store",
     "test_cli_queue_worker_smoke",
     "test_scanned_steps_pregathered_store_parity",

@@ -114,6 +114,35 @@ def test_interrupt_saves_checkpoint(trainer_setup, tmp_path):
     assert int(restored.step) >= 2  # progress survived the interrupt
 
 
+def test_sigterm_preemption_saves_checkpoint(trainer_setup, tmp_path):
+    """SIGTERM (managed-TPU preemption) routes through the partial-save
+    path: the interrupted state persists and fit() returns cleanly."""
+    import os
+    import signal
+
+    from masters_thesis_tpu.train.callbacks import Callback
+
+    run_path, cfg, model, state, train_pipe, val_pipe, tstep, estep = trainer_setup
+    mgr = CheckpointManager(str(tmp_path / "term"), max_to_keep=2)
+
+    class PreemptAfter(Callback):
+        def on_batch_end(self, trainer, step, logs):
+            if step >= 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    trainer = Trainer(
+        cfg, tstep, estep, state, train_pipe, val_pipe,
+        callbacks=[PreemptAfter(), Checkpointing(mgr)],
+    )
+    trainer.fit(epochs=2)  # must not raise or kill the process
+    assert mgr.latest_epoch() == 0
+    restored, ep = mgr.restore(state)
+    assert ep == 0
+    assert int(restored.step) >= 2
+    # the previous SIGTERM disposition is restored after fit()
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
 def test_early_stopping():
     es = EarlyStopping(patience=2, min_delta=0.0)
 
