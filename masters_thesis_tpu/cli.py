@@ -366,7 +366,15 @@ def main(argv=None) -> int:
     )
     cp.add_argument("--run", required=True, help="training run directory")
     cp.add_argument("--betas", required=True, help=".npy of (N, voxels) betas")
-    cp.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    cp.add_argument("--decoder", choices=["greedy", "beam", "sample"],
+                    default="greedy")
+    cp.add_argument("--temperature", type=float, default=1.0,
+                    help="sampling temperature (--decoder sample)")
+    cp.add_argument("--sample-top-k", type=int, default=0,
+                    help="restrict sampling to the k most likely tokens "
+                    "(0 = full vocab)")
+    cp.add_argument("--seed", type=int, default=0,
+                    help="sampling PRNG seed")
     cp.add_argument("--out", default=None,
                     help="write captions here (default: stdout)")
     cp.add_argument("--shard", type=int, default=0,
@@ -445,7 +453,8 @@ def main(argv=None) -> int:
 
         from masters_thesis_tpu.serve import Captioner
 
-        kw = {}
+        kw = {"temperature": args.temperature,
+              "sample_top_k": args.sample_top_k, "seed": args.seed}
         if args.shard:
             from masters_thesis_tpu.parallel.mesh import (
                 make_mesh,

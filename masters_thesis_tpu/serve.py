@@ -6,6 +6,7 @@ framework users a programmatic path:
     cap = Captioner.from_components(model, params, batch_stats, tokenizer)
     texts = cap.caption(betas)                       # greedy
     texts = cap.caption(betas, decoder="beam")       # beam-5, length-norm
+    texts = cap.caption(betas, decoder="sample")     # categorical sampling
 
 Decode programs are compiled once per (decoder, batch-shape) and cached; the
 batch is padded to the compiled shape so arbitrary request sizes reuse one
@@ -23,7 +24,9 @@ class Captioner:
     def __init__(self, model, variables, tokenizer, units: int,
                  max_length: int, batch_size: int = 64, beam_width: int = 5,
                  input_width: int | None = None,
-                 use_fused: bool | None = None, mesh=None):
+                 use_fused: bool | None = None, mesh=None,
+                 temperature: float = 1.0, sample_top_k: int = 0,
+                 seed: int = 0):
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -42,6 +45,12 @@ class Captioner:
         # axis sharded, no cross-chip collectives in the decode program; the
         # reference has no parallelism at all, SURVEY.md §2.7). Decoders ride
         # the XLA scan paths (the Pallas kernel is single-chip).
+        # stochastic decoding (decoder="sample": the CNN_RNN evaluate loop's
+        # tf.random.categorical per step, CNN_RNN/train.py:343-369)
+        self.temperature = temperature
+        self.sample_top_k = sample_top_k
+        self._seed = seed
+        self._sample_calls = 0
         self.mesh = mesh
         if mesh is not None:
             ndata = mesh.shape.get("data", 1)
@@ -183,6 +192,15 @@ class Captioner:
                     self.model, self.units, self.max_length,
                     beam_width=self.beam_width,
                 )
+            elif kind == "sample":
+                from masters_thesis_tpu.decode.sampling import (
+                    make_sampling_decoder,
+                )
+
+                self._decoders[kind] = make_sampling_decoder(
+                    self.model, self.units, self.max_length,
+                    temperature=self.temperature, top_k=self.sample_top_k,
+                )
             else:
                 raise ValueError(f"unknown decoder {kind!r}")
         return self._decoders[kind]
@@ -211,6 +229,17 @@ class Captioner:
                 words, _, _ = dec(
                     variables, self._device_batch(chunk),
                     self.tokenizer.start_id,
+                )
+            elif decoder == "sample":
+                import jax
+
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(self._seed), self._sample_calls
+                )
+                self._sample_calls += 1
+                words = dec(
+                    variables, self._device_batch(chunk),
+                    self.tokenizer.start_id, key,
                 )
             else:
                 words, _, _, _, _ = dec(

@@ -36,6 +36,45 @@ def test_captioner_greedy_and_beam():
     assert len(beam_texts) == 6
 
 
+def test_captioner_sampling_decoder():
+    """decoder='sample': seed-deterministic stochastic captions (the
+    CNN_RNN evaluate loop's categorical decode, CNN_RNN/train.py:343-369)."""
+    cfg = Config(top_k=40, batch_size=4, max_length=6, units=16, attn_units=8,
+                 group_size=4, embedding_text=8)
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=8, n_voxels=64, n_groups=3, top_k=cfg.top_k
+    )
+    layout = GroupLayout(groups, 64)
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    betas = store.gather_host(np.arange(4, dtype=np.int32))
+    tokens = np.zeros((4, cfg.max_length), np.int32)
+    params, bstats, _ = init_model(model, cfg, betas, tokens)
+
+    def build(seed, **kw):
+        return Captioner.from_components(
+            model, params, bstats, tok, cfg.units, cfg.max_length,
+            batch_size=4, seed=seed, **kw,
+        )
+
+    a = build(0).caption(betas, decoder="sample")
+    assert len(a) == 4 and all(isinstance(t, str) for t in a)
+    # same seed -> same stream; fresh Captioner replays it
+    assert build(0).caption(betas, decoder="sample") == a
+    # different seed -> (almost surely) different captions
+    assert build(1).caption(betas, decoder="sample") != a
+    # consecutive requests advance the stream (not frozen)
+    c = build(0)
+    first = c.caption(betas, decoder="sample")
+    second = c.caption(betas, decoder="sample")
+    assert first == a and second != first
+    # top-k=1 sampling degenerates to greedy
+    g = build(0).caption(betas, decoder="greedy")
+    s1 = build(0, sample_top_k=1).caption(betas, decoder="sample")
+    assert s1 == g
+
+
 def test_captioner_sharded_serving_matches_single_device():
     """DP serving over a ('data',) mesh: params replicated, batch axis
     sharded, same captions as the single-device path (new TPU surface —
