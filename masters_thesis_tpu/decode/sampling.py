@@ -16,6 +16,13 @@ import jax.numpy as jnp
 def make_sampling_decoder(
     model, units: int, max_length: int, temperature: float = 1.0, top_k: int = 0
 ):
+    if temperature <= 0:
+        # logits/0 -> inf -> NaN inside categorical: silently garbage.
+        # "temperature 0" means greedy — point users at that decoder.
+        raise ValueError(
+            f"sampling temperature must be > 0, got {temperature} "
+            "(for deterministic decoding use the greedy decoder)"
+        )
     def decode(variables, betas, start_id, rng):
         features = model.apply(variables, betas, False, method="encode")
         bs = betas.shape[0]

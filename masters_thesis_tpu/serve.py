@@ -53,7 +53,19 @@ class Captioner:
         self._sample_calls = 0
         self.mesh = mesh
         if mesh is not None:
-            ndata = mesh.shape.get("data", 1)
+            if "data" not in mesh.axis_names:
+                raise ValueError(
+                    f"sharded serving needs a 'data' mesh axis, got "
+                    f"{mesh.axis_names} (build one with "
+                    "parallel.mesh.make_mesh)"
+                )
+            if use_fused:
+                raise ValueError(
+                    "use_fused=True is incompatible with mesh serving: the "
+                    "whole-decode Pallas kernel is single-chip; drop "
+                    "use_fused or the mesh"
+                )
+            ndata = mesh.shape["data"]
             # each chip must hold equal batch rows (GSPMD even-sharding)
             batch_size = -(-batch_size // ndata) * ndata
             self._placed_vars = None

@@ -227,8 +227,17 @@ class Checkpointing(Callback):
         self.manager.close()
 
     def on_error(self, trainer, exc):
-        # commit whatever save was in flight before the process unwinds
-        self.manager.close()
+        # commit whatever save was in flight before the process unwinds;
+        # never let a failing background write mask the training exception
+        # (or starve later callbacks' on_error)
+        try:
+            self.manager.close()
+        except Exception:
+            import logging
+
+            logging.getLogger("masters_thesis_tpu").exception(
+                "checkpoint flush failed during error teardown"
+            )
 
 
 class StepProfiling(Callback):

@@ -44,8 +44,12 @@ class CheckpointManager:
         return {"best_val_loss": None, "best_epoch": None, "epochs": []}
 
     def _save_meta(self) -> None:
-        with open(self._meta_path, "w") as f:
+        # atomic: meta.json must never be observable half-written (a
+        # truncated file would brick resume AND serving at startup)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.meta, f)
+        os.replace(tmp, self._meta_path)
 
     def _epoch_dir(self, epoch: int) -> str:
         return os.path.join(self.directory, f"ep{epoch:03d}")

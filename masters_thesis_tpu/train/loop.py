@@ -95,6 +95,7 @@ class Trainer:
             if len(chunk) == scan_k:
                 flush(chunk)
                 chunk = []
+                self._check_preempted()
 
         if chunk:
             # ragged tail: run singly through the per-step path, with the
@@ -137,24 +138,31 @@ class Trainer:
         # reclaiming the slice — route it through the same partial-save
         # path as Ctrl-C so the run resumes from the interrupted state
         # (new TPU surface; the reference only handles KeyboardInterrupt).
+        # The handler only SETS A FLAG; the raise happens at the next safe
+        # point (between batches / after an epoch), so the interrupt can
+        # never land inside an in-flight checkpoint save's blocking stage
+        # and orphan the very save preemption is supposed to leave behind.
         # Signal handlers only install from the main thread (tune workers
         # run trainers in spawned processes, which qualify).
         import signal
         import threading
 
         prev_term = None
-        in_main = threading.current_thread() is threading.main_thread()
-        if in_main:
+        installed = False
+        self._preempted = False
+        if threading.current_thread() is threading.main_thread():
             def _on_term(signum, frame):
-                raise KeyboardInterrupt("SIGTERM (preemption)")
+                self._preempted = True
 
             prev_term = signal.signal(signal.SIGTERM, _on_term)
+            installed = True
         try:
             for epoch in range(start_epoch, epochs):
                 self._epoch = epoch
                 logs = self._run_epoch(epoch)
                 for cb in self.callbacks:
                     cb.on_epoch_end(self, epoch, logs)
+                self._check_preempted()
                 if self.stop_training:
                     logger.info("early stopping at epoch %d", epoch)
                     break
@@ -174,13 +182,24 @@ class Trainer:
                 cb.on_error(self, exc)
             raise
         finally:
-            if in_main and prev_term is not None:
+            if installed:
                 import signal
 
-                signal.signal(signal.SIGTERM, prev_term)
+                # a None previous disposition (C-level handler) cannot be
+                # re-installed from Python; SIG_DFL is the best effort
+                signal.signal(
+                    signal.SIGTERM,
+                    prev_term if prev_term is not None else signal.SIG_DFL,
+                )
             for cb in self.callbacks:
                 cb.on_train_end(self)
         return logs
+
+    def _check_preempted(self) -> None:
+        """Raise at a safe point if SIGTERM arrived since the last check."""
+        if getattr(self, "_preempted", False):
+            self._preempted = False
+            raise KeyboardInterrupt("SIGTERM (preemption)")
 
     def _run_epoch(self, epoch: int) -> dict:
         t0 = time.perf_counter()
@@ -202,6 +221,7 @@ class Trainer:
                 self._host_step += 1
                 for cb in self.callbacks:
                     cb.on_batch_end(self, self._host_step, metrics)
+                self._check_preempted()
 
         logs = _mean_metrics(
             [{k: v for k, v in m.items()} for m in jax.device_get(train_metrics)]

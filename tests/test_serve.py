@@ -75,6 +75,53 @@ def test_captioner_sampling_decoder():
     assert s1 == g
 
 
+def test_captioner_validation_errors():
+    """Misuse fails loudly at construction, not at caption time."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from masters_thesis_tpu.decode.sampling import make_sampling_decoder
+    from masters_thesis_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(top_k=40, batch_size=4, max_length=6, units=16, attn_units=8,
+                 group_size=4, embedding_text=8)
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=8, n_voxels=64, n_groups=3, top_k=cfg.top_k
+    )
+    layout = GroupLayout(groups, 64)
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    betas = store.gather_host(np.arange(4, dtype=np.int32))
+    params, bstats, _ = init_model(
+        model, cfg, betas, np.zeros((4, cfg.max_length), np.int32)
+    )
+
+    # temperature <= 0 would NaN inside categorical: refused up front
+    with pytest.raises(ValueError, match="temperature"):
+        make_sampling_decoder(model, cfg.units, cfg.max_length, temperature=0.0)
+
+    # mesh without a 'data' axis: refused at construction
+    import numpy as _np
+
+    no_data = Mesh(_np.asarray(jax.devices()), axis_names=("x",))
+    with pytest.raises(ValueError, match="data"):
+        Captioner.from_components(
+            model, params, bstats, tok, cfg.units, cfg.max_length,
+            mesh=no_data,
+        )
+
+    # the fused kernel is single-chip: explicit use_fused=True + mesh is
+    # a contradiction, not a silent downgrade
+    mesh = make_mesh(data=len(jax.devices()), model=1)
+    with pytest.raises(ValueError, match="use_fused"):
+        Captioner.from_components(
+            model, params, bstats, tok, cfg.units, cfg.max_length,
+            mesh=mesh, use_fused=True,
+        )
+
+
 def test_captioner_sharded_serving_matches_single_device():
     """DP serving over a ('data',) mesh: params replicated, batch axis
     sharded, same captions as the single-device path (new TPU surface —
