@@ -23,6 +23,14 @@ def make_sampling_decoder(
             f"sampling temperature must be > 0, got {temperature} "
             "(for deterministic decoding use the greedy decoder)"
         )
+    vocab = getattr(model, "vocab_size", None)
+    if top_k < 0 or (vocab and top_k > vocab):
+        # a static [:, -top_k] past the vocab edge would IndexError deep
+        # inside the jitted scan with an unactionable trace
+        raise ValueError(
+            f"sampling top_k must be in [0, vocab={vocab}], got {top_k} "
+            "(0 samples the full vocabulary)"
+        )
     def decode(variables, betas, start_id, rng):
         features = model.apply(variables, betas, False, method="encode")
         bs = betas.shape[0]

@@ -212,15 +212,22 @@ class Checkpointing(Callback):
 
     def __init__(self, manager):
         self.manager = manager
+        self._saved_step = None
 
     def on_epoch_end(self, trainer, epoch, logs):
         self.manager.save(trainer.state, epoch, val_loss=logs.get("val_loss"))
+        self._saved_step = int(trainer.state.step)
 
     def on_interrupt(self, trainer, epoch):
         # save the partial epoch's state as the latest checkpoint so an
         # interrupted run can resume (the reference dumps partial batch data
-        # in its finally block, main.py:365-372)
-        self.manager.save(trainer.state, epoch, val_loss=None)
+        # in its finally block, main.py:365-372) — unless no step has run
+        # since the last save (preemption right after an epoch-end save):
+        # re-saving would rmtree the just-committed checkpoint and burn the
+        # preemption grace window rewriting identical state
+        if self._saved_step != int(trainer.state.step):
+            self.manager.save(trainer.state, epoch, val_loss=None)
+            self._saved_step = int(trainer.state.step)
         self.manager.close()
 
     def on_train_end(self, trainer):

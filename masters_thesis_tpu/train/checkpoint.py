@@ -31,7 +31,13 @@ class CheckpointManager:
         # lose the in-flight epoch, never corrupt meta.json.
         try:
             self._ckpt = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-        except Exception:  # older orbax: fall back to synchronous saves
+        except Exception as exc:  # older orbax: fall back to synchronous saves
+            import logging
+
+            logging.getLogger("masters_thesis_tpu").warning(
+                "async checkpointer unavailable (%r); epoch saves will "
+                "block synchronously", exc,
+            )
             self._ckpt = ocp.StandardCheckpointer()
         self._pending: tuple[int, float | None] | None = None
         self._meta_path = os.path.join(self.directory, "meta.json")

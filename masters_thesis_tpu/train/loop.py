@@ -183,8 +183,6 @@ class Trainer:
             raise
         finally:
             if installed:
-                import signal
-
                 # a None previous disposition (C-level handler) cannot be
                 # re-installed from Python; SIG_DFL is the best effort
                 signal.signal(
@@ -233,6 +231,9 @@ class Trainer:
                 val_metrics.append(
                     self.eval_step(self.state, betas, tokens, target)
                 )
+                # preemption during validation must not defer the partial
+                # save past the SIGTERM grace window
+                self._check_preempted()
             vlogs = _mean_metrics(jax.device_get(val_metrics))
             logs.update({f"val_{k}": v for k, v in vlogs.items()})
 

@@ -102,6 +102,11 @@ def test_captioner_validation_errors():
     with pytest.raises(ValueError, match="temperature"):
         make_sampling_decoder(model, cfg.units, cfg.max_length, temperature=0.0)
 
+    # top_k beyond the vocab would IndexError inside the jitted scan
+    with pytest.raises(ValueError, match="top_k"):
+        make_sampling_decoder(model, cfg.units, cfg.max_length,
+                              top_k=cfg.vocab_size + 1)
+
     # mesh without a 'data' axis: refused at construction
     import numpy as _np
 
@@ -158,6 +163,16 @@ def test_captioner_sharded_serving_matches_single_device():
         ref = single.caption(betas, decoder=decoder)
         got = sharded.caption(betas, decoder=decoder)
         assert got == ref, decoder
+
+    # sample: categorical draws depend on the padded batch shape (one
+    # per-step Gumbel draw over the whole service batch), so parity needs
+    # the same service batch size — the mesh rounded 4 up to 8
+    single8 = Captioner.from_components(
+        model, params, bstats, tok, cfg.units, cfg.max_length,
+        batch_size=sharded.batch_size,
+    )
+    assert (sharded.caption(betas, decoder="sample")
+            == single8.caption(betas, decoder="sample"))
 
     # the decode really ran sharded: batch axis of the word ids spans
     # the mesh (output sharding follows the P('data') inputs)

@@ -143,6 +143,37 @@ def test_sigterm_preemption_saves_checkpoint(trainer_setup, tmp_path):
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
 
 
+def test_preemption_after_epoch_end_saves_once(trainer_setup, tmp_path):
+    """SIGTERM landing right after an epoch-end save must NOT rmtree and
+    rewrite the just-committed checkpoint (no step has run since): the
+    interrupt path skips the redundant save and only flushes."""
+    from masters_thesis_tpu.train.callbacks import Callback
+
+    run_path, cfg, model, state, train_pipe, val_pipe, tstep, estep = trainer_setup
+    mgr = CheckpointManager(str(tmp_path / "pe"), max_to_keep=2)
+    saves = []
+    orig_save = mgr.save
+
+    def counting_save(st, epoch, val_loss=None):
+        saves.append(epoch)
+        return orig_save(st, epoch, val_loss=val_loss)
+
+    mgr.save = counting_save
+
+    class PreemptAtEpochEnd(Callback):
+        def on_epoch_end(self, trainer, epoch, logs):
+            trainer._preempted = True
+
+    trainer = Trainer(
+        cfg, tstep, estep, state, train_pipe, val_pipe,
+        # preempt-flag callback runs BEFORE Checkpointing's save
+        callbacks=[PreemptAtEpochEnd(), Checkpointing(mgr)],
+    )
+    trainer.fit(epochs=3)  # interrupt fires after epoch 0's save
+    assert saves == [0]  # one save total — no interrupt re-save
+    assert mgr.latest_epoch() == 0
+
+
 def test_early_stopping():
     es = EarlyStopping(patience=2, min_delta=0.0)
 
