@@ -34,6 +34,8 @@ def read_stimuli(path: str, keys=None, dataset: str = DATASET) -> np.ndarray:
         if keys is None:
             return np.asarray(brick[()])
         keys = np.asarray(list(keys), dtype=np.int64)
+        if keys.size == 0:
+            return np.zeros((0,) + brick.shape[1:], dtype=brick.dtype)
         if keys.min() < 1 or keys.max() > brick.shape[0]:
             raise ValueError(
                 f"NSD keys must be in [1, {brick.shape[0]}], "

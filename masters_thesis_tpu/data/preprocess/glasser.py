@@ -39,10 +39,14 @@ def groups_from_atlas(
     rh_labels = np.asarray(rh_labels).reshape(-1)
 
     def hemi_groups(labels, offset):
+        # fixed label range 1..max (not sorted(set(...))): group index i
+        # must always mean label i+1, or index-keyed config like
+        # cfg.groups_to_remove silently shifts to the wrong cortical
+        # regions whenever a label is absent from a (masked/partial) atlas
+        lo = 0 if not exclude_zero else 1
+        hi = int(labels.max()) if labels.size else 0
         out = []
-        for lab in sorted(set(labels.tolist())):
-            if exclude_zero and lab == 0:
-                continue
+        for lab in range(lo, hi + 1):
             out.append(np.nonzero(labels == lab)[0].astype(np.int64) + offset)
         return out
 

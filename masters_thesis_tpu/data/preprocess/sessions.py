@@ -88,6 +88,8 @@ def read_behavior(path: str, session_index: int | None = None) -> list[dict]:
     """
     with open(path, newline="") as f:
         sample = f.read(4096)
+        if not sample.strip():
+            return []  # empty/truncated behavior file: session cleanly skipped
         f.seek(0)
         delim = "\t" if "\t" in sample.splitlines()[0] else ","
         rows = []
@@ -176,10 +178,16 @@ def ingest_sessions(
                     f"{beta_path}#{i}\t{c.replace(chr(10), '')}\n"
                     for i, c in enumerate(caps[:5])
                 )
-                with open(os.path.join(
-                        cap_dir, f"SUB{sub}_KID{row['73KID']}.txt"), "w") as f:
+                # mode "w" on every presentation — the reference's exact
+                # semantics (nsd_get_data.py:271-278): a repeated KID's file
+                # ends up referencing the LAST repeat's beta path
+                cap_file = os.path.join(
+                    cap_dir, f"SUB{sub}_KID{row['73KID']}.txt")
+                new_file = not os.path.exists(cap_file)
+                with open(cap_file, "w") as f:
                     f.write(lines)
-                report["caption_files"] += 1
+                if new_file:
+                    report["caption_files"] += 1
         report["sessions"] += 1
     return report
 
@@ -204,7 +212,9 @@ def averaged_rows(betas_dir: str):
     order: list[int] = []
     by_kid: dict[int, list[str]] = {}
     for p in paths:
-        kid = int(re.search(r"KID(\d+)", p).group(1))
+        # basename only: an ancestor directory named KID<digits> must not
+        # shadow every file's own key
+        kid = int(re.search(r"KID(\d+)", os.path.basename(p)).group(1))
         if kid not in by_kid:
             order.append(kid)
             by_kid[kid] = []

@@ -331,7 +331,17 @@ def corpus_meteor(references_list, hypotheses, use_stem: bool = True,
     agg = [0.0, 0.0, 0.0, 0.0, 0, 0]
     for refs, hyp in zip(references_list, hypotheses):
         hyp = list(hyp)
+        refs = [list(r) for r in refs if list(r)]
+        if not refs:
+            continue
         if not hyp:
+            # an empty hypothesis still contributes its reference length to
+            # the aggregate recall denominator (the jar's EVAL aggregation;
+            # skipping the segment would inflate the corpus score)
+            stats = _segment_stats(refs[0], [], stemmer, synonyms, p,
+                                   paraphrases)
+            for k in range(6):
+                agg[k] += stats[k]
             continue
         best_stats, best_score = None, -1.0
         for ref in refs:

@@ -51,10 +51,22 @@ def _is_adjective(word: str) -> bool:
     return len(word) > 4 and word.endswith(_ADJ_SUFFIXES)
 
 
+# -ing words that are (in caption usage) nouns, not present participles:
+# without this list "a tall building" would close the NP at "tall" and
+# lose the actual object head
+_ING_NOUNS = frozenset(
+    "building painting drawing clothing ceiling railing awning "
+    "lightning frosting icing stuffing seasoning topping bedding "
+    "fencing siding evening morning wedding string spring wing ring "
+    "king thing something nothing anything everything duckling "
+    "sibling dumpling lining netting paneling plumbing roofing".split())
+
+
 def _is_verb(word: str) -> bool:
     # caption relations are overwhelmingly present participles
     # ("riding", "sitting on") or simple 3rd-person forms ("rides")
-    return len(word) > 4 and word.endswith("ing")
+    return (len(word) > 4 and word.endswith("ing")
+            and word not in _ING_NOUNS)
 
 
 class SceneTuples:

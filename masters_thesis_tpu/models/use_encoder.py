@@ -14,8 +14,8 @@ Weight bundle format (``.npz``):
   __vocab__        (V,) unicode array — token strings, row i = embedding row i
   __oov_buckets__  ()   int — number of hash buckets appended after the vocab
   embedding        (V + oov, E) float32
-  dan/layer_{i}/kernel, dan/layer_{i}/bias      hidden layers (relu)
-  dan/out/kernel, dan/out/bias                  final projection to 512
+  dan_layer_{i}/kernel, dan_layer_{i}/bias      hidden layers (relu)
+  dan_out/kernel, dan_out/bias                  final projection to 512
 
 ``convert_tfhub_use.py`` (scripts/) documents how to produce this bundle
 offline from the TF-Hub SavedModel; tests exercise the graph with small
@@ -24,12 +24,12 @@ synthetic bundles.
 
 from __future__ import annotations
 
-import hashlib
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from masters_thesis_tpu.utils.farmhash import hash_bucket_fast
 
 
 def clean_sentence(text: str) -> str:
@@ -40,10 +40,11 @@ def clean_sentence(text: str) -> str:
 
 
 def _oov_bucket(word: str, n_buckets: int) -> int:
-    """Deterministic hash bucket for out-of-vocabulary tokens (the TF-Hub
-    text-embedding ``hash_bucket`` scheme)."""
-    h = hashlib.md5(word.encode()).digest()
-    return int.from_bytes(h[:8], "little") % n_buckets
+    """Hash bucket for out-of-vocabulary tokens — EXACTLY
+    ``tf.strings.to_hash_bucket_fast`` (FarmHash Fingerprint64, validated
+    against TF golden vectors), so OOV tokens hit the same trained
+    embedding rows as the original TF-Hub USE graph."""
+    return hash_bucket_fast(word, n_buckets)
 
 
 class USEDan(nn.Module):
@@ -126,8 +127,10 @@ class USEEncoder:
             return np.zeros((0, self.dim), np.float32)
         ids_list = [self.token_ids(s) for s in sentences]
         lengths = np.asarray([max(len(i), 0) for i in ids_list], np.int32)
-        L = max(int(lengths.max()), 1)
-        ids = np.zeros((len(sentences), L), np.int32)
+        # fixed token width: padding to each batch's own max would retrace
+        # the jitted graph once per distinct length (the mask zeroes the
+        # tail either way, so the numbers are identical)
+        ids = np.zeros((len(sentences), self.max_tokens), np.int32)
         for r, row in enumerate(ids_list):
             ids[r, : len(row)] = row
         return np.asarray(self._apply(jnp.asarray(ids), jnp.asarray(lengths)))

@@ -19,6 +19,11 @@ then point the framework at the bundle:
 This image has no network egress and no tensorflow_hub, so the script only
 documents + implements the mapping; tests exercise the graph with synthetic
 bundles (tests/test_use_encoder.py).
+
+OOV fidelity: the converted table's hash-bucket rows are indexed by the TF
+graph's ``tf.strings.to_hash_bucket_fast`` (FarmHash Fingerprint64); the
+framework reproduces that hash exactly (utils/farmhash.py, golden-tested
+against TF), so OOV tokens hit the same trained rows as the original model.
 """
 
 from __future__ import annotations

@@ -212,6 +212,13 @@ def test_spice_lite_parses_caption_grammar():
     assert hi > 0.5 > lo == 0.0
     assert spice_lite(refs, []) == 0.0
 
+    # -ing head nouns are objects, not verbs: "building" must survive as
+    # the NP head (and carry its attribute), not close the NP at "tall"
+    t2 = parse_caption("a tall building near the painting".split())
+    assert "building" in t2.objects and "painting" in t2.objects
+    assert ("building", "tall") in t2.attributes
+    assert spice_lite([["a", "building"]], ["the", "large", "building"]) > 0.0
+
 
 def test_spice_synonym_matching():
     """With a WordNet table, tuple slots match on synset overlap (Java

@@ -81,6 +81,18 @@ def test_corpus_micro_aggregation():
     assert abs(corp2 - mean2) > 1e-3
 
 
+def test_corpus_15_empty_hypothesis_penalizes():
+    """An empty hypothesis contributes its reference length to the 1.5
+    aggregate recall denominator (jar EVAL semantics) — skipping the
+    segment would inflate the corpus score to the non-empty segments'."""
+    full = corpus_meteor([[REF]], [HYP], params="1.5")
+    with_empty = corpus_meteor([[REF], [REF]], [HYP, []], params="1.5")
+    assert with_empty < full - 1e-3
+    # all-empty corpus scores 0, same as the 2005 path
+    assert corpus_meteor([[REF]], [[]], params="1.5") == 0.0
+    assert corpus_meteor([[REF]], [[]], params="2005") == 0.0
+
+
 def test_best_reference_selected_per_segment():
     refs = [["completely", "unrelated", "words"], REF]
     assert meteor_lite(refs, HYP, params="1.5") == pytest.approx(

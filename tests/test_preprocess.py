@@ -48,6 +48,23 @@ def test_groups_from_atlas_hemispheres_and_offsets():
     np.testing.assert_array_equal(groups[3], [5])          # RH label 2 (+5)
 
 
+def test_groups_from_atlas_absent_label_keeps_positions():
+    """Group index i must always mean label i+1: a label absent from the
+    atlas yields an EMPTY group at its position (the reference's
+    np.where over the fixed 1..180 range), never an index shift that
+    would silently misapply index-keyed config like groups_to_remove."""
+    lh = np.array([0, 1, 1, 3, 0])   # label 2 absent
+    rh = np.array([3, 0, 1])         # label 2 absent
+    groups = groups_from_atlas(lh, rh)
+    assert len(groups) == 6          # LH 1..3 then RH 1..3
+    np.testing.assert_array_equal(groups[0], [1, 2])   # LH label 1
+    assert groups[1].size == 0                         # LH label 2: empty
+    np.testing.assert_array_equal(groups[2], [3])      # LH label 3
+    np.testing.assert_array_equal(groups[3], [7])      # RH label 1 (+5)
+    assert groups[4].size == 0
+    np.testing.assert_array_equal(groups[5], [5])
+
+
 def test_visual_cortex_mask():
     lh = np.array([0, 1, 4])
     rh = np.array([4, 2])

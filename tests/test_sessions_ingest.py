@@ -104,6 +104,23 @@ def test_repeat_average_matches_reference_recipe(tmp_path):
     assert len(got) == 5
 
 
+def test_averaged_rows_kid_in_ancestor_dir(tmp_path):
+    """A directory component named KID<digits> must not shadow the per-file
+    keys (the regex matches basenames only)."""
+    betas = tmp_path / "KID2024" / "betas"
+    betas.mkdir(parents=True)
+    np.save(betas / "betas_SUB2_S1_R1_T1_KID7.npy", np.ones(4, np.float32))
+    np.save(betas / "betas_SUB2_S1_R1_T2_KID9.npy", np.full(4, 3.0, np.float32))
+    got = dict(averaged_rows(str(betas)))
+    assert set(got) == {7, 9}
+
+
+def test_empty_behavior_file_skips_session(tmp_path):
+    p = tmp_path / "b.csv"
+    p.write_text("")
+    assert read_behavior(str(p)) == []
+
+
 def test_behavior_reader_formats(tmp_path):
     p = tmp_path / "b.tsv"
     p.write_text("SUBJECT\tSESSION\tRUN\tTRIAL\t73KID\n2\t1\t1\t1\t42\n"

@@ -18,6 +18,25 @@ VOCAB = ["a", "the", "dog", "cat", "runs", "sits", "park", "red", "blue",
          "man", "woman", "rides", "bicycle", "street", "bench"]
 
 
+def test_farmhash_matches_tf_to_hash_bucket_fast():
+    """OOV bucketing must hit the same embedding rows as the original TF
+    graph: pure-Python Fingerprint64 vs tf.strings.to_hash_bucket_fast
+    golden vectors (all four farmhash length regimes + unicode)."""
+    import json
+    import os
+
+    from masters_thesis_tpu.utils.farmhash import hash_bucket_fast
+
+    goldens = os.path.join(os.path.dirname(__file__), "data",
+                           "farmhash_goldens.json")
+    with open(goldens) as f:
+        cases = json.load(f)
+    assert len(cases) >= 30
+    for c in cases:
+        assert hash_bucket_fast(c["s"], 2 ** 30) == c["mod_2_30"], c["s"]
+        assert hash_bucket_fast(c["s"], 997) == c["mod_997"], c["s"]
+
+
 @pytest.fixture(scope="module")
 def bundle_path(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("use") / "use_dan.npz")
