@@ -110,9 +110,9 @@ def _run_features(args) -> dict:
         if variables is None:
             variables = model.init(jax.random.PRNGKey(0), x[:1])
             if args.weights:
-                variables = dict(variables)
-                variables["params"] = backbones.load_npz_weights(
-                    variables["params"], args.weights)
+                # merges params AND BatchNorm moving stats ('stats/' keys)
+                variables = backbones.load_npz_variables(
+                    dict(variables), args.weights)
         feats = np.asarray(backbones.extract_features(
             model, variables, x, batch_size=args.batch_size, head=head))
         if out is None:

@@ -61,31 +61,49 @@ def preprocess(images: np.ndarray) -> np.ndarray:
     return x - np.array([103.939, 116.779, 123.68], np.float32)
 
 
+def _merge_flat(tree, flat, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out[k] = _merge_flat(v, flat, p)
+        else:
+            if p in flat:
+                arr = flat[p]
+                assert arr.shape == v.shape, (p, arr.shape, v.shape)
+                out[k] = jnp.asarray(arr)
+            else:
+                out[k] = v
+    return out
+
+
 def load_npz_weights(params, path: str):
-    """Merge a {param_path: array} npz into a VGG16 param tree.
+    """Merge a {param_path: array} npz into a backbone param tree.
 
     Keys use '/'-joined flax paths, e.g. 'block1_conv1/kernel'. Shapes must
     match (conv kernels HWIO; dense kernels (in, out)).
     """
-    blob = np.load(path)
-    flat = dict(blob)
+    flat = dict(np.load(path))
+    return _merge_flat(params, flat)
 
-    def walk(tree, prefix):
-        out = {}
-        for k, v in tree.items():
-            p = f"{prefix}/{k}" if prefix else k
-            if isinstance(v, dict):
-                out[k] = walk(v, p)
-            else:
-                if p in flat:
-                    arr = flat[p]
-                    assert arr.shape == v.shape, (p, arr.shape, v.shape)
-                    out[k] = jnp.asarray(arr)
-                else:
-                    out[k] = v
-        return out
 
-    return walk(params, "")
+def load_npz_variables(variables: dict, path: str) -> dict:
+    """Merge an npz into BOTH collections of a backbone's variables.
+
+    Plain keys merge into ``params``; keys prefixed ``stats/`` merge into
+    ``batch_stats`` (BatchNorm moving mean/var — without these, pretrained
+    BN backbones would silently run inference on the init stats
+    mean=0/var=1 and emit wrong features).
+    """
+    blob = dict(np.load(path))
+    params_flat = {k: v for k, v in blob.items() if not k.startswith("stats/")}
+    stats_flat = {k[len("stats/"):]: v for k, v in blob.items()
+                  if k.startswith("stats/")}
+    out = dict(variables)
+    out["params"] = _merge_flat(variables["params"], params_flat)
+    if "batch_stats" in variables and variables["batch_stats"]:
+        out["batch_stats"] = _merge_flat(variables["batch_stats"], stats_flat)
+    return out
 
 
 def extract_features(

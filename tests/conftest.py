@@ -68,6 +68,9 @@ _SLOW_TESTS = {
     "test_profile_trace_capture",
     "test_prng_impl_knob",
     "test_sigterm_preemption_saves_checkpoint",
+    "test_vgg16_graph_matches_keras",
+    "test_inception_v3_graph_matches_keras",
+    "test_efficientnet_b0_graph_matches_keras",
     "test_scanned_steps_match_over_packed_store",
     "test_cli_queue_worker_smoke",
     "test_scanned_steps_pregathered_store_parity",

@@ -9,6 +9,7 @@ import pytest
 
 tf = pytest.importorskip("tensorflow")
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from masters_thesis_tpu.data.tokenizer import KERAS_FILTERS, Tokenizer  # noqa: E402
@@ -124,6 +125,186 @@ def test_caption_loss_matches_keras_cce_recipe():
     per_elem = cce(onehot, probs)              # (B, T)
     theirs = float(tf.reduce_mean(per_elem))
     assert ours == pytest.approx(theirs, rel=1e-5)
+
+
+def _convert_and_load(keras_model, convert_fn, flax_model, x, tmp_path):
+    import jax
+
+    import numpy as np
+
+    from masters_thesis_tpu.models import backbones
+
+    flat = convert_fn(keras_model)
+    path = str(tmp_path / "w.npz")
+    np.savez(path, **flat)
+    try:
+        variables = flax_model.init(jax.random.PRNGKey(0), x[:1], False)
+    except TypeError:  # no train flag (VGG16 has no BatchNorm)
+        variables = flax_model.init(jax.random.PRNGKey(0), x[:1])
+    variables = backbones.load_npz_variables(dict(variables), path)
+    # every converted array must have landed somewhere (no silent drops)
+    import flax as flaxlib
+
+    pflat = flaxlib.traverse_util.flatten_dict(variables["params"], sep="/")
+    sflat = flaxlib.traverse_util.flatten_dict(
+        variables.get("batch_stats", {}), sep="/")
+    for k in flat:
+        if k.startswith("stats/"):
+            assert k[len("stats/"):] in sflat, f"unmapped stat {k}"
+        else:
+            assert k in pflat, f"unmapped param {k}"
+    return variables
+
+
+def test_vgg16_graph_matches_keras(tmp_path):
+    """Full-graph parity: random keras VGG16 weights transplanted through
+    the converter reproduce keras's fc2/conv5/logits exactly
+    (CNN/feature_extractor.py's model, run natively)."""
+    from masters_thesis_tpu.models.backbones import VGG16
+    from scripts.convert_keras_backbone import convert_vgg16
+
+    keras_model = tf.keras.applications.VGG16(weights=None)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+
+    variables = _convert_and_load(
+        keras_model, convert_vgg16, VGG16(include_top=True), x, tmp_path)
+    ours = VGG16(include_top=True).apply(variables, jnp.asarray(x))
+
+    # keras's predictions layer applies softmax; ours emits raw logits
+    theirs_probs = keras_model(tf.constant(x), training=False).numpy()
+    ours_probs = np.asarray(jax.nn.softmax(ours["logits"], axis=-1))
+    np.testing.assert_allclose(ours_probs, theirs_probs, atol=1e-5)
+
+    fc2 = tf.keras.Model(keras_model.input,
+                         keras_model.get_layer("fc2").output)
+    # keras applies relu inside the fc2 layer
+    np.testing.assert_allclose(
+        np.asarray(ours["fc2"]),
+        fc2(tf.constant(x), training=False).numpy(), atol=1e-4)
+    conv5 = tf.keras.Model(keras_model.input,
+                           keras_model.get_layer("block5_conv3").output)
+    np.testing.assert_allclose(
+        np.asarray(ours["conv5"]).reshape(2, 14, 14, 512),
+        conv5(tf.constant(x), training=False).numpy(), atol=1e-4)
+
+
+def test_inception_v3_graph_matches_keras(tmp_path):
+    """Full-graph parity for the CNN_RNN feature extractor: the by-order
+    converted keras InceptionV3 reproduces the (64, 2048) patches and
+    logits through all 94 ConvBN layers, reductions, and mixed blocks."""
+    from masters_thesis_tpu.models.inception import InceptionV3
+    from scripts.convert_keras_backbone import convert_inception_v3
+
+    keras_model = tf.keras.applications.InceptionV3(weights=None)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 299, 299, 3)).astype(np.float32)
+
+    variables = _convert_and_load(
+        keras_model, convert_inception_v3, InceptionV3(include_top=True),
+        x, tmp_path)
+    ours = InceptionV3(include_top=True).apply(variables, jnp.asarray(x))
+
+    mixed10 = tf.keras.Model(keras_model.input,
+                             keras_model.get_layer("mixed10").output)
+    theirs_patches = mixed10(tf.constant(x), training=False).numpy()
+    np.testing.assert_allclose(
+        np.asarray(ours["patches"]).reshape(2, 8, 8, 2048),
+        theirs_patches, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(ours["logits"], axis=-1)),
+        keras_model(tf.constant(x), training=False).numpy(), atol=1e-5)
+
+
+def test_efficientnet_b0_graph_matches_keras(tmp_path):
+    """Full-graph parity for the ENB* extractor family (B0 is the smallest;
+    the converter mapping is variant-independent). Keras bakes the
+    rescale+normalize preprocessing into the model, so it gets raw [0,255]
+    pixels while the flax graph gets preprocess()'d input."""
+    from masters_thesis_tpu.models.efficientnet import efficientnet, preprocess
+    from scripts.convert_keras_backbone import convert_efficientnet
+
+    keras_model = tf.keras.applications.EfficientNetB0(weights=None)
+    rng = np.random.default_rng(2)
+    raw = rng.uniform(0, 255, (2, 224, 224, 3)).astype(np.float32)
+    x = preprocess(raw)
+
+    model, _res = efficientnet("b0", include_top=True)
+    variables = _convert_and_load(
+        keras_model, convert_efficientnet, model, x, tmp_path)
+    ours = model.apply(variables, jnp.asarray(x))
+    theirs = keras_model(tf.constant(raw), training=False).numpy()
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(ours["logits"], axis=-1)), theirs,
+        atol=1e-5)
+
+
+def test_resnet_torch_state_dict_mapping(tmp_path):
+    """convert_resnet_state_dict maps every torchvision resnet50 key into
+    the flax v1.5 tree with the right transposes (numerics not comparable
+    here — torchvision isn't in the image — but every leaf must land)."""
+    import functools
+
+    import jax
+
+    from masters_thesis_tpu.models import backbones
+    from masters_thesis_tpu.models.resnet import resnet
+    from scripts.convert_keras_backbone import convert_resnet_state_dict
+
+    m = resnet("resnet50", include_top=True)
+    shapes = jax.eval_shape(
+        functools.partial(m.init, train=False), jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+    import flax as flaxlib
+
+    pflat = flaxlib.traverse_util.flatten_dict(shapes["params"], sep="/")
+    sflat = flaxlib.traverse_util.flatten_dict(shapes["batch_stats"], sep="/")
+
+    # fabricate a torchvision-shaped state_dict from our tree (inverse maps)
+    state = {}
+    for k, v in pflat.items():
+        parts = k.split("/")
+        if parts[-1] == "kernel" and parts[-2] == "conv":
+            h, w, i, o = v.shape
+            tk = {"stem": "conv1"}.get(parts[0], None)
+            if tk is None:
+                s, b = parts[0].removeprefix("layer").split("_")
+                inner = parts[1]
+                tk = (f"layer{s}.{b}.downsample.0" if inner == "downsample"
+                      else f"layer{s}.{b}.{inner}")
+            state[f"{tk}.weight"] = np.zeros((o, i, h, w), np.float32)
+        elif parts[-2] == "bn":
+            s0 = parts[0]
+            tk = ("bn1" if s0 == "stem" else None)
+            if tk is None:
+                s, b = s0.removeprefix("layer").split("_")
+                inner = parts[1]
+                tk = (f"layer{s}.{b}.downsample.1" if inner == "downsample"
+                      else f"layer{s}.{b}.bn{inner.removeprefix('conv')}")
+            name = {"scale": "weight", "bias": "bias"}[parts[-1]]
+            state[f"{tk}.{name}"] = np.zeros(v.shape, np.float32)
+            state[f"{tk}.running_mean"] = np.zeros(v.shape, np.float32)
+            state[f"{tk}.running_var"] = np.ones(v.shape, np.float32)
+        elif parts[0] == "predictions":
+            if parts[-1] == "kernel":
+                state["fc.weight"] = np.zeros(
+                    (v.shape[1], v.shape[0]), np.float32)
+            else:
+                state["fc.bias"] = np.zeros(v.shape, np.float32)
+
+    flat = convert_resnet_state_dict(state)
+    path = str(tmp_path / "rn.npz")
+    np.savez(path, **flat)
+    for k in flat:
+        if k.startswith("stats/"):
+            assert k[len("stats/"):] in sflat, f"unmapped stat {k}"
+            assert flat[k].shape == sflat[k[len("stats/"):]].shape, k
+        else:
+            assert k in pflat, f"unmapped param {k}"
+            assert flat[k].shape == pflat[k].shape, k
+    # full coverage: every param/stat leaf received a value
+    assert len(flat) == len(pflat) + len(sflat)
 
 
 def test_adam_clipnorm_chain_matches_keras():
