@@ -109,3 +109,109 @@ def test_import_round_trips_into_params(tmp_path):
         jnp.asarray(betas), jnp.asarray(tokens), a0, a0, training=False,
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_import_reads_real_tf_keras_h5(tmp_path):
+    """The fake-h5 test emulates the layout; this one has LEGACY KERAS 2
+    (tf_keras — the library the reference actually checkpointed with) build
+    a model with the reference's layer names, save_weights to h5, and
+    verifies the importer maps every weight out of the real serialization."""
+    tf_keras = pytest.importorskip("tf_keras")
+
+    cfg = Config(top_k=30, batch_size=2, max_length=5, units=12, attn_units=6,
+                 group_size=4, embedding_text=8)
+    groups = synthetic_groups(96, 3, seed=0)
+    layout = GroupLayout(groups, 96)
+    g = cfg.group_size
+
+    class Attention(tf_keras.layers.Layer):
+        def __init__(self):
+            super().__init__(name="attention")
+            self.W1 = tf_keras.layers.Dense(cfg.attn_units)
+            self.W2 = tf_keras.layers.Dense(cfg.attn_units)
+            self.V = tf_keras.layers.Dense(1)
+
+        def call(self, feats, hidden):
+            s = tf_keras.activations.tanh(
+                self.W1(feats) + self.W2(hidden)[:, None, :])
+            return tf_keras.backend.softmax(self.V(s), axis=1)
+
+    class LocallyDense(tf_keras.layers.Layer):
+        def __init__(self):
+            super().__init__(name="locally_dense")
+            self.denses = [tf_keras.layers.Dense(g) for _ in groups]
+
+        def call(self, x):
+            outs = [d(tf.gather(x, grp, axis=1))
+                    for d, grp in zip(self.denses, groups)]
+            return tf.stack(outs, axis=1)
+
+    import tensorflow as tf
+
+    class RefNIC(tf_keras.Model):
+        def __init__(self):
+            super().__init__()
+            self.enc = LocallyDense()
+            self.attn = Attention()
+            self.emb = tf_keras.layers.Embedding(
+                cfg.vocab_size, cfg.embedding_text, name="emb_text")
+            self.lstm = tf_keras.layers.LSTM(
+                cfg.units, return_state=True, name="lstm")
+            self.d1 = tf_keras.layers.TimeDistributed(
+                tf_keras.layers.Dense(256), name="time_distributed_nonlinear")
+            self.d2 = tf_keras.layers.TimeDistributed(
+                tf_keras.layers.Dense(cfg.vocab_size),
+                name="time_distributed_softmax")
+
+        def call(self, inputs):
+            betas, toks = inputs
+            feats = self.enc(betas)
+            alpha = self.attn(feats, tf.zeros((tf.shape(betas)[0], cfg.units)))
+            ctx = tf.reduce_sum(alpha * feats, axis=1)
+            e = self.emb(toks)
+            # [ctx ; emb] input like lc_NIC, so the LSTM kernel has the
+            # real (group_size + embedding_text, 4U) shape
+            ctx_seq = tf.tile(ctx[:, None, :], [1, tf.shape(e)[1], 1])
+            seq, h, c = self.lstm(tf.concat([ctx_seq, e], axis=-1))
+            return self.d2(self.d1(seq[:, None, :]))
+
+    km = RefNIC()
+    betas_in = np.zeros((2, 96), np.float32)
+    toks_in = np.zeros((2, 5), np.int32)
+    km([tf.constant(betas_in), tf.constant(toks_in)])  # build weights
+    h5_path = str(tmp_path / "ref_weights.h5")
+    km.save_weights(h5_path)
+
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    rng = np.random.default_rng(0)
+    params, bstats, _ = init_model(
+        model, cfg, rng.standard_normal((2, 96)).astype(np.float32),
+        np.zeros((2, 5), np.int32))
+    new = import_lc_nic_h5(h5_path, params, layout)
+
+    np.testing.assert_array_equal(
+        np.asarray(new["embedding"]), km.emb.get_weights()[0])
+    lk, lr, lb = km.lstm.get_weights()
+    np.testing.assert_array_equal(np.asarray(new["lstm"]["kernel"]), lk)
+    np.testing.assert_array_equal(
+        np.asarray(new["lstm"]["recurrent_kernel"]), lr)
+    np.testing.assert_array_equal(np.asarray(new["lstm"]["bias"]), lb)
+    np.testing.assert_array_equal(
+        np.asarray(new["attention"]["W1"]["kernel"]),
+        km.attn.W1.get_weights()[0])
+    np.testing.assert_array_equal(
+        np.asarray(new["attention"]["V"]["kernel"]),
+        km.attn.V.get_weights()[0])
+    np.testing.assert_array_equal(
+        np.asarray(new["dense_inter"]["kernel"]), km.d1.get_weights()[0])
+    np.testing.assert_array_equal(
+        np.asarray(new["dense_out"]["bias"]), km.d2.get_weights()[1])
+    # per-group kernels scattered into the bucketed layout, group order kept
+    for b, bucket in enumerate(layout.buckets):
+        for row, gid in enumerate(bucket.group_ids):
+            kref = km.enc.denses[gid].get_weights()[0]
+            got = np.asarray(new["encoder"][f"kernel_{b}"][row,
+                                                           : kref.shape[0]])
+            np.testing.assert_array_equal(got, kref)
