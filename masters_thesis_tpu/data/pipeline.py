@@ -91,22 +91,58 @@ class BatchPipeline:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
+            # a failed batch must FAIL the epoch, not silently truncate it:
+            # the error is shipped through the queue and re-raised in the
+            # consumer (a bare-thread exception would only hit stderr)
             try:
                 for step in range(n_steps):
-                    q.put(self._make_batch(order[step * bs : (step + 1) * bs]))
-            finally:
-                q.put(sentinel)
+                    batch = self._make_batch(order[step * bs : (step + 1) * bs])
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as exc:  # noqa: BLE001 — relayed, not dropped
+                while not stop.is_set():
+                    try:
+                        q.put(exc, timeout=0.2)
+                        return
+                    except queue.Full:
+                        continue
+            else:
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        return
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # abandoned mid-epoch (early break / preemption interrupt):
+            # release the producer from its bounded-queue put and reap it
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
     def __len__(self) -> int:
         return self.steps_per_epoch

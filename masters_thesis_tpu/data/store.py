@@ -38,6 +38,10 @@ class ArrayStore:
                  dtype=None, pack_lanes: bool = False):
         keys = [int(k) for k in keys]
         assert len(keys) == len(data), "keys must match rows"
+        assert len(set(keys)) == len(keys), (
+            "duplicate store keys: the key->row map would silently keep "
+            "only the last row per key (average repeats before storing)"
+        )
         self.key_to_idx = {k: i for i, k in enumerate(keys)}
         self.keys = np.asarray(keys, dtype=np.int64)
         self.device_resident = device_resident

@@ -84,6 +84,10 @@ def gather_rows(store, idx, width: int | None = None,
         return jnp.take(store, idx, axis=0)
     assert store.ndim == 3 and store.shape[-1] == LANES, store.shape
     if jax.default_backend() == "tpu":
+        # match jnp.take's jit semantics (clamp) — the DMA kernel's
+        # index_map is otherwise unchecked, so an out-of-range row id would
+        # silently read arbitrary HBM on TPU while CPU/tests clamp
+        idx = jnp.clip(idx, 0, store.shape[0] - 1)
         rows = _pallas_gather(store, idx)
     else:
         rows = jnp.take(store, idx, axis=0)

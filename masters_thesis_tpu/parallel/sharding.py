@@ -164,7 +164,8 @@ def make_sharded_train_step(model, cfg, l2_rules, mesh: Mesh, state,
 def make_sharded_scanned_train_steps(model, cfg, l2_rules, mesh: Mesh, state,
                                      masked: bool = False,
                                      store_width: int | None = None,
-                                     store_ndim: int = 2):
+                                     store_ndim: int = 2,
+                                     store_packed: bool | None = None):
     """The K-steps-per-call trainer jitted over the mesh.
 
     Shardings: the HBM beta store rides P(None, 'model') — its voxel axis is
@@ -184,8 +185,15 @@ def make_sharded_scanned_train_steps(model, cfg, l2_rules, mesh: Mesh, state,
     """
     from masters_thesis_tpu.train.steps import make_scanned_train_steps
 
+    # multi-chip stores are NOT lane-packed (the Pallas gather isn't GSPMD-
+    # partitionable — see docstring), so a 3D store here is conv features:
+    # default packed=False instead of gather_rows' shape inference, which
+    # would misread a 128-channel feature store as the packed layout
+    if store_packed is None:
+        store_packed = False
     base = make_scanned_train_steps(model, cfg, l2_rules, masked=masked,
-                                    store_width=store_width, jit=False)
+                                    store_width=store_width,
+                                    store_packed=store_packed, jit=False)
     st_sh = state_shardings(state, mesh)
     rep = NamedSharding(mesh, P())
     store_sh = NamedSharding(

@@ -51,7 +51,9 @@ class ASHAScheduler:
 
     def _decide(self, t: int, metrics: dict, results, lock) -> str:
         if t >= self.max_t:
-            return "stop"
+            # the trial ran its full budget: halt it, but as COMPLETED —
+            # reporters must not record it as ASHA-culled
+            return "complete"
         if t not in self.rungs:
             return "continue"
         value = float(metrics[self.metric])

@@ -38,6 +38,22 @@ class FileLock:
         self.stale_s = stale_s
         self.poll_s = poll_s
 
+    def _server_now(self) -> float:
+        """The FILESERVER's clock, via a freshly-written probe file's mtime.
+        Comparing the lock's mtime against local time.time() would let a
+        host with clock skew > stale_s break a LIVE lock."""
+        probe = f"{self.path}.probe.{os.getpid()}"
+        try:
+            with open(probe, "w"):
+                pass
+            now = os.path.getmtime(probe)
+        finally:
+            try:
+                os.unlink(probe)
+            except OSError:
+                pass
+        return now
+
     def __enter__(self):
         while True:
             try:
@@ -51,9 +67,10 @@ class FileLock:
                     # contender removes it (a bare unlink could race another
                     # breaker and delete a freshly re-acquired lock); re-stat
                     # immediately before renaming to shrink the stale window
-                    if time.time() - os.path.getmtime(self.path) > self.stale_s:
+                    if (self._server_now() - os.path.getmtime(self.path)
+                            > self.stale_s):
                         broken = f"{self.path}.broken.{os.getpid()}"
-                        if (time.time() - os.path.getmtime(self.path)
+                        if (self._server_now() - os.path.getmtime(self.path)
                                 > self.stale_s):
                             os.rename(self.path, broken)
                             os.unlink(broken)
@@ -189,7 +206,7 @@ def run_worker(queue_dir: str, trial_fn, scheduler=None,
                 decision = scheduler.on_result_shared(t, metrics, rungs, lock)
                 if decision == "stop":
                     stopped_early = True
-                return decision
+                return "stop" if decision == "complete" else decision
             return "continue"
 
         t0 = time.time()
@@ -243,11 +260,41 @@ def run_distributed_experiment(trial_fn, search, scheduler=None,
 
     assert queue_dir, "queue_dir required"
     configs = list(search)
+    _require_fresh_queue(queue_dir)
     n = enqueue_trials(queue_dir, configs)
-    if work_inline:
-        run_worker(queue_dir, trial_fn, scheduler, max_idle_s=2.0)
-    records = collect_results(queue_dir, n, timeout_s=timeout_s)
-    stop_queue(queue_dir)
+    try:
+        if work_inline:
+            run_worker(queue_dir, trial_fn, scheduler, max_idle_s=2.0)
+        records = collect_results(queue_dir, n, timeout_s=timeout_s)
+    finally:
+        # ALWAYS drop the sentinel — a collect timeout or coordinator crash
+        # must not leave remote `mtt tune --worker` hosts polling forever
+        stop_queue(queue_dir)
     result = TuneResult(metric=metric, mode=mode)
-    result.trials = [r for r in records if r.get("final_metric") is not None]
+    # keep errored records (final_metric None): best() skips them, the
+    # saved results show what failed
+    result.trials = records
     return result
+
+
+def _require_fresh_queue(queue_dir: str) -> None:
+    """Refuse stale coordinator state: a leftover STOP is cleared (it only
+    means a previous run ended), but leftover done/ or pending/ trial files
+    would be mistaken for THIS run's trials (names collide across runs)."""
+    init_queue(queue_dir)
+    for name in ("STOP", "rungs.json", "rungs.lock"):
+        p = os.path.join(queue_dir, name)
+        if os.path.exists(p):
+            os.unlink(p)
+    stale = {
+        sub: [n for n in os.listdir(os.path.join(queue_dir, sub))
+              if n.endswith(".json")]
+        for sub in (PENDING, RUNNING, DONE)
+    }
+    bad = {k: len(v) for k, v in stale.items() if v}
+    if bad:
+        raise RuntimeError(
+            f"queue dir {queue_dir!r} has leftover trial files {bad} from a "
+            "previous run — results would collide; use a fresh directory "
+            "or clear pending/, running/ and done/"
+        )

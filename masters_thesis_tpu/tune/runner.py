@@ -28,12 +28,9 @@ class TuneResult:
     mode: str = "min"
 
     def best(self) -> dict:
+        ok = [t for t in self.trials if t.get("final_metric") is not None]
         key = lambda tr: tr["final_metric"]
-        return (
-            min(self.trials, key=key)
-            if self.mode == "min"
-            else max(self.trials, key=key)
-        )
+        return min(ok, key=key) if self.mode == "min" else max(ok, key=key)
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
@@ -56,13 +53,19 @@ def _run_one(args):
             decision = scheduler.on_result_shared(t, metrics, shared, lock)
             if decision == "stop":
                 stopped_early = True
-            return decision
+            # 'complete' (budget exhausted) halts training like 'stop' but
+            # is NOT recorded as ASHA-culled
+            return "stop" if decision == "complete" else decision
         return "continue"
 
     t0 = time.time()
-    final = trial_fn(config, report)
+    try:
+        final = trial_fn(config, report)
+    except Exception as exc:  # one bad config must not sink the sweep
+        return (trial_id, config, history, None, stopped_early,
+                time.time() - t0, f"{type(exc).__name__}: {exc}")
     return (trial_id, config, history, float(final), stopped_early,
-            time.time() - t0)
+            time.time() - t0, None)
 
 
 def run_experiment(
@@ -96,7 +99,7 @@ def run_experiment(
             with ProcessPoolExecutor(max_workers=processes,
                                      mp_context=ctx) as pool:
                 for (trial_id, cfg, history, final, stopped_early,
-                     wall_s) in pool.map(_run_one, jobs):
+                     wall_s, error) in pool.map(_run_one, jobs):
                     result.trials.append(
                         {
                             "trial_id": trial_id,
@@ -105,6 +108,7 @@ def run_experiment(
                             "final_metric": final,
                             "stopped_early": stopped_early,
                             "wall_s": wall_s,
+                            "error": error,
                         }
                     )
     else:
@@ -121,19 +125,27 @@ def run_experiment(
                     decision = scheduler.on_result(trial_id, t, metrics)
                     if decision == "stop":
                         stopped_early = True
-                    return decision
+                    return "stop" if decision == "complete" else decision
                 return "continue"
 
             t0 = time.time()
-            final = trial_fn(config, report)
+            try:
+                final = float(trial_fn(config, report))
+                error = None
+            except Exception as exc:
+                # a crashing trial is RECORDED, the rest of the sweep runs
+                # (Ray marks trials errored and continues; dispatch.py's
+                # run_worker already does the same)
+                final, error = None, f"{type(exc).__name__}: {exc}"
             result.trials.append(
                 {
                     "trial_id": trial_id,
                     "config": config,
                     "history": history,
-                    "final_metric": float(final),
+                    "final_metric": final,
                     "stopped_early": stopped_early,
                     "wall_s": time.time() - t0,
+                    "error": error,
                 }
             )
 

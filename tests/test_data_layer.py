@@ -76,3 +76,45 @@ def test_store_key_lookup():
     idx = store.indices_for([3, 1])
     rows = store.gather_host(idx)
     np.testing.assert_array_equal(rows[0], np.asarray(store.data)[store.key_to_idx[3]])
+
+
+def test_prefetch_producer_error_raises_not_truncates():
+    """A failing batch build must FAIL the epoch in the consumer; silently
+    ending the epoch early would train on a fraction of the data with a
+    'successful' log line."""
+    import pytest
+
+    split, pairs, tok, store, groups = synthetic_dataset(n_keys=20, n_voxels=64)
+    enc = encode_pairs(pairs["train"], tok, max_len=8)
+    pipe = BatchPipeline(enc, store, batch_size=8, seed=7, prefetch=2)
+    orig = pipe._make_batch
+    calls = {"n": 0}
+
+    def failing(sel):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("disk died")
+        return orig(sel)
+
+    pipe._make_batch = failing
+    got = []
+    with pytest.raises(OSError, match="disk died"):
+        for b in pipe.epoch():
+            got.append(b)
+    assert len(got) <= 1  # nothing after the failure was yielded
+
+
+def test_prefetch_abandoned_epoch_reaps_producer():
+    """Breaking out of epoch() (early stop / preemption) must release the
+    producer thread blocked on the bounded queue."""
+    import threading
+
+    split, pairs, tok, store, groups = synthetic_dataset(n_keys=40, n_voxels=64)
+    enc = encode_pairs(pairs["train"], tok, max_len=8)
+    before = threading.active_count()
+    for _ in range(5):
+        gen = BatchPipeline(enc, store, batch_size=4, seed=7, prefetch=1).epoch()
+        next(gen)
+        gen.close()  # abandon mid-epoch
+    # producers exited (no thread accumulation across abandoned epochs)
+    assert threading.active_count() <= before + 1

@@ -44,7 +44,8 @@ def test_asha_stops_bad_trials():
     # much worse trial at the same rung gets cut once enough results exist
     assert sched.on_result(1, 2, {"val_loss": 5.0}) == "stop"
     assert sched.on_result(2, 2, {"val_loss": 0.5}) == "continue"
-    assert sched.on_result(0, 32, {"val_loss": 0.1}) == "stop"  # max_t
+    # budget exhausted: halted, but flagged COMPLETE (not ASHA-culled)
+    assert sched.on_result(0, 32, {"val_loss": 0.1}) == "complete"
 
 
 def test_run_experiment_with_asha():
@@ -103,3 +104,25 @@ def test_run_experiment_saves(tmp_path):
     )
     assert res.best()["final_metric"] == 1.0
     assert (tmp_path / "tune_results.json").exists()
+
+
+def test_crashing_trial_recorded_not_fatal(tmp_path):
+    """One bad config is recorded with its error; the sweep and the results
+    file survive (Ray marks trials errored and continues)."""
+    import json
+    import os
+
+    def trial(config, report):
+        if config["x"] == 1:
+            raise RuntimeError("nan loss")
+        report(1, {"val_loss": config["x"]})
+        return config["x"]
+
+    res = run_experiment(trial, [{"x": 0}, {"x": 1}, {"x": 2}],
+                         log_dir=str(tmp_path))
+    assert len(res.trials) == 3
+    errored = [t for t in res.trials if t["error"]]
+    assert len(errored) == 1 and "nan loss" in errored[0]["error"]
+    assert res.best()["config"]["x"] == 0  # errored trial never wins
+    with open(os.path.join(str(tmp_path), "tune_results.json")) as f:
+        assert len(json.load(f)["trials"]) == 3
