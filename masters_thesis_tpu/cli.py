@@ -22,6 +22,11 @@ def _add_common(p):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--smoke-keys", type=int, default=48,
                    help="synthetic dataset size when no real data mounted")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the run dir's latest checkpoint before "
+                   "training/decoding (the reference eval.py restore path: "
+                   "`mtt eval --resume --epochs 0` decodes a finished run "
+                   "without retraining)")
 
 
 def _backbone_for(args):
@@ -166,6 +171,15 @@ def _run_analyze(args) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     report: dict = {"run": run, "out": out_dir, "artifacts": []}
 
+    # the run's config, loaded once: groups_to_remove (region-index maps)
+    # and dataset.captions_path (reference captions) both come from it
+    run_cfg = None
+    cfg_path = os.path.join(run, "config.yaml")
+    if os.path.exists(cfg_path):
+        from masters_thesis_tpu.config import Config
+
+        run_cfg = Config.load(cfg_path)
+
     lh = os.path.join(run, "loss_history.csv")
     if os.path.exists(lh):
         png = os.path.join(out_dir, "loss.png")
@@ -178,9 +192,18 @@ def _run_analyze(args) -> dict:
                 if ln.strip() and not ln.startswith("===")]
         report["pos_stats"] = caption_pos_stats(caps)
 
+    # original group indices per attention column (LH first): identity
+    # unless the run removed regions, in which case the kept ids preserve
+    # hemisphere positions for the heat grid
+    region_ids = n_total = None
+    if run_cfg is not None and run_cfg.groups_to_remove:
+        removed = set(run_cfg.groups_to_remove)
+        n_total = 360
+        region_ids = np.asarray(
+            [i for i in range(n_total) if i not in removed], np.int64)
+
     atlas_groups = n_vertices = n_lh = None
     if args.atlas_lh and args.atlas_rh:
-        from masters_thesis_tpu.config import Config
         from masters_thesis_tpu.data.preprocess.glasser import (
             groups_from_atlas,
             load_atlas_vector,
@@ -192,12 +215,9 @@ def _run_analyze(args) -> dict:
         n_lh = len(lh_labels)
         n_vertices = n_lh + len(rh_labels)
         atlas_groups = groups_from_atlas(lh_labels, rh_labels)
-        cfg_path = os.path.join(run, "config.yaml")
-        if os.path.exists(cfg_path):
-            run_cfg = Config.load(cfg_path)
-            if run_cfg.groups_to_remove:
-                atlas_groups = select_groups(
-                    atlas_groups, list(run_cfg.groups_to_remove))
+        if run_cfg is not None and run_cfg.groups_to_remove:
+            atlas_groups = select_groups(
+                atlas_groups, list(run_cfg.groups_to_remove))
     coords = None
     if args.flat_coords:
         flat = np.load(args.flat_coords)
@@ -208,7 +228,11 @@ def _run_analyze(args) -> dict:
         attn = np.load(attn_path)
         mean_attn = np.asarray(attn).mean(axis=tuple(range(attn.ndim - 1)))
         png = os.path.join(out_dir, f"region_attention_{e}.png")
-        plot_region_attention(mean_attn, png)
+        if region_ids is not None and len(region_ids) == len(mean_attn):
+            plot_region_attention(mean_attn, png, region_ids=region_ids,
+                                  n_total=n_total)
+        else:
+            plot_region_attention(mean_attn, png)
         report["artifacts"].append(png)
         if atlas_groups is not None and len(mean_attn) == len(atlas_groups):
             vertex_vals = attention_to_vertices(
@@ -226,16 +250,11 @@ def _run_analyze(args) -> dict:
     )
 
     references = None
-    cfg_path = os.path.join(run, "config.yaml")
-    if os.path.exists(cfg_path):
-        from masters_thesis_tpu.config import Config
+    if (run_cfg is not None and run_cfg.dataset.captions_path
+            and os.path.isdir(run_cfg.dataset.captions_path)):
+        from masters_thesis_tpu.data.captions import load_captions_dir
 
-        run_cfg = Config.load(cfg_path)
-        if run_cfg.dataset.captions_path and os.path.isdir(
-                run_cfg.dataset.captions_path):
-            from masters_thesis_tpu.data.captions import load_captions_dir
-
-            references = load_captions_dir(run_cfg.dataset.captions_path)
+        references = load_captions_dir(run_cfg.dataset.captions_path)
 
     def _image_loader(key: int):
         if not args.images:
@@ -492,13 +511,15 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "train":
-        run_path, logs, _ = run_training(cfg, args.epochs, args.smoke_keys)
+        run_path, logs, _ = run_training(cfg, args.epochs, args.smoke_keys,
+                                         resume=args.resume)
         print(json.dumps({"run_path": run_path, **{
             k: float(v) for k, v in logs.items()}}))
         return 0
 
     if args.cmd in ("eval", "metrics"):
-        run_path, logs, bundle = run_training(cfg, args.epochs, args.smoke_keys)
+        run_path, logs, bundle = run_training(cfg, args.epochs, args.smoke_keys,
+                                              resume=args.resume)
         out = run_eval(
             bundle, run_path,
             decoder=getattr(args, "decoder", "greedy"),

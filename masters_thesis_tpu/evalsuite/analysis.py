@@ -122,8 +122,11 @@ def loss_curves(loss_history_csv: str) -> dict[str, np.ndarray]:
     out: dict[str, list[float]] = {}
     for row in rows:
         for k, v in row.items():
-            if v not in ("", None):
-                out.setdefault(k, []).append(float(v))
+            # NaN placeholder for empty cells: dropping them would desync
+            # a sparse column (e.g. intermittent val_loss) from the epoch
+            # axis — matplotlib simply breaks the line at NaNs
+            out.setdefault(k, []).append(
+                float(v) if v not in ("", None) else float("nan"))
     return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -148,6 +151,7 @@ def plot_loss(loss_history_csv: str, out_png: str) -> None:  # pragma: no cover
 def plot_region_attention(
     mean_attention: np.ndarray, out_png: str,
     region_names: list[str] | None = None, top_k: int = 12,
+    region_ids: np.ndarray | None = None, n_total: int | None = None,
 ):  # pragma: no cover - thin matplotlib shim over attention_by_region
     """Hemisphere heat-grid of per-Glasser-region attention.
 
@@ -155,6 +159,11 @@ def plot_region_attention(
     (Eval/compare_attention.py); surface geometry isn't shippable here, so
     the figure is a (2, 180) LH/RH parcel grid with the top regions
     annotated — same data, headless rendering.
+
+    ``region_ids`` gives each value's ORIGINAL group index (0..n_total-1,
+    LH first) for runs trained with ``groups_to_remove`` — without it a
+    plain half-split would misassign every parcel after the first removed
+    one to the wrong hemisphere. Removed parcels render as gaps (NaN).
     """
     import matplotlib
 
@@ -162,6 +171,13 @@ def plot_region_attention(
     import matplotlib.pyplot as plt
 
     vals = np.asarray(mean_attention, np.float64).reshape(-1)
+    if region_ids is not None:
+        region_ids = np.asarray(region_ids, np.int64).reshape(-1)
+        assert len(region_ids) == len(vals), (len(region_ids), len(vals))
+        total = int(n_total if n_total is not None else region_ids.max() + 1)
+        full = np.full((total,), np.nan)
+        full[region_ids] = vals
+        vals = full
     n = len(vals)
     half = n // 2
     width = max(1, half, n - half)

@@ -139,6 +139,10 @@ def _build_real_data(cfg: Config):
         store = open_pack(cfg.dataset.betas_path, device_resident=False)
     else:
         npys = glob.glob(os.path.join(cfg.dataset.betas_path, "*_KID*.npy"))
+        assert npys, (
+            f"dataset.betas_path {cfg.dataset.betas_path!r} contains neither "
+            "a packed dataset (meta.json) nor per-key *_KID*.npy beta files"
+        )
         prefix = os.path.basename(npys[0]).split("_KID")[0]
         store = ArrayStore.from_npy_dir(
             cfg.dataset.betas_path, list(all_keys),
@@ -152,6 +156,19 @@ def _build_real_data(cfg: Config):
 
 
 # ---------------------------------------------------------------- model
+
+def _nic_dropouts(cfg: Config) -> dict:
+    """The config's decoder dropout knobs, forwarded to every NIC family
+    (a config recording dropout_* the model silently ignored would
+    invalidate any dropout ablation)."""
+    return {
+        "dropout_input": cfg.dropout_input,
+        "dropout_text": cfg.dropout_text,
+        "dropout_attn": cfg.dropout_attn,
+        "dropout_lstm": cfg.dropout_lstm,
+        "dropout_out": cfg.dropout_out,
+    }
+
 
 def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
     """Select the model family from cfg.model; returns (model, l2_rules,
@@ -231,6 +248,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
             units=cfg.units, group_size=cfg.group_size,
             embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
             vocab_size=cfg.vocab_size, max_length=cfg.max_length,
+            dropout_features=cfg.dropout_features, **_nic_dropouts(cfg),
         )
         return model, lc_nic_l2_rules(cfg), False
     if name == "img_nic":
@@ -240,6 +258,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
             embed_dim=cfg.embedding_features, units=cfg.units,
             attn_units=cfg.attn_units, vocab_size=cfg.vocab_size,
             max_length=cfg.max_length, embedding_text=cfg.embedding_text,
+            dropout_features=cfg.dropout_features, **_nic_dropouts(cfg),
         )
         return model, lc_nic_l2_rules(cfg), False
     if name == "cnn_rnn":
@@ -247,7 +266,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
 
         model = CnnRnnNIC(
             embed_dim=256, units=cfg.units, vocab_size=cfg.vocab_size,
-            max_length=cfg.max_length,
+            max_length=cfg.max_length, **_nic_dropouts(cfg),
         )
         return model, lc_nic_l2_rules(cfg), True
     if name in ("showtell", "thinkandtell"):

@@ -103,9 +103,6 @@ class NIC(nn.Module):
     def _carry(self, h, c):
         return (h, c) if self.cell_type == "lstm" else h
 
-    def _split_carry(self, carry):
-        return carry if self.cell_type == "lstm" else (carry, carry)
-
     def encode(self, x, training: bool = False):
         x = self.drop_input(x, deterministic=not training)
         return self.encoder(x, training=training)  # (B, R, D)

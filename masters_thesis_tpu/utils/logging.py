@@ -21,11 +21,21 @@ def setup_run_dir(log_root: str, run: str, config=None) -> str:
     os.makedirs(run_path, exist_ok=True)
     if config is not None:
         config.save(os.path.join(run_path, "config.yaml"))
-    handler = logging.FileHandler(os.path.join(run_path, "log.log"))
+    log_path = os.path.join(run_path, "log.log")
+    root = logging.getLogger()
+    # one live run-dir file handler at a time: in-process tune sweeps call
+    # run_training per trial, and stacking handlers would duplicate every
+    # later trial's records into all earlier trials' log files (and leak
+    # the file handles)
+    for h in list(root.handlers):
+        if getattr(h, "_mtt_run_handler", False):
+            root.removeHandler(h)
+            h.close()
+    handler = logging.FileHandler(log_path)
+    handler._mtt_run_handler = True
     handler.setFormatter(
         logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
     )
-    root = logging.getLogger()
     root.addHandler(handler)
     # the root logger defaults to WARNING, which silently drops the
     # framework's info-level run records (resume, warm start, early stop)

@@ -36,6 +36,7 @@ _SLOW_TESTS = {
     "test_cli_metrics_smoke",
     "test_cli_train_other_families",
     "test_cli_train_smoke",
+    "test_cli_eval_resume_decodes_without_retraining",
     "test_cli_tune_smoke",
     "test_different_seed_differs",
     "test_dryrun_multichip_4",

@@ -91,3 +91,26 @@ def test_cli_features_subcommand(tmp_path):
     assert rc == 0
     feats = np.load(out)
     assert feats.shape[0] == 3 and feats.shape[-1] == 512
+
+
+def test_cli_eval_resume_decodes_without_retraining(tmp_path, capsys):
+    """`mtt eval --resume --epochs 0` restores a finished run and decodes —
+    the reference eval.py flow; no retraining, no artifact overwrite from
+    fresh weights."""
+    import glob
+    import os
+
+    cfg = _smoke_cfg(tmp_path)
+    assert main(["train", "--config", cfg, "--epochs", "2",
+                 "--smoke-keys", "16"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    run_path = out["run_path"]
+    hist = open(os.path.join(run_path, "loss_history.csv")).read()
+
+    assert main(["eval", "--config", cfg, "--epochs", "0", "--resume",
+                 "--smoke-keys", "16"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_captions"] > 0
+    assert glob.glob(os.path.join(run_path, "output_captions_*.npy"))
+    # restore-only: the training log did not grow
+    assert open(os.path.join(run_path, "loss_history.csv")).read() == hist
