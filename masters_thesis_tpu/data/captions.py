@@ -71,13 +71,19 @@ def build_glove_table(
     """
     vocab_size = (tokenizer.num_words or len(tokenizer.word_index)) + 1
     table = np.zeros((vocab_size, dim), np.float32)
+    # stream-filter to the tokenizer vocab: glove.840B holds ~2.2M vectors
+    # (~2.5 GB parsed) of which a 5k-vocab run needs ~5k
+    wanted = set(tokenizer.word_index)
     vectors: dict[str, np.ndarray] = {}
     with open(glove_txt) as f:
         for line in f:
-            parts = line.rstrip().split(" ")
-            if len(parts) != dim + 1:
+            word, _, rest = line.rstrip().partition(" ")
+            if word not in wanted:
                 continue
-            vectors[parts[0]] = np.asarray(parts[1:], np.float32)
+            parts = rest.split(" ")
+            if len(parts) != dim:
+                continue
+            vectors[word] = np.asarray(parts, np.float32)
     for word, idx in tokenizer.word_index.items():
         if idx >= vocab_size:
             continue

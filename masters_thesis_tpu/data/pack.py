@@ -57,6 +57,11 @@ class PackWriter:
 def write_pack(directory: str, keys, rows, dtype=np.float32) -> dict:
     """rows: iterable of (key, row) or an (N, D) array aligned with keys."""
     if isinstance(rows, np.ndarray):
+        keys = list(keys)
+        assert len(keys) == len(rows), (
+            f"{len(keys)} keys vs {len(rows)} rows — zip would silently "
+            "truncate to the shorter"
+        )
         it = zip(keys, rows)
         row_shape = rows.shape[1:]
     else:
@@ -82,8 +87,12 @@ def open_pack(directory: str, device_resident: bool = False,
     assert meta["magic"] == MAGIC, f"not a pack dir: {directory}"
     keys = np.load(os.path.join(directory, "keys.npy"))
     shape = (meta["n_rows"], *meta["row_shape"])
-    mm = np.memmap(
-        os.path.join(directory, "data.bin"),
-        dtype=np.dtype(meta["dtype"]), mode="r", shape=shape,
-    )
+    if meta["n_rows"] == 0:
+        # np.memmap refuses empty files; an empty split is still a valid pack
+        mm = np.empty(shape, dtype=np.dtype(meta["dtype"]))
+    else:
+        mm = np.memmap(
+            os.path.join(directory, "data.bin"),
+            dtype=np.dtype(meta["dtype"]), mode="r", shape=shape,
+        )
     return ArrayStore(mm, keys, device_resident=device_resident, dtype=dtype)

@@ -82,8 +82,6 @@ def sentence_bleu(references, hypothesis, weights=(0.25,) * 4,
         den = max(den, 1)  # NLTK clamps the denominator before smoothing
         if smoothing == "method2" and i > 0:
             num, den = num + 1, den + 1
-        if den == 0:
-            return 0.0
         if num == 0:
             if smoothing == "method1":
                 num = 0.1

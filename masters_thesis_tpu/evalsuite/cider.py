@@ -10,11 +10,9 @@ Used by the reference through pycocoevalcap in metric_suit.py:88-109.
 from __future__ import annotations
 
 import math
-from collections import Counter, defaultdict
+from collections import defaultdict
 
-
-def _ngrams(tokens, n):
-    return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
+from masters_thesis_tpu.evalsuite.bleu import _ngrams
 
 
 class CiderScorer:
@@ -45,7 +43,7 @@ class CiderScorer:
 
         log_ndocs = math.log(max(n_docs, 1))
 
-        def vec(counts, length):
+        def vec(counts):
             """tf-idf vector + norm per n."""
             vecs, norms = [], []
             for k in range(self.n):
@@ -65,11 +63,11 @@ class CiderScorer:
             references_list, hypotheses, ref_counts_all
         ):
             hyp = list(hyp)
-            hvec, hnorm = vec(self._counts(hyp), len(hyp))
+            hvec, hnorm = vec(self._counts(hyp))
             score_n = [0.0] * self.n
             for ref, rcounts in zip(refs, ref_counts):
                 ref = list(ref)
-                rvec, rnorm = vec(rcounts, len(ref))
+                rvec, rnorm = vec(rcounts)
                 delta = len(hyp) - len(ref)
                 len_pen = math.exp(-(delta**2) / (2 * self.sigma**2))
                 for k in range(self.n):

@@ -279,6 +279,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
             vocab_size=cfg.vocab_size,
             max_length=cfg.max_length,
             head_activation="relu" if name == "thinkandtell" else "linear",
+            dropout=cfg.dropout_features,
         )
         return model, showtell_l2_rules(cfg), True
     if name == "guse_nic":
@@ -286,7 +287,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
 
         model = GuseNIC(
             units=cfg.units, vocab_size=cfg.vocab_size,
-            max_length=cfg.max_length,
+            max_length=cfg.max_length, dropout=cfg.dropout_features,
         )
         return model, showtell_l2_rules(cfg), True
     raise ValueError(f"unknown model {cfg.model!r}")

@@ -88,12 +88,14 @@ class ShowTell(nn.Module):
         feat = self.encode(inputs, training)                 # (B, E)
         emb = jnp.take(self.embedding, tokens, axis=0)       # (B, T, E)
 
-        # feature slot first, then the T-1 first words (logits[t] predicts
-        # target[t]); total T steps to mirror the (B, T) target. The whole
-        # sequence runs as one nn.scan over [feat ; emb[:, :T-1]] so compiled
-        # program size is O(1) in max_length.
-        xs = jnp.concatenate([feat[:, None, :], emb[:, : self.max_length - 1, :]],
-                             axis=1)                         # (B, T, E)
+        # Vinyals alignment (ShowAndTell/model.py:145-179): the LSTM runs
+        # T+1 steps over [feat ; emb(tokens[0..T-1])]; the feat slot's
+        # output is NOT supervised, and the state that has consumed
+        # [feat, tok_0..tok_t] predicts target[t] = tokens[t+1] — the same
+        # state->next-word contract the greedy/beam decoders use
+        # (init_carry primes with feat, then each decode_step's logits are
+        # the next word). One nn.scan, O(1) compile in max_length.
+        xs = jnp.concatenate([feat[:, None, :], emb], axis=1)  # (B, T+1, E)
 
         a0 = a0.astype(jnp.float32)
         c0 = c0.astype(jnp.float32)
@@ -110,8 +112,8 @@ class ShowTell(nn.Module):
             split_rngs={"params": False, "dropout": True},
             in_axes=1, out_axes=1,
         )
-        _, hseq = scan(self, (a0, c0), xs)                   # (B, T, U)
-        logits = self.head(hseq, training=training)
+        _, hseq = scan(self, (a0, c0), xs)                   # (B, T+1, U)
+        logits = self.head(hseq[:, 1:], training=training)   # drop feat slot
         bs = inputs.shape[0]
         attn = jnp.zeros((bs, self.max_length, 1), logits.dtype)
         return logits, attn

@@ -37,6 +37,29 @@ def native_available() -> bool:
     return _lib() is not None
 
 
+def lcs_batch_native(a: np.ndarray, b: np.ndarray,
+                     end_id: int = -1) -> np.ndarray | None:
+    """Per-pair LCS lengths over (B, La)/(B, Lb) int32 rows, truncated at
+    ``end_id`` and skipping 0 (<pad>). None when no native lib (callers
+    fall back to the Python DP). The ROUGE-L core the C++ kernel was
+    built for."""
+    lib = _lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    assert a.ndim == b.ndim == 2 and a.shape[0] == b.shape[0], (
+        a.shape, b.shape)
+    out = np.zeros(a.shape[0], np.int32)
+    lib.tm_lcs_batch(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), a.shape[0],
+        a.shape[1],
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), b.shape[1],
+        end_id, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
 def bleu_batch_native(
     preds: np.ndarray,
     refs: np.ndarray,
@@ -57,7 +80,11 @@ def bleu_batch_native(
     if refs.ndim == 2:
         refs = refs[:, None, :]
     B, Lp = preds.shape
-    _, R, Lr = refs.shape
+    Br, R, Lr = refs.shape
+    assert Br == B, (
+        f"{B} predictions vs {Br} reference rows — the native kernel would "
+        "read out of bounds"
+    )
 
     lib = _lib()
     if lib is not None:

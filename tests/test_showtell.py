@@ -39,15 +39,33 @@ def test_showtell_forward_shapes(st_setup):
     assert logits.shape == (4, cfg.max_length, cfg.vocab_size)
 
 
-def test_showtell_first_logit_uses_only_feature(st_setup):
-    """logits[:, 0] must not depend on the tokens (Vinyals priming)."""
+def test_showtell_train_decode_alignment(st_setup):
+    """Vinyals alignment (ShowAndTell/model.py:145-158): training logits[t]
+    come from the state that consumed [feat, tok_0..tok_t] — the SAME
+    state->next-word contract the decoders use. logits[:, 0] depends on
+    feat and tokens[:, 0] only, and equals what init_carry + one
+    decode_step produce."""
     cfg, model, state, feats, tokens = st_setup
     a0 = jnp.zeros((4, cfg.units))
     l1, _ = model.apply({"params": state.params}, feats, tokens, a0, a0)
-    other = jnp.roll(tokens, 1, axis=1)
+    # changing tokens AFTER position 0 cannot affect logits[:, 0]
+    other = tokens.at[:, 1:].set(jnp.roll(tokens[:, 1:], 1, axis=1))
     l2, _ = model.apply({"params": state.params}, feats, other, a0, a0)
     np.testing.assert_allclose(l1[:, 0], l2[:, 0], rtol=1e-6)
-    assert not np.allclose(l1[:, 1], l2[:, 1])
+    # but changing tokens[:, 0] must
+    first = tokens.at[:, 0].set((tokens[:, 0] + 1) % cfg.vocab_size)
+    l3, _ = model.apply({"params": state.params}, feats, first, a0, a0)
+    assert not np.allclose(l1[:, 0], l3[:, 0])
+
+    # TRAIN state t == DECODE state t: priming with feat then stepping
+    # tokens[:, 0] reproduces the training forward's first logits
+    variables = {"params": state.params}
+    enc = model.apply(variables, feats, False, method="encode")
+    h, c = model.apply(variables, enc, method="init_carry")
+    _, _, dec_logits, _ = model.apply(
+        variables, h, c, enc, tokens[:, 0], method="decode_step")
+    np.testing.assert_allclose(np.asarray(dec_logits), np.asarray(l1[:, 0]),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_showtell_masked_training_reduces_loss(st_setup):
