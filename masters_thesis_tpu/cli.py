@@ -281,7 +281,72 @@ def _run_analyze(args) -> dict:
         gpng = os.path.join(out_dir, f"caption_grid_{e}.png")
         plot_caption_grid(entries, gpng)
         report["artifacts"].append(gpng)
+
+        # nearest-training-caption retrieval (guse_comparison.py): rank every
+        # (trial, cid) training caption by cosine distance to each eval
+        # caption's sentence embedding, dump top-3 + farthest per candidate
+        if args.nearest_guse:
+            tsv = _nearest_guse_report(
+                args.nearest_guse, texts, keys, references,
+                os.path.join(out_dir, f"nearest_guse_{e}.tsv"), report)
+            if tsv:
+                report["artifacts"].append(tsv)
     return report
+
+
+def _nearest_guse_report(guse_dir, texts, keys, references, out_tsv,
+                         report) -> str | None:
+    """Rank training captions by embedding distance for each eval caption
+    (guse_comparison.py:44-64 prints top-3 nearest + the farthest)."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from masters_thesis_tpu.evalsuite.guse_sim import (
+        default_embedder,
+        nearest_training_captions,
+    )
+
+    table_path = os.path.join(guse_dir, "guse_pre_processed.npy")
+    keys_path = os.path.join(guse_dir, "keys.npy")
+    if not (os.path.exists(table_path) and os.path.exists(keys_path)):
+        report["nearest_guse_error"] = (
+            f"{guse_dir!r} lacks guse_pre_processed.npy/keys.npy "
+            "(run `mtt guse` first)")
+        return None
+    table = np.load(table_path)
+    train_keys = np.load(keys_path)
+    train_caps = None
+    if references:
+        train_caps = [references.get(int(k)) for k in train_keys]
+        if any(c is None for c in train_caps):
+            train_caps = None  # captions dir doesn't cover the table's keys
+    embedder = default_embedder()
+    # distances are only meaningful when candidates are embedded by the same
+    # model that built the table — surface a mismatch instead of hiding it
+    meta_path = os.path.join(guse_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            built_with = _json.load(f).get("embedder")
+        using = getattr(embedder, "name", type(embedder).__name__)
+        if built_with and built_with != using:
+            report["nearest_guse_warning"] = (
+                f"table built with {built_with!r} but candidates embedded "
+                f"with {using!r}")
+    results = nearest_training_captions(
+        texts, table, train_captions=train_caps, embedder=embedder)
+    with open(out_tsv, "w") as f:
+        f.write("key\tcandidate\trank\tdistance\ttrain_key\tcid\tcaption\n")
+        for key, text, res in zip(keys, texts, results):
+            rows = [(i + 1, n) for i, n in enumerate(res["nearest"])]
+            if res["farthest"] is not None:
+                rows.append((-1, res["farthest"]))  # rank -1 = farthest
+            for rank, n in rows:
+                cap = n.get("caption", "")
+                f.write(f"{key}\t{text}\t{rank}\t{n['distance']:.4f}\t"
+                        f"{int(train_keys[n['trial']])}\t{n['cid']}\t{cap}\n")
+    return out_tsv
 
 
 def _tune_trial(cfg, epochs, smoke_keys, tc, report):
@@ -416,6 +481,10 @@ def main(argv=None) -> int:
     an.add_argument("--flat-coords", default=None,
                     help="npz of lh/rh (V, 2) flat-surface vertex coords "
                     "(scripts/export_flat_coords.py) for true flatmap scatter")
+    an.add_argument("--nearest-guse", default=None, metavar="DIR",
+                    help="`mtt guse` output dir: rank training captions by "
+                         "embedding distance to each eval caption "
+                         "(guse_comparison.py) -> nearest_guse_{e}.tsv")
     an.add_argument("--images", default=None,
                     help="KID{key} stimulus-picture dir (mtt stimuli output) "
                     "for the caption sample grids")
@@ -451,6 +520,17 @@ def main(argv=None) -> int:
                     help=".npy of 1-based NSD keys (default: all)")
     st.add_argument("--out-dir", required=True)
     st.add_argument("--format", default="png", choices=["png", "npy"])
+
+    gu = sub.add_parser(
+        "guse",
+        help="precompute sentence embeddings for every caption "
+             "(get_guse.py): flat (N, C, 512) brick + per-key averaged "
+             "vectors for guse_nic training",
+    )
+    gu.add_argument("--config", required=True)
+    gu.add_argument("--out", required=True, help="output directory")
+    gu.add_argument("--no-per-key", action="store_true",
+                    help="skip the guse_averaged/ per-key files")
 
     args = ap.parse_args(argv)
     if args.cmd == "features":
@@ -500,6 +580,14 @@ def main(argv=None) -> int:
         run_preprocess,
         run_training,
     )
+
+    if args.cmd == "guse":
+        from masters_thesis_tpu.experiment import run_guse_precompute
+
+        report = run_guse_precompute(cfg, args.out,
+                                     per_key=not args.no_per_key)
+        print(json.dumps(report))
+        return 0
 
     if args.cmd == "preprocess":
         report = run_preprocess(

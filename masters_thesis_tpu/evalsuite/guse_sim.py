@@ -72,6 +72,85 @@ class HashEmbedder:
         return out
 
 
+def guse_clean(line: str) -> str:
+    """The reference's caption cleanup before embedding (get_guse.py:39-42):
+    '.'/',' -> space, lowercase, collapse whitespace. No <start>/<end> —
+    GUSE embeds the plain sentence."""
+    cap = line.replace(".", " ").replace(",", " ").strip().split(" ")
+    return " ".join(w.lower() for w in cap if w)
+
+
+def embed_caption_table(
+    captions_by_key: dict[int, list[str]],
+    keys=None,
+    embedder: SentenceEmbedder | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(keys, (N, C, D) embedding brick) for the per-key caption lists —
+    the reference's GUSE precompute (get_guse.py:131-140: every caption gets
+    a (512,) embedding, 5 captions per NSD key -> (N, 5, 512)).
+
+    Keys default to all of ``captions_by_key`` in sorted order. Every key
+    must carry the same caption count (the reference asserts 5,
+    get_guse.py:44)."""
+    embedder = embedder or default_embedder()
+    if keys is None:
+        keys = sorted(captions_by_key)
+    keys = np.asarray(list(keys), np.int64)
+    counts = {len(captions_by_key[int(k)]) for k in keys}
+    if len(counts) > 1:
+        raise ValueError(f"ragged caption counts per key: {sorted(counts)}")
+    n_caps = counts.pop() if counts else 0
+    flat: list[str] = []
+    for k in keys:
+        flat.extend(guse_clean(c) for c in captions_by_key[int(k)])
+    if not flat:
+        return keys, np.zeros((0, 0, embedder.dim), np.float32)
+    emb = embedder.embed(flat)
+    return keys, emb.reshape(len(keys), n_caps, -1).astype(np.float32)
+
+
+def nearest_training_captions(
+    candidates: list[str],
+    train_embeddings: np.ndarray,
+    train_captions=None,
+    top_k: int = 3,
+    embedder: SentenceEmbedder | None = None,
+) -> list[dict]:
+    """The reference's guse_comparison.py: embed each candidate caption and
+    rank every (trial, cid) training caption by cosine distance; report the
+    ``top_k`` nearest plus the single farthest (guse_comparison.py:44-64
+    prints top-3 and max).
+
+    ``train_embeddings`` is the (N, C, D) brick from
+    :func:`embed_caption_table`; ``train_captions`` (optional) is a list of
+    N lists of C strings aligned with it. One batched matmul — the reference
+    loops scipy ``cosine_distance`` over all 45,000 rows per candidate."""
+    embedder = embedder or default_embedder()
+    n, c, d = train_embeddings.shape
+    flat = train_embeddings.reshape(n * c, d).astype(np.float64)
+    norm = np.linalg.norm(flat, axis=1, keepdims=True)
+    flat = flat / np.where(norm == 0, 1.0, norm)
+    cand = embedder.embed([guse_clean(s) for s in candidates]).astype(np.float64)
+    cnorm = np.linalg.norm(cand, axis=1, keepdims=True)
+    cand = cand / np.where(cnorm == 0, 1.0, cnorm)
+    dist = 1.0 - cand @ flat.T                               # (K, N*C)
+    top_k = min(top_k, n * c)
+    results = []
+    for row in dist:
+        order = np.argsort(row, kind="stable")
+        def entry(idx: int) -> dict:
+            trial, cid = divmod(int(idx), c)
+            e = {"trial": trial, "cid": cid, "distance": float(row[idx])}
+            if train_captions is not None:
+                e["caption"] = train_captions[trial][cid]
+            return e
+        results.append({
+            "nearest": [entry(i) for i in order[:top_k]],
+            "farthest": entry(order[-1]) if len(order) else None,
+        })
+    return results
+
+
 def _rowwise_pearson(x: np.ndarray) -> np.ndarray:
     """np.corrcoef for rows, safe for zero-variance rows."""
     x = x - x.mean(axis=1, keepdims=True)

@@ -707,6 +707,61 @@ def run_eval(bundle, run_path: str, epoch: int | None = None,
     return {"words": words, "keys": keys, "texts": texts, "epoch": e}
 
 
+def run_guse_precompute(cfg: Config, out_dir: str,
+                        per_key: bool = True) -> dict:
+    """The reference's GUSE precompute driver (AttemptFour/get_guse.py
+    __main__): embed every caption of every key, save the flat
+    (N, C, 512) brick plus the per-key averaged vectors that the guse_NIC
+    data path trains on (get_guse.py:104-140: guse_pre_processed.npy and
+    guse_averaged/guse_embedding_KID{key}.npy).
+
+    The embedder resolves exactly like run_metrics: the real USE-DAN when a
+    weight bundle is present, otherwise the hash fallback — and meta.json
+    records which one produced the files so hash output can never be
+    mistaken for GUSE."""
+    from masters_thesis_tpu.data.captions import load_captions_dir
+    from masters_thesis_tpu.evalsuite.guse_sim import (
+        default_embedder,
+        embed_caption_table,
+    )
+
+    caps = load_captions_dir(cfg.dataset.captions_path)
+    if not caps:
+        raise FileNotFoundError(
+            f"no KID*.txt caption files under {cfg.dataset.captions_path!r}")
+    guse_dir = cfg.dataset.guse_path
+    bundle_path = os.path.join(guse_dir, "use_dan.npz") if guse_dir else None
+    embedder = default_embedder(
+        bundle_path if bundle_path and os.path.exists(bundle_path) else None)
+    keys, table = embed_caption_table(caps, embedder=embedder)
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "guse_pre_processed.npy"), table)
+    np.save(os.path.join(out_dir, "keys.npy"), keys)
+    n_per_key = 0
+    if per_key and len(keys):
+        avg_dir = os.path.join(out_dir, "guse_averaged")
+        os.makedirs(avg_dir, exist_ok=True)
+        averaged = table.mean(axis=1)  # (N, 512), get_guse.py:94
+        for key, vec in zip(keys, averaged):
+            np.save(os.path.join(
+                avg_dir, f"guse_embedding_KID{int(key)}.npy"), vec)
+        n_per_key = len(keys)
+    name = getattr(embedder, "name", type(embedder).__name__)
+    meta = {
+        "embedder": name,
+        "is_real_guse": name == "use_dan",
+        "n_keys": int(len(keys)),
+        "captions_per_key": int(table.shape[1]) if table.ndim == 3 else 0,
+        "dim": int(table.shape[-1]) if table.size else embedder.dim,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    logger.info("GUSE precompute: %d keys x %d captions -> %s (embedder=%s)",
+                meta["n_keys"], meta["captions_per_key"], out_dir, name)
+    return {**meta, "out": out_dir, "per_key_files": n_per_key}
+
+
 def run_metrics(bundle, eval_out, captions_by_key=None) -> dict:
     """Reference metric_suit.py + guse_sim.py on the eval output.
 
