@@ -256,6 +256,11 @@ def _run_analyze(args) -> dict:
 
         references = load_captions_dir(run_cfg.dataset.captions_path)
 
+    if args.responses and not references:
+        report["bleu_hit_rate_error"] = (
+            "--responses needs reference captions: the run config's "
+            "dataset.captions_path is unset or not a directory")
+
     def _image_loader(key: int):
         if not args.images:
             return None
@@ -281,6 +286,30 @@ def _run_analyze(args) -> dict:
         gpng = os.path.join(out_dir, f"caption_grid_{e}.png")
         plot_caption_grid(entries, gpng)
         report["artifacts"].append(gpng)
+
+        # behavioral hit rate vs BLEU (Eval/hit_rate.py main()): group each
+        # eval caption's BLEU-1/BLEU-4 by how often the subject recognised
+        # the image (ISCORRECT summed per 73KID, 0..3) -> boxplot panels
+        if args.responses and references:
+            from masters_thesis_tpu.evalsuite.analysis import (
+                bleu_by_hit_rate,
+                load_behavior_hits,
+                plot_bleu_hit_rate,
+            )
+
+            hits = load_behavior_hits(args.responses)
+            groups = bleu_by_hit_rate(
+                dict(zip(keys, texts)), references, hits)
+            hpng = os.path.join(out_dir, f"bleu_hit_rate_{e}.png")
+            plot_bleu_hit_rate(groups, hpng)
+            report["artifacts"].append(hpng)
+            report[f"bleu_hit_rate_{e}"] = {
+                "n_scored": groups["n_scored"],
+                **{label: {str(h): (float(np.mean(v)) if v else None)
+                           for h, v in by_hit.items()}
+                   for label, by_hit in groups.items()
+                   if label.startswith("BLEU-")},
+            }
 
         # nearest-training-caption retrieval (guse_comparison.py): rank every
         # (trial, cid) training caption by cosine distance to each eval
@@ -481,6 +510,10 @@ def main(argv=None) -> int:
     an.add_argument("--flat-coords", default=None,
                     help="npz of lh/rh (V, 2) flat-surface vertex coords "
                     "(scripts/export_flat_coords.py) for true flatmap scatter")
+    an.add_argument("--responses", default=None, metavar="TSV",
+                    help="NSD behav/responses.tsv: BLEU vs behavioral hit "
+                         "rate boxplots (Eval/hit_rate.py) -> "
+                         "bleu_hit_rate_{e}.png")
     an.add_argument("--nearest-guse", default=None, metavar="DIR",
                     help="`mtt guse` output dir: rank training captions by "
                          "embedding distance to each eval caption "

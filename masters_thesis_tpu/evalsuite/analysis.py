@@ -6,8 +6,14 @@ analyses, headless and data-driven (SURVEY.md §2.1):
   :283-386);
 - perplexity: 2^(-mean log2 p(token)) over emitted tokens from decoder
   logits;
+- load_behavior_hits / bleu_by_hit_rate / plot_bleu_hit_rate: the reference's
+  Eval/hit_rate.py main() — NSD behavioral hit rate (ISCORRECT summed per
+  73KID over the 3 presentations, responses.tsv) vs the decoded caption's
+  BLEU, as per-hit-rate boxplots;
 - hit_rate: cross-subject caption "hits" — how often two subjects' decoded
-  captions for the same NSD key share n-grams (Eval/hit_rate.py);
+  captions for the same NSD key share n-grams (companion analysis to
+  Eval/hit_rate.py's compare_subjects(), which contrasts subjects'
+  behavioral totals);
 - attention_by_region: mean attention weight per Glasser region across the
   eval set + top-k region ranking (Eval/compare_attention.py /
   list_regions.py — flatmap rendering needs pycortex, so this exports the
@@ -23,6 +29,7 @@ import csv
 import numpy as np
 
 from masters_thesis_tpu.evalsuite.bleu import sentence_bleu
+from masters_thesis_tpu.evalsuite.guse_sim import guse_clean
 
 
 def perplexity(logits: np.ndarray, token_ids: np.ndarray,
@@ -71,12 +78,88 @@ def caption_table(
     return rows
 
 
+def load_behavior_hits(responses_tsv: str) -> dict[int, int]:
+    """NSD behavioral responses -> {73KID: summed ISCORRECT}.
+
+    The reference reads nsddata/ppdata/subjNN/behav/responses.tsv and
+    groupby-sums ISCORRECT per 73KID (Eval/hit_rate.py:105-110) — each key
+    was shown 3 times, so the per-key hit rate is an integer 0..3."""
+    hits: dict[int, int] = {}
+    with open(responses_tsv, newline="") as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            key = int(float(row["73KID"]))
+            hits[key] = hits.get(key, 0) + int(float(row["ISCORRECT"]))
+    return hits
+
+
+_BLEU1_W = (1.0, 0.0, 0.0, 0.0)
+_BLEU4_W = (0.25, 0.25, 0.25, 0.25)
+
+
+def bleu_by_hit_rate(
+    captions_by_key: dict[int, str],
+    references_by_key: dict[int, list[str]],
+    hits: dict[int, int],
+    weights=(_BLEU1_W, _BLEU4_W),
+    max_hits: int = 3,
+) -> dict:
+    """Group per-caption sentence BLEU by the key's behavioral hit rate
+    (Eval/hit_rate.py main(): boxplots of BLEU per hit-rate 0..3, method0
+    smoothing). Returns {"BLEU-n": {hit_value: [scores...]}}.
+
+    Note the reference's figure computes weight sets [0] and [1] (BLEU-1 and
+    BLEU-2) while labelling the panels BLEU-1/BLEU-4 (hit_rate.py:141-144);
+    here the weights match the labels."""
+    out: dict[str, dict[int, list[float]]] = {}
+    keys = [k for k in captions_by_key if k in hits and k in references_by_key]
+    for w in weights:
+        label = f"BLEU-{sum(x > 0 for x in w)}"
+        groups: dict[int, list[float]] = {h: [] for h in range(max_hits + 1)}
+        for k in keys:
+            # references get the reference's caption cleanup (lowercase,
+            # '.'/',' -> space — hit_rate.py:88-92); hypotheses come from
+            # the tokenizer already lowercased, minus <pad>/<end> (:52-55)
+            refs = [guse_clean(r).split() for r in references_by_key[k]]
+            hyp = [t for t in captions_by_key[k].split()
+                   if t not in ("<pad>", "<end>")]
+            score = sentence_bleu(refs, hyp, weights=w, smoothing="none")
+            groups.setdefault(min(hits[k], max_hits), []).append(float(score))
+        out[label] = groups
+    out["n_scored"] = len(keys)
+    return out
+
+
+def plot_bleu_hit_rate(groups: dict, out_png: str) -> None:  # pragma: no cover
+    """Two-panel boxplot, BLEU vs hit rate (hit_rate.py:138-155)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    labels = [k for k in groups if k.startswith("BLEU-")]
+    fig, axes = plt.subplots(1, len(labels), figsize=(8 * len(labels), 9),
+                             squeeze=False)
+    for ax, label in zip(axes[0], labels):
+        hit_values = sorted(groups[label])
+        data = [groups[label][h] for h in hit_values]
+        ax.boxplot([d if d else [0.0] for d in data], notch=False)
+        ax.set_title(label)
+        ax.set_ylabel("BLEU score")
+        ax.set_xticklabels([str(h) for h in hit_values])
+        ax.set_xlabel("hit rate")
+    plt.suptitle("Hit rate vs. BLEU score")
+    fig.savefig(out_png, bbox_inches="tight")
+    plt.close(fig)
+
+
 def hit_rate(
     captions_a: dict[int, str], captions_b: dict[int, str], n: int = 1
 ) -> dict:
-    """Cross-subject n-gram hit rate on shared keys (Eval/hit_rate.py):
-    fraction of shared keys whose two decoded captions share >=1 n-gram,
-    plus the mean Jaccard overlap."""
+    """Cross-subject n-gram hit rate on shared keys: fraction of shared keys
+    whose two decoded captions share >=1 n-gram, plus the mean Jaccard
+    overlap. A caption-level companion to Eval/hit_rate.py's
+    compare_subjects() (which contrasts subjects' behavioral ISCORRECT
+    totals, :160-172)."""
     shared = sorted(set(captions_a) & set(captions_b))
     hits, jaccards = 0, []
     for k in shared:
