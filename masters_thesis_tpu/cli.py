@@ -223,17 +223,36 @@ def _run_analyze(args) -> dict:
         flat = np.load(args.flat_coords)
         coords = {"lh": flat["lh"], "rh": flat["rh"]}
 
+    # human-readable parcel names (Eval/list_regions.py's tables): the
+    # canonical HCP-MMP1.0 order, or a user CSV via --region-names
+    from masters_thesis_tpu.data.preprocess.hcp_regions import region_names
+
+    full_names = region_names(names_csv=args.region_names)  # 360, LH first
+
     for attn_path in sorted(glob.glob(os.path.join(run, "attention_scores_*.npy"))):
         e = os.path.basename(attn_path).split("_")[-1].split(".")[0]
         attn = np.load(attn_path)
         mean_attn = np.asarray(attn).mean(axis=tuple(range(attn.ndim - 1)))
         png = os.path.join(out_dir, f"region_attention_{e}.png")
+        col_names = None  # names aligned with the attention columns
         if region_ids is not None and len(region_ids) == len(mean_attn):
+            # plot expands values to the full 360 grid -> full names apply
             plot_region_attention(mean_attn, png, region_ids=region_ids,
-                                  n_total=n_total)
+                                  n_total=n_total, region_names=full_names)
+            col_names = [full_names[i] for i in region_ids]
+        elif len(mean_attn) == len(full_names):
+            plot_region_attention(mean_attn, png, region_names=full_names)
+            col_names = full_names
         else:
             plot_region_attention(mean_attn, png)
         report["artifacts"].append(png)
+        if col_names is not None:
+            order = np.argsort(mean_attn)[::-1][:20]
+            report[f"region_ranking_{e}"] = [
+                {"region": col_names[i], "index": int(i),
+                 "mean_attention": float(mean_attn[i])}
+                for i in order
+            ]
         if atlas_groups is not None and len(mean_attn) == len(atlas_groups):
             vertex_vals = attention_to_vertices(
                 mean_attn, atlas_groups, n_vertices)
@@ -510,6 +529,9 @@ def main(argv=None) -> int:
     an.add_argument("--flat-coords", default=None,
                     help="npz of lh/rh (V, 2) flat-surface vertex coords "
                     "(scripts/export_flat_coords.py) for true flatmap scatter")
+    an.add_argument("--region-names", default=None, metavar="CSV",
+                    help="override the built-in HCP-MMP1.0 parcel names "
+                         "(one name per line / last CSV column)")
     an.add_argument("--responses", default=None, metavar="TSV",
                     help="NSD behav/responses.tsv: BLEU vs behavioral hit "
                          "rate boxplots (Eval/hit_rate.py) -> "

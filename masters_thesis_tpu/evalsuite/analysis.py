@@ -277,7 +277,10 @@ def plot_region_attention(
     ax.set_xlabel("Glasser parcel index (within hemisphere)")
     fig.colorbar(im, ax=ax, label="mean attention")
 
-    order = np.argsort(vals)[::-1][:top_k]
+    # NaN marks removed parcels — they must not win the top-k (argsort
+    # places NaN last ascending, i.e. FIRST after the [::-1] reversal)
+    order = np.argsort(np.nan_to_num(vals, nan=-np.inf))[::-1][:top_k]
+    order = order[np.isfinite(vals[order])]
     names = region_names or [f"region_{i}" for i in range(n)]
     axr.barh(range(len(order))[::-1], vals[order], color="#3b6ea5")
     axr.set_yticks(range(len(order))[::-1], [names[i] for i in order])

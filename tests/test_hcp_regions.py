@@ -1,0 +1,68 @@
+"""HCP-MMP1.0 parcel-name table (the shipped stand-in for the reference's
+unshipped TrainData/unique_regions_list.csv, Eval/list_regions.py:33)."""
+
+import numpy as np
+
+from masters_thesis_tpu.data.preprocess.hcp_regions import (
+    HCP_MMP1_REGIONS,
+    load_names_csv,
+    region_names,
+)
+
+
+def test_table_is_canonical_shape():
+    assert len(HCP_MMP1_REGIONS) == 180
+    assert len(set(HCP_MMP1_REGIONS)) == 180  # no duplicates
+    # canonical anchor labels (Glasser et al. 2016 table order)
+    assert HCP_MMP1_REGIONS[0] == "V1"      # label 1
+    assert HCP_MMP1_REGIONS[22] == "MT"     # label 23
+    assert HCP_MMP1_REGIONS[23] == "A1"     # label 24
+    assert HCP_MMP1_REGIONS[119] == "H"     # label 120 (hippocampus)
+    assert HCP_MMP1_REGIONS[179] == "p24"   # label 180
+
+
+def test_region_names_aligns_with_group_order():
+    names = region_names()
+    assert len(names) == 360
+    assert names[0] == "LH_V1" and names[180] == "RH_V1"
+    assert names[359] == "RH_p24"
+
+
+def test_region_names_respects_groups_to_remove():
+    # removing group 0 (LH_V1) and 180 (RH_V1) shifts nothing else
+    names = region_names(groups_to_remove=[0, 180])
+    assert len(names) == 358
+    assert names[0] == "LH_MST" and "LH_V1" not in names
+    assert "RH_V1" not in names and "RH_MST" in names
+
+
+def test_names_csv_override(tmp_path):
+    csv = tmp_path / "names.csv"
+    csv.write_text("region\n1,alpha\n2,beta\n")
+    assert load_names_csv(str(csv)) == ["alpha", "beta"]
+    names = region_names(names_csv=str(csv))
+    assert names == ["LH_alpha", "LH_beta", "RH_alpha", "RH_beta"]
+
+
+def test_analyze_emits_named_ranking(tmp_path):
+    """A run with 360-wide attention gets a region_ranking with real
+    parcel names in the analyze report."""
+    import json
+
+    from masters_thesis_tpu.cli import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    attn = np.zeros((4, 3, 360), np.float32)
+    attn[..., 22] = 1.0   # LH_MT dominates
+    np.save(run / "attention_scores_7.npy", attn)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["analyze", "--run", str(run)]) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    ranking = report["region_ranking_7"]
+    assert ranking[0]["region"] == "LH_MT" and ranking[0]["index"] == 22
