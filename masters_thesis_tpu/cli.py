@@ -275,6 +275,37 @@ def _run_analyze(args) -> dict:
 
         references = load_captions_dir(run_cfg.dataset.captions_path)
 
+    # raw-betas inspection (visualize_betas.py / tsne.py): trial-average and
+    # per-vertex L1-norm maps, plus a t-SNE scatter of the trial vectors
+    if args.betas:
+        from masters_thesis_tpu.evalsuite.analysis import (
+            attention_tsne,
+            plot_tsne,
+            plot_vertex_attention,
+        )
+
+        betas = np.load(args.betas, mmap_mode="r")
+        betas = np.asarray(betas, np.float32)
+        if betas.ndim == 1:
+            betas = betas[None]
+        n_lh_b = betas.shape[1] // 2
+        for tag, vec in (("mean", betas.mean(axis=0)),
+                         ("l1norm", np.abs(betas).sum(axis=0))):
+            bpng = os.path.join(out_dir, f"betas_{tag}.png")
+            plot_vertex_attention(vec, bpng, n_lh_b, coords=coords)
+            report["artifacts"].append(bpng)
+        if len(betas) > 2:
+            x = betas
+            if x.shape[1] > 50:  # PCA front end keeps t-SNE tractable at
+                #                  full-cortex width (tsne.py pairs the two)
+                from masters_thesis_tpu.data.preprocess.pca import fit_pca
+
+                x = fit_pca(x, n_components=50, use_jax=False).transform(x)
+            tcoords = attention_tsne(x)
+            tpng = os.path.join(out_dir, "betas_tsne.png")
+            plot_tsne(tcoords, tpng, title="betas t-SNE")
+            report["artifacts"].append(tpng)
+
     if args.responses and not references:
         report["bleu_hit_rate_error"] = (
             "--responses needs reference captions: the run config's "
@@ -529,6 +560,9 @@ def main(argv=None) -> int:
     an.add_argument("--flat-coords", default=None,
                     help="npz of lh/rh (V, 2) flat-surface vertex coords "
                     "(scripts/export_flat_coords.py) for true flatmap scatter")
+    an.add_argument("--betas", default=None, metavar="NPY",
+                    help="(N, V) betas: trial-average + L1-norm vertex maps "
+                         "and a t-SNE scatter (visualize_betas.py / tsne.py)")
     an.add_argument("--region-names", default=None, metavar="CSV",
                     help="override the built-in HCP-MMP1.0 parcel names "
                          "(one name per line / last CSV column)")

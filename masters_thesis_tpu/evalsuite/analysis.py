@@ -375,8 +375,8 @@ def attention_tsne(
                 init="pca").fit_transform(a)
 
 
-def plot_tsne(coords: np.ndarray, out_png: str,
-              labels=None):  # pragma: no cover - matplotlib shim
+def plot_tsne(coords: np.ndarray, out_png: str, labels=None,
+              title: str = "attention t-SNE"):  # pragma: no cover - matplotlib shim
     import matplotlib
 
     matplotlib.use("Agg")
@@ -389,7 +389,7 @@ def plot_tsne(coords: np.ndarray, out_png: str,
                     cmap="tab10", alpha=0.8)
     if labels is not None:
         fig.colorbar(sc, ax=ax, label="label")
-    ax.set_title("attention t-SNE")
+    ax.set_title(title)
     fig.tight_layout()
     fig.savefig(out_png, dpi=120)
     plt.close(fig)

@@ -66,3 +66,25 @@ def test_analyze_emits_named_ranking(tmp_path):
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     ranking = report["region_ranking_7"]
     assert ranking[0]["region"] == "LH_MT" and ranking[0]["index"] == 22
+
+
+def test_analyze_betas_artifacts(tmp_path):
+    """--betas emits the visualize_betas.py / tsne.py artifact set."""
+    import contextlib
+    import io
+    import json
+
+    from masters_thesis_tpu.cli import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    rng = np.random.default_rng(3)
+    betas = rng.standard_normal((12, 64)).astype(np.float32)
+    np.save(tmp_path / "betas.npy", betas)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["analyze", "--run", str(run),
+                     "--betas", str(tmp_path / "betas.npy")]) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    names = {a.rsplit("/", 1)[-1] for a in report["artifacts"]}
+    assert {"betas_mean.png", "betas_l1norm.png", "betas_tsne.png"} <= names
