@@ -615,12 +615,42 @@ def run_preprocess(
 
 
 def corpus_stats(texts: list[str]) -> dict:
-    """Word/vocab counts (reference CNN_RNN/count_words.py)."""
+    """Word/vocab counts (CNN_RNN/count_words.py) plus caption-length
+    statistics (caption_analysis.py::statistics — min/max/mean and the
+    .25/.5/.75/.9/.99 percentiles its describe() prints)."""
     words = [w for t in texts for w in t.split()]
-    return {
+    lengths = np.asarray([len(t.split()) for t in texts], np.int64)
+    stats = {
         "n_captions": len(texts),
         "n_words": len(words),
         "n_unique": len(set(words)),
+    }
+    if len(lengths):
+        stats["caption_length"] = {
+            "min": int(lengths.min()),
+            "max": int(lengths.max()),
+            "mean": float(lengths.mean()),
+            **{f"p{int(q * 100)}": float(np.percentile(lengths, q * 100))
+               for q in (0.25, 0.5, 0.75, 0.9, 0.99)},
+        }
+    return stats
+
+
+def vocab_overlap(tok_a, tok_b, top_k: int = 5000) -> dict:
+    """Fraction of tokenizer A's top-k vocabulary present in tokenizer B's
+    top-k (caption_analysis.py::unique_words: 73k-corpus vocab vs one
+    subject's vocab)."""
+    def top_words(tok):
+        pairs = sorted(tok.word_counts.items(), key=lambda x: x[1],
+                       reverse=True)
+        return [w for w, _ in pairs[:top_k]]
+
+    a, b = top_words(tok_a), set(top_words(tok_b))
+    overlap = sum(1 for w in a if w in b)
+    return {
+        "overlap": overlap,
+        "total": len(a),
+        "fraction": overlap / len(a) if a else 0.0,
     }
 
 

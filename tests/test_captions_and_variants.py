@@ -71,3 +71,28 @@ def test_learned_init_state_changes_initial_logits():
     h, c = m1.apply({"params": p1, "batch_stats": b1}, feats,
                     method="init_carry")
     assert not np.allclose(np.asarray(h), 0.0)
+
+
+def test_corpus_stats_lengths_and_percentiles():
+    from masters_thesis_tpu.experiment import corpus_stats
+
+    texts = ["a b c", "a b", "a b c d e"]
+    s = corpus_stats(texts)
+    assert s["n_captions"] == 3 and s["n_words"] == 10
+    assert s["n_unique"] == 5
+    cl = s["caption_length"]
+    assert cl["min"] == 2 and cl["max"] == 5
+    assert abs(cl["mean"] - 10 / 3) < 1e-9
+    assert cl["p50"] == 3.0
+
+
+def test_vocab_overlap_counts_topk_intersection():
+    from masters_thesis_tpu.data.tokenizer import Tokenizer
+    from masters_thesis_tpu.experiment import vocab_overlap
+
+    ta = Tokenizer(num_words=10)
+    ta.fit_on_texts(["a a a b b c"])
+    tb = Tokenizer(num_words=10)
+    tb.fit_on_texts(["b c c d"])
+    out = vocab_overlap(ta, tb, top_k=2)       # A top-2 = [a, b]; B = [c, b]
+    assert out == {"overlap": 1, "total": 2, "fraction": 0.5}
