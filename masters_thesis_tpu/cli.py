@@ -253,6 +253,48 @@ def _run_analyze(args) -> dict:
                  "mean_attention": float(mean_attn[i])}
                 for i in order
             ]
+
+        # temporal-attention analyses (eval_output.py): per-step mean maps,
+        # word-class deviation maps, optional per-trial word map
+        if attn.ndim == 3:
+            from masters_thesis_tpu.evalsuite.analysis import (
+                attention_by_tag,
+                attention_over_time,
+                plot_attention_by_tag,
+                plot_attention_over_time,
+                plot_attention_word_map,
+            )
+
+            ot = attention_over_time(attn)
+            opng = os.path.join(out_dir, f"attention_over_time_{e}.png")
+            plot_attention_over_time(ot["per_step"], opng,
+                                     region_names=col_names)
+            report["artifacts"].append(opng)
+            report[f"top_region_per_step_{e}"] = [
+                {"step": t,
+                 "region": (col_names[top[0]["index"]] if col_names
+                            else f"region_{top[0]['index']}"),
+                 **top[0]}
+                for t, top in enumerate(ot["top_regions"])
+            ]
+
+            cap_file = os.path.join(run, f"captions_{e}.txt")
+            etexts = []
+            if os.path.exists(cap_file):
+                etexts = [ln.rstrip("\n").split("\t", 1)[1]
+                          for ln in open(cap_file) if "\t" in ln]
+            if etexts:
+                bt = attention_by_tag(etexts, attn)
+                tpng = os.path.join(out_dir, f"attention_by_tag_{e}.png")
+                plot_attention_by_tag(bt, tpng)
+                if any(v["n_words"] for v in bt["tags"].values()):
+                    report["artifacts"].append(tpng)
+                if args.word_map is not None and args.word_map < len(attn):
+                    wpng = os.path.join(
+                        out_dir, f"attention_word_map_{e}_{args.word_map}.png")
+                    plot_attention_word_map(
+                        etexts[args.word_map], attn[args.word_map], wpng)
+                    report["artifacts"].append(wpng)
         if atlas_groups is not None and len(mean_attn) == len(atlas_groups):
             vertex_vals = attention_to_vertices(
                 mean_attn, atlas_groups, n_vertices)
@@ -560,6 +602,9 @@ def main(argv=None) -> int:
     an.add_argument("--flat-coords", default=None,
                     help="npz of lh/rh (V, 2) flat-surface vertex coords "
                     "(scripts/export_flat_coords.py) for true flatmap scatter")
+    an.add_argument("--word-map", type=int, default=None, metavar="IDX",
+                    help="render trial IDX's (word x region) attention map "
+                         "(eval_output.py attention_against_word)")
     an.add_argument("--betas", default=None, metavar="NPY",
                     help="(N, V) betas: trial-average + L1-norm vertex maps "
                          "and a t-SNE scatter (visualize_betas.py / tsne.py)")

@@ -395,12 +395,13 @@ def plot_tsne(coords: np.ndarray, out_png: str, labels=None,
     plt.close(fig)
 
 
-def caption_pos_stats(captions: list[str]) -> dict:
-    """Word-class composition of generated captions (eval_output.py's
-    POS-tag statistics, 661 LoC of thesis figure code distilled to the
-    numbers): share of nouns/verbs/adjectives/function words, type-token
-    ratio, mean length. Uses the caption-grammar lexicons from spice.py in
-    place of an external POS tagger (no nltk data offline)."""
+_SPECIAL_TOKENS = ("<start>", "<end>", "<pad>", "<unk>")
+
+
+def pos_tag_word(w: str) -> str:
+    """Rule-based word-class tag using the caption-grammar lexicons from
+    spice.py (no nltk data offline): noun / verb / adjective / preposition /
+    determiner / other."""
     from masters_thesis_tpu.evalsuite.spice import (
         _COPULAS,
         _DETERMINERS,
@@ -409,6 +410,168 @@ def caption_pos_stats(captions: list[str]) -> dict:
         _is_verb,
     )
 
+    w = w.lower()
+    if w in _DETERMINERS:
+        return "determiner"
+    if w in _PREPOSITIONS:
+        return "preposition"
+    if w in _COPULAS or _is_verb(w):
+        return "verb"
+    if _is_adjective(w):
+        return "adjective"
+    if w.isalpha():
+        return "noun"
+    return "other"
+
+
+def attention_over_time(attention: np.ndarray, top_k: int = 3) -> dict:
+    """Average attention per decode timestep across trials
+    (eval_output.py::avg_attention_across_trials :229-283): attention
+    (N, T, R) -> per_step (T, R) means plus each step's top-k region
+    indices/values (the reference annotates each flatmap panel with the top
+    region's name)."""
+    a = np.asarray(attention, np.float64)
+    assert a.ndim == 3, f"(N, T, R) attention expected, got {a.shape}"
+    per_step = a.mean(axis=0)                                # (T, R)
+    tops = []
+    for t in range(per_step.shape[0]):
+        order = np.argsort(per_step[t])[::-1][:top_k]
+        tops.append([{"index": int(i), "mean_attention": float(per_step[t, i])}
+                     for i in order])
+    return {"per_step": per_step, "top_regions": tops}
+
+
+def attention_by_tag(
+    captions: list[str], attention: np.ndarray,
+    tags=("noun", "verb", "adjective"),
+) -> dict:
+    """Mean attention vector per word class, relative to the overall mean
+    (eval_output.py::attention_by_tag :490-551: collect attention[i, j] for
+    every word j of caption i carrying the tag, average, subtract the
+    all-step mean). Word j of ``captions[i].split()`` aligns with
+    ``attention[i, j]`` (run_eval writes both in decode order)."""
+    a = np.asarray(attention, np.float64)
+    assert a.ndim == 3, f"(N, T, R) attention expected, got {a.shape}"
+    overall = a.mean(axis=(0, 1))                            # (R,)
+    rows: dict[str, list[np.ndarray]] = {t: [] for t in tags}
+    for i, cap in enumerate(captions[: len(a)]):
+        for j, w in enumerate(cap.split()[: a.shape[1]]):
+            if w in _SPECIAL_TOKENS:
+                continue
+            tag = pos_tag_word(w)
+            if tag in rows:
+                rows[tag].append(a[i, j])
+    out = {"overall_mean": overall, "tags": {}}
+    for t in tags:
+        if rows[t]:
+            mean = np.mean(rows[t], axis=0)
+            out["tags"][t] = {"n_words": len(rows[t]), "mean": mean,
+                              "deviation": mean - overall}
+        else:
+            out["tags"][t] = {"n_words": 0, "mean": None, "deviation": None}
+    return out
+
+
+def plot_attention_over_time(
+    per_step: np.ndarray, out_png: str,
+    region_names: list[str] | None = None,
+):  # pragma: no cover - matplotlib shim
+    """(T, R) heatmap + each step's winning region, the headless analog of
+    the reference's avg_attn_at_t flatmap grid / attn_over_time lines."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    per_step = np.asarray(per_step, np.float64)
+    t_steps, n_regions = per_step.shape
+    fig, ax = plt.subplots(figsize=(12, max(3, 0.45 * t_steps)))
+    im = ax.pcolormesh(per_step, cmap="viridis")
+    ax.set_xlabel("region")
+    ax.set_ylabel("decode step")
+    winners = np.argmax(per_step, axis=1)
+    labels = []
+    for t, w in enumerate(winners):
+        name = region_names[w] if region_names else f"region_{w}"
+        labels.append(f"t{t}: {name}")
+    ax.set_yticks(np.arange(t_steps) + 0.5, labels, fontsize=8)
+    fig.colorbar(im, ax=ax, label="mean attention")
+    ax.set_title("Average attention at time t across trials")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+
+
+def plot_attention_by_tag(
+    by_tag: dict, out_png: str,
+):  # pragma: no cover - matplotlib shim
+    """Per-tag deviation-from-mean LH/RH parcel rows (the reference renders
+    these on flatmaps, eval_output.py:522-551)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    tags = [t for t, v in by_tag["tags"].items() if v["deviation"] is not None]
+    if not tags:
+        return
+    fig, axes = plt.subplots(len(tags), 1,
+                             figsize=(12, 2.2 * len(tags)), squeeze=False)
+    for ax, tag in zip(axes[:, 0], tags):
+        dev = np.asarray(by_tag["tags"][tag]["deviation"])
+        half = len(dev) // 2
+        width = max(1, half, len(dev) - half)
+        grid = np.full((2, width), np.nan)
+        grid[0, :half] = dev[:half]
+        grid[1, : len(dev) - half] = dev[half:]
+        im = ax.imshow(grid, aspect="auto", cmap="RdBu_r",
+                       interpolation="nearest")
+        ax.set_yticks([0, 1], ["LH", "RH"])
+        ax.set_title(f"Average attention for: {tag.upper()} "
+                     f"(n={by_tag['tags'][tag]['n_words']}, vs overall mean)")
+        fig.colorbar(im, ax=ax, shrink=0.8)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+
+
+def plot_attention_word_map(
+    caption: str, attention_trial: np.ndarray, out_png: str,
+    fold_hemispheres: bool = True,
+):  # pragma: no cover - matplotlib shim
+    """One trial's (word x region) attention map with word yticks
+    (eval_output.py::attention_against_word :554-571; LH+RH folded like the
+    reference's attn[:, :180] + attn[:, 180:])."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    a = np.asarray(attention_trial, np.float64)
+    words = caption.split()
+    if fold_hemispheres and a.shape[1] % 2 == 0:
+        half = a.shape[1] // 2
+        a = a[:, :half] + a[:, half:]
+    a = a[: max(1, len(words))]
+    fig, ax = plt.subplots(figsize=(10, max(3, 0.4 * len(a))))
+    im = ax.pcolormesh(a, cmap="viridis")
+    ax.set_title("Attention map", loc="left")
+    ax.set_xlabel("Region")
+    ax.set_ylabel("Word")
+    ax.set_yticks(np.arange(len(a)) + 0.5,
+                  (words + ["?"] * len(a))[: len(a)], fontsize=8)
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+
+
+def caption_pos_stats(captions: list[str]) -> dict:
+    """Word-class composition of generated captions (eval_output.py's
+    POS-tag statistics, 661 LoC of thesis figure code distilled to the
+    numbers): share of nouns/verbs/adjectives/function words, type-token
+    ratio, mean length. Uses the caption-grammar lexicons from spice.py in
+    place of an external POS tagger (no nltk data offline)."""
     counts = {"noun": 0, "verb": 0, "adjective": 0, "preposition": 0,
               "determiner": 0, "other": 0}
     total = 0
@@ -416,23 +579,12 @@ def caption_pos_stats(captions: list[str]) -> dict:
     lengths = []
     for cap in captions:
         toks = [t.lower() for t in cap.split()
-                if t not in ("<start>", "<end>", "<pad>", "<unk>")]
+                if t not in _SPECIAL_TOKENS]
         lengths.append(len(toks))
         for w in toks:
             total += 1
             vocab.add(w)
-            if w in _DETERMINERS:
-                counts["determiner"] += 1
-            elif w in _PREPOSITIONS:
-                counts["preposition"] += 1
-            elif w in _COPULAS or _is_verb(w):
-                counts["verb"] += 1
-            elif _is_adjective(w):
-                counts["adjective"] += 1
-            elif w.isalpha():
-                counts["noun"] += 1
-            else:
-                counts["other"] += 1
+            counts[pos_tag_word(w)] += 1
     return {
         "n_captions": len(captions),
         "mean_length": float(np.mean(lengths)) if lengths else 0.0,

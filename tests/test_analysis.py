@@ -157,3 +157,75 @@ def test_caption_grid_entries_sorted_best_and_worst(tmp_path):
     plain = caption_grid_entries(keys, texts, n=3)
     assert [e[1].split(":")[0] for e in plain] == ["1", "2", "3"]
     assert plain[0][2] is None and plain[0][0] is None
+
+
+def test_attention_over_time_means_and_tops():
+    from masters_thesis_tpu.evalsuite.analysis import attention_over_time
+
+    attn = np.zeros((5, 3, 8), np.float32)
+    attn[:, 0, 2] = 1.0   # step 0 attends region 2
+    attn[:, 1, 5] = 0.5   # step 1 attends region 5
+    attn[:, 2, 0] = 0.25
+    out = attention_over_time(attn, top_k=2)
+    assert out["per_step"].shape == (3, 8)
+    assert out["top_regions"][0][0]["index"] == 2
+    assert out["top_regions"][0][0]["mean_attention"] == 1.0
+    assert out["top_regions"][1][0]["index"] == 5
+
+
+def test_attention_by_tag_deviation():
+    from masters_thesis_tpu.evalsuite.analysis import attention_by_tag
+
+    # caption 0: "a dog riding" -> det, noun, verb (participle lexicon);
+    # caption 1: "red dog <end>" -> adjective, noun, special
+    caps = ["a dog riding", "red dog <end>"]
+    attn = np.zeros((2, 3, 4), np.float32)
+    attn[0, 1, 0] = 1.0   # 'dog' (noun) attends region 0
+    attn[1, 1, 0] = 1.0   # 'dog' (noun) again
+    attn[0, 2, 3] = 1.0   # 'riding' (verb) attends region 3
+    out = attention_by_tag(caps, attn)
+    noun = out["tags"]["noun"]
+    assert noun["n_words"] == 2
+    np.testing.assert_allclose(noun["mean"], [1.0, 0, 0, 0])
+    # deviation subtracts the overall (all steps incl specials) mean
+    np.testing.assert_allclose(
+        noun["deviation"], noun["mean"] - out["overall_mean"])
+    verb = out["tags"]["verb"]
+    assert verb["n_words"] == 1 and verb["mean"][3] == 1.0
+    # <end> contributes to no tag
+    adj = out["tags"]["adjective"]
+    assert adj["n_words"] == 1   # 'red'
+
+
+def test_pos_tag_word_matches_caption_stats_lexicons():
+    from masters_thesis_tpu.evalsuite.analysis import pos_tag_word
+
+    assert pos_tag_word("a") == "determiner"
+    assert pos_tag_word("on") == "preposition"
+    assert pos_tag_word("running") in ("verb", "noun")  # lexicon-dependent
+    assert pos_tag_word("dog") == "noun"
+
+
+def test_analyze_temporal_attention_artifacts(tmp_path):
+    import contextlib
+    import io
+    import json
+
+    from masters_thesis_tpu.cli import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    attn = np.random.default_rng(0).random((4, 3, 360)).astype(np.float32)
+    np.save(run / "attention_scores_2.npy", attn)
+    (run / "captions_2.txt").write_text(
+        "1\ta dog runs\n2\tthe red cat\n3\ta man walks\n4\tblue boat sails\n")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["analyze", "--run", str(run),
+                     "--word-map", "1"]) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    names = {a.rsplit("/", 1)[-1] for a in report["artifacts"]}
+    assert {"attention_over_time_2.png", "attention_by_tag_2.png",
+            "attention_word_map_2_1.png"} <= names
+    tops = report["top_region_per_step_2"]
+    assert len(tops) == 3 and tops[0]["region"].startswith(("LH_", "RH_"))
