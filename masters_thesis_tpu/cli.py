@@ -228,6 +228,13 @@ def _run_analyze(args) -> dict:
     from masters_thesis_tpu.data.preprocess.hcp_regions import region_names
 
     full_names = region_names(names_csv=args.region_names)  # 360, LH first
+    if region_ids is not None and len(full_names) < (n_total or 0):
+        # a short --region-names CSV can't cover the original 0..n_total-1
+        # ids of a removed-region run — drop to index labels, don't crash
+        report["region_names_warning"] = (
+            f"--region-names covers {len(full_names)} regions but the run's "
+            f"group space is {n_total}; using index labels")
+        full_names = [f"region_{i}" for i in range(n_total)]
 
     for attn_path in sorted(glob.glob(os.path.join(run, "attention_scores_*.npy"))):
         e = os.path.basename(attn_path).split("_")[-1].split(".")[0]
@@ -289,7 +296,8 @@ def _run_analyze(args) -> dict:
                 plot_attention_by_tag(bt, tpng)
                 if any(v["n_words"] for v in bt["tags"].values()):
                     report["artifacts"].append(tpng)
-                if args.word_map is not None and args.word_map < len(attn):
+                if (args.word_map is not None
+                        and args.word_map < min(len(attn), len(etexts))):
                     wpng = os.path.join(
                         out_dir, f"attention_word_map_{e}_{args.word_map}.png")
                     plot_attention_word_map(
@@ -353,6 +361,19 @@ def _run_analyze(args) -> dict:
             "--responses needs reference captions: the run config's "
             "dataset.captions_path is unset or not a directory")
 
+    # loop-invariant inputs for the per-epoch caption analyses, loaded once:
+    # the ~30k-row behavior TSV, and the GUSE table + embedder (the table is
+    # (N, C, 512) — hundreds of MB at reference scale)
+    behavior_hits = None
+    if args.responses and references:
+        from masters_thesis_tpu.evalsuite.analysis import load_behavior_hits
+
+        behavior_hits = load_behavior_hits(args.responses)
+    nearest_ctx = None
+    if args.nearest_guse:
+        nearest_ctx = _load_nearest_guse(
+            args.nearest_guse, references, run_cfg, report)
+
     def _image_loader(key: int):
         if not args.images:
             return None
@@ -382,16 +403,14 @@ def _run_analyze(args) -> dict:
         # behavioral hit rate vs BLEU (Eval/hit_rate.py main()): group each
         # eval caption's BLEU-1/BLEU-4 by how often the subject recognised
         # the image (ISCORRECT summed per 73KID, 0..3) -> boxplot panels
-        if args.responses and references:
+        if behavior_hits is not None:
             from masters_thesis_tpu.evalsuite.analysis import (
                 bleu_by_hit_rate,
-                load_behavior_hits,
                 plot_bleu_hit_rate,
             )
 
-            hits = load_behavior_hits(args.responses)
             groups = bleu_by_hit_rate(
-                dict(zip(keys, texts)), references, hits)
+                dict(zip(keys, texts)), references, behavior_hits)
             hpng = os.path.join(out_dir, f"bleu_hit_rate_{e}.png")
             plot_bleu_hit_rate(groups, hpng)
             report["artifacts"].append(hpng)
@@ -406,28 +425,24 @@ def _run_analyze(args) -> dict:
         # nearest-training-caption retrieval (guse_comparison.py): rank every
         # (trial, cid) training caption by cosine distance to each eval
         # caption's sentence embedding, dump top-3 + farthest per candidate
-        if args.nearest_guse:
-            tsv = _nearest_guse_report(
-                args.nearest_guse, texts, keys, references,
-                os.path.join(out_dir, f"nearest_guse_{e}.tsv"), report)
-            if tsv:
-                report["artifacts"].append(tsv)
+        if nearest_ctx is not None:
+            tsv = _write_nearest_guse_tsv(
+                nearest_ctx, texts, keys,
+                os.path.join(out_dir, f"nearest_guse_{e}.tsv"))
+            report["artifacts"].append(tsv)
     return report
 
 
-def _nearest_guse_report(guse_dir, texts, keys, references, out_tsv,
-                         report) -> str | None:
-    """Rank training captions by embedding distance for each eval caption
-    (guse_comparison.py:44-64 prints top-3 nearest + the farthest)."""
+def _load_nearest_guse(guse_dir, references, run_cfg, report):
+    """Load the `mtt guse` table/keys + resolve the embedder ONCE for the
+    per-epoch nearest-caption reports (guse_comparison.py). Returns None
+    (with a report error) when the dir lacks the precompute artifacts."""
     import json as _json
     import os
 
     import numpy as np
 
-    from masters_thesis_tpu.evalsuite.guse_sim import (
-        default_embedder,
-        nearest_training_captions,
-    )
+    from masters_thesis_tpu.evalsuite.guse_sim import default_embedder
 
     table_path = os.path.join(guse_dir, "guse_pre_processed.npy")
     keys_path = os.path.join(guse_dir, "keys.npy")
@@ -441,9 +456,21 @@ def _nearest_guse_report(guse_dir, texts, keys, references, out_tsv,
     train_caps = None
     if references:
         train_caps = [references.get(int(k)) for k in train_keys]
-        if any(c is None for c in train_caps):
-            train_caps = None  # captions dir doesn't cover the table's keys
-    embedder = default_embedder()
+        # every table key must be covered AND carry exactly the table's C
+        # captions — a mismatched dir would mis-attribute (or IndexError on)
+        # the caption text behind each (trial, cid)
+        if any(c is None or len(c) != table.shape[1] for c in train_caps):
+            train_caps = None
+    # resolve the candidate embedder exactly like run_metrics /
+    # run_guse_precompute: the run config's guse_path bundle, then the
+    # MTT_GUSE_WEIGHTS env, then the hash fallback — so candidates and the
+    # table come from the same encoder in the config-driven flow
+    bundle = None
+    if run_cfg is not None and run_cfg.dataset.guse_path:
+        cand = os.path.join(run_cfg.dataset.guse_path, "use_dan.npz")
+        if os.path.exists(cand):
+            bundle = cand
+    embedder = default_embedder(bundle)
     # distances are only meaningful when candidates are embedded by the same
     # model that built the table — surface a mismatch instead of hiding it
     meta_path = os.path.join(guse_dir, "meta.json")
@@ -455,8 +482,19 @@ def _nearest_guse_report(guse_dir, texts, keys, references, out_tsv,
             report["nearest_guse_warning"] = (
                 f"table built with {built_with!r} but candidates embedded "
                 f"with {using!r}")
+    return {"table": table, "train_keys": train_keys,
+            "train_caps": train_caps, "embedder": embedder}
+
+
+def _write_nearest_guse_tsv(ctx, texts, keys, out_tsv) -> str:
+    """Rank training captions by embedding distance for each eval caption
+    (guse_comparison.py:44-64 prints top-3 nearest + the farthest)."""
+    from masters_thesis_tpu.evalsuite.guse_sim import nearest_training_captions
+
+    train_keys = ctx["train_keys"]
     results = nearest_training_captions(
-        texts, table, train_captions=train_caps, embedder=embedder)
+        texts, ctx["table"], train_captions=ctx["train_caps"],
+        embedder=ctx["embedder"])
     with open(out_tsv, "w") as f:
         f.write("key\tcandidate\trank\tdistance\ttrain_key\tcid\tcaption\n")
         for key, text, res in zip(keys, texts, results):

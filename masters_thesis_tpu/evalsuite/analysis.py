@@ -88,7 +88,11 @@ def load_behavior_hits(responses_tsv: str) -> dict[int, int]:
     with open(responses_tsv, newline="") as f:
         for row in csv.DictReader(f, delimiter="\t"):
             key = int(float(row["73KID"]))
-            hits[key] = hits.get(key, 0) + int(float(row["ISCORRECT"]))
+            raw = (row.get("ISCORRECT") or "").strip()
+            val = float(raw) if raw else float("nan")
+            # no-response trials carry NaN ISCORRECT; pandas groupby().sum()
+            # treats them as 0 and so does this parser
+            hits[key] = hits.get(key, 0) + (0 if val != val else int(val))
     return hits
 
 
@@ -112,16 +116,20 @@ def bleu_by_hit_rate(
     here the weights match the labels."""
     out: dict[str, dict[int, list[float]]] = {}
     keys = [k for k in captions_by_key if k in hits and k in references_by_key]
+    # tokenise once: references get the reference's caption cleanup
+    # (lowercase, '.'/',' -> space — hit_rate.py:88-92); hypotheses come
+    # from the tokenizer already lowercased, minus <pad>/<end> (:52-55)
+    tokenized = {
+        k: ([guse_clean(r).split() for r in references_by_key[k]],
+            [t for t in captions_by_key[k].split()
+             if t not in ("<pad>", "<end>")])
+        for k in keys
+    }
     for w in weights:
         label = f"BLEU-{sum(x > 0 for x in w)}"
         groups: dict[int, list[float]] = {h: [] for h in range(max_hits + 1)}
         for k in keys:
-            # references get the reference's caption cleanup (lowercase,
-            # '.'/',' -> space — hit_rate.py:88-92); hypotheses come from
-            # the tokenizer already lowercased, minus <pad>/<end> (:52-55)
-            refs = [guse_clean(r).split() for r in references_by_key[k]]
-            hyp = [t for t in captions_by_key[k].split()
-                   if t not in ("<pad>", "<end>")]
+            refs, hyp = tokenized[k]
             score = sentence_bleu(refs, hyp, weights=w, smoothing="none")
             groups.setdefault(min(hits[k], max_hits), []).append(float(score))
         out[label] = groups
@@ -142,10 +150,13 @@ def plot_bleu_hit_rate(groups: dict, out_png: str) -> None:  # pragma: no cover
     for ax, label in zip(axes[0], labels):
         hit_values = sorted(groups[label])
         data = [groups[label][h] for h in hit_values]
-        ax.boxplot([d if d else [0.0] for d in data], notch=False)
+        # empty groups stay empty slots (no fake 0.0 box); the tick label
+        # carries each group's n so "no data" reads as n=0
+        ax.boxplot(data, notch=False)
         ax.set_title(label)
         ax.set_ylabel("BLEU score")
-        ax.set_xticklabels([str(h) for h in hit_values])
+        ax.set_xticklabels(
+            [f"{h}\n(n={len(groups[label][h])})" for h in hit_values])
         ax.set_xlabel("hit rate")
     plt.suptitle("Hit rate vs. BLEU score")
     fig.savefig(out_png, bbox_inches="tight")

@@ -161,3 +161,34 @@ def test_cli_guse_and_analyze_nearest(tmp_path):
     # the candidate IS a training caption (key 1, cid 0) -> distance ~0
     assert top[2] == "1" and float(top[3]) < 1e-4
     assert top[4] == "1" and top[6] == "a red car drives"
+
+
+def test_nearest_guse_mismatched_caption_counts_drop_text(tmp_path):
+    """A captions dir with a different captions-per-key count than the
+    table's C axis must not mis-attribute (or crash on) caption text."""
+    import yaml
+
+    from masters_thesis_tpu.cli import main
+
+    caps = {1: ["a red car", "one red car"], 2: ["a blue boat", "the boat"]}
+    cap_dir = _write_captions(tmp_path, caps)
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "run": "t", "log": str(tmp_path / "log"),
+        "dataset": {"captions_path": cap_dir},
+    }))
+    out = tmp_path / "guse"
+    assert main(["guse", "--config", str(cfg_path), "--out", str(out)]) == 0
+
+    # now shrink key 2's captions to ONE line (count mismatch vs C=2)
+    (tmp_path / "captions" / "KID2.txt").write_text("a blue boat\n")
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "captions_3.txt").write_text("1\ta red car\n")
+    (run / "config.yaml").write_text(cfg_path.read_text())
+    assert main(["analyze", "--run", str(run),
+                 "--nearest-guse", str(out)]) == 0
+    lines = (run / "analysis" / "nearest_guse_3.tsv").read_text().splitlines()
+    # rows still written, caption column empty (alignment not trusted)
+    assert len(lines) == 1 + 4
+    assert all(ln.endswith("\t") for ln in lines[1:])

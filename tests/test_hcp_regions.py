@@ -88,3 +88,56 @@ def test_analyze_betas_artifacts(tmp_path):
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     names = {a.rsplit("/", 1)[-1] for a in report["artifacts"]}
     assert {"betas_mean.png", "betas_l1norm.png", "betas_tsne.png"} <= names
+
+
+def test_short_names_csv_on_removed_region_run_warns(tmp_path):
+    """A --region-names CSV too short for the run's group space must fall
+    back to index labels with a warning, not IndexError."""
+    import contextlib
+    import io
+    import json
+
+    import yaml
+
+    from masters_thesis_tpu.cli import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    removed = [0, 1]
+    attn = np.random.default_rng(0).random((2, 3, 358)).astype(np.float32)
+    np.save(run / "attention_scores_1.npy", attn)
+    (run / "config.yaml").write_text(yaml.safe_dump(
+        {"run": "t", "log": str(tmp_path / "log"),
+         "groups_to_remove": removed}))
+    csv = tmp_path / "short.csv"
+    csv.write_text("alpha\nbeta\n")  # 2 names -> 4 regions, run needs 360
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["analyze", "--run", str(run),
+                     "--region-names", str(csv)]) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "region_names_warning" in report
+    assert report["region_ranking_1"][0]["region"].startswith("region_")
+
+
+def test_word_map_short_captions_file_is_skipped(tmp_path):
+    """--word-map index beyond the captions file length is skipped, not an
+    IndexError aborting the run."""
+    import contextlib
+    import io
+    import json
+
+    from masters_thesis_tpu.cli import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    attn = np.random.default_rng(0).random((4, 3, 16)).astype(np.float32)
+    np.save(run / "attention_scores_1.npy", attn)
+    (run / "captions_1.txt").write_text("1\ta dog\n2\tthe cat\n")  # 2 < 4
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["analyze", "--run", str(run), "--word-map", "3"]) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # basenames only: tmp_path itself embeds the test name ("word_map")
+    names = {a.rsplit("/", 1)[-1] for a in report["artifacts"]}
+    assert not any("word_map" in n for n in names)

@@ -76,3 +76,15 @@ def test_cli_analyze_responses(tmp_path):
                  "--responses", str(tsv)]) == 0
     png = run / "analysis" / "bleu_hit_rate_5.png"
     assert png.exists() and png.stat().st_size > 0
+
+
+def test_load_behavior_hits_skips_nan_iscorrect(tmp_path):
+    tsv = tmp_path / "responses.tsv"
+    with open(tsv, "w") as f:
+        f.write("SUBJECT\tSESSION\t73KID\tISCORRECT\n")
+        f.write("2\t1\t7\t1\n")
+        f.write("2\t2\t7\tNaN\n")    # no-response trial
+        f.write("2\t3\t7\t\n")       # blank cell
+        f.write("2\t1\t9\t1.0\n")
+    hits = load_behavior_hits(str(tsv))
+    assert hits == {7: 1, 9: 1}
