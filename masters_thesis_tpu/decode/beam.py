@@ -27,8 +27,6 @@ def make_scanned_beam_decoder(model, units: int, max_length: int,
                               beam_width: int = 5):
     """Serving-throughput beam variant: K stacked batches per device call
     (see greedy.make_scanned_greedy_decoder). Returns words (K, B, T)."""
-    import jax
-
     inner = make_beam_decoder(model, units, max_length, beam_width=beam_width)
 
     def decode(variables, betas, start_id, end_id):
@@ -80,7 +78,9 @@ def make_beam_decoder(
 
         def scan_step(carry, t):
             h, c, tok, scores, finished, lengths, hist, ahist = carry
-            h2, c2, logits, alpha = model.apply(
+            # NOTE: named attn, not alpha — the length-norm exponent in the
+            # enclosing scope is also called alpha
+            h2, c2, logits, attn = model.apply(
                 variables, h, c, feat_t, tok, method="decode_step"
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -109,16 +109,16 @@ def make_beam_decoder(
             new_lengths = len_src + (~fin_src & ~is_end).astype(jnp.int32)
             hist = jnp.take_along_axis(hist, beam_src[..., None], axis=1)
             hist = hist.at[:, :, t].set(jnp.where(fin_src, pad_id, new_tok))
-            # alpha was computed for the PRE-reorder beams: select the source
+            # attn was computed for the PRE-reorder beams: select the source
             # beams' attention, zero it once a beam has finished
-            alpha_b = jnp.take_along_axis(
-                alpha.reshape(B, W, R), beam_src[..., None], axis=1
+            attn_b = jnp.take_along_axis(
+                attn.reshape(B, W, R), beam_src[..., None], axis=1
             )
             ahist = jnp.take_along_axis(
                 ahist, beam_src[..., None, None], axis=1
             )
             ahist = ahist.at[:, :, t, :].set(
-                jnp.where(fin_src[..., None], 0.0, alpha_b)
+                jnp.where(fin_src[..., None], 0.0, attn_b)
             )
             return (
                 h3, c3, new_tok.reshape(-1), top_scores, new_finished,

@@ -107,8 +107,12 @@ class USEEncoder:
             embed_dim=embed_dim, hidden=tuple(hidden), out_dim=out_dim,
         )
         self.params = params
+        # params ride as a runtime argument: closing over them would bake
+        # the (100k+, 512) embedding table into the traced program as a
+        # compile-time constant (slow trace, duplicated table)
         self._apply = jax.jit(
-            lambda ids, lens: self.model.apply({"params": self.params}, ids, lens)
+            lambda params, ids, lens: self.model.apply(
+                {"params": params}, ids, lens)
         )
 
     # ---- tokenizer ----
@@ -133,7 +137,8 @@ class USEEncoder:
         ids = np.zeros((len(sentences), self.max_tokens), np.int32)
         for r, row in enumerate(ids_list):
             ids[r, : len(row)] = row
-        return np.asarray(self._apply(jnp.asarray(ids), jnp.asarray(lengths)))
+        return np.asarray(self._apply(
+            self.params, jnp.asarray(ids), jnp.asarray(lengths)))
 
     # ---- persistence ----
     @classmethod
@@ -171,7 +176,10 @@ def save_use_bundle(path: str, vocab: list[str], params: dict,
                     oov_buckets: int) -> None:
     """Write a USEEncoder weight bundle ('/'-joined flax paths + vocab)."""
     flat: dict[str, np.ndarray] = {
-        "__vocab__": np.asarray(vocab, dtype="U64"),
+        # numpy sizes the unicode width to the longest token — a fixed U64
+        # would silently truncate longer tokens, orphaning their trained
+        # rows behind OOV lookups after round-trip
+        "__vocab__": np.asarray(vocab),
         "__oov_buckets__": np.asarray(oov_buckets),
     }
 

@@ -217,6 +217,11 @@ def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
         "the fused decode kernel implements the LSTM/zero-init NIC step; "
         "use decode.greedy for GRU or learned-init models"
     )
+    assert model.pretrained_embedding is None or model.embedding_trainable, (
+        "frozen pretrained embeddings live as a module constant, not "
+        "params['embedding'] — use decode.greedy for "
+        "GloveNIC(trainable=False) models"
+    )
     slope = 0.2 if model.head_activation == "leaky_relu" else 0.0
 
     def decode(variables, betas, start_id):

@@ -86,6 +86,11 @@ class Captioner:
             and self.model.cell_type == "lstm"
             and not self.model.learned_init_state
             and not getattr(self.model.encoder, "pregathered", False)
+            # frozen pretrained embeddings (GloveNIC(trainable=False)) live
+            # as a module constant, not params['embedding'], which the fused
+            # kernel's extract_decode_params requires
+            and (self.model.pretrained_embedding is None
+                 or self.model.embedding_trainable)
         )
 
     def _variables(self):

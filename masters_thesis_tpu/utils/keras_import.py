@@ -99,12 +99,20 @@ def import_lc_nic_h5(path: str, params: dict, layout) -> dict:
         (k for k in flat if "attention" in k and k.endswith("bias")),
         key=lambda k: _numeric_suffix(k.rsplit("/", 2)[-2]),
     )
-    if len(attn_kernels) >= 3:
-        new["attention"] = {
-            "W1": {"kernel": flat[attn_kernels[0]], "bias": flat[attn_biases[0]]},
-            "W2": {"kernel": flat[attn_kernels[1]], "bias": flat[attn_biases[1]]},
-            "V": {"kernel": flat[attn_kernels[2]], "bias": flat[attn_biases[2]]},
-        }
+    # LcNIC always carries Bahdanau attention — fewer than 3 kernels means
+    # the h5 layout wasn't understood, and loading would leave attention at
+    # random init while every other block imports (silently wrong captions
+    # in the very parity eval this importer exists for)
+    if len(attn_kernels) < 3 or len(attn_biases) < 3:
+        raise KeyError(
+            f"attention weights not found in h5 (kernels={attn_kernels}, "
+            f"biases={attn_biases}); expected >=3 'attention*' sub-Denses "
+            "(W1, W2, V)")
+    new["attention"] = {
+        "W1": {"kernel": flat[attn_kernels[0]], "bias": flat[attn_biases[0]]},
+        "W2": {"kernel": flat[attn_kernels[1]], "bias": flat[attn_biases[1]]},
+        "V": {"kernel": flat[attn_kernels[2]], "bias": flat[attn_biases[2]]},
+    }
 
     # LocallyDense: per-group Denses in creation order == layout group order
     ld_kernels = sorted(

@@ -29,6 +29,14 @@ against TF), so OOV tokens hit the same trained rows as the original model.
 from __future__ import annotations
 
 import argparse
+import re
+
+
+def numeric_key(name: str):
+    """Sort key splitting digit runs so shard/layer suffixes order
+    numerically: USE-v4 ships ~17 embedding shards, and lexicographic order
+    puts sharded_10 before sharded_2 — a silently scrambled vocab table."""
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
 
 
 def convert(module_url: str, out_path: str) -> None:
@@ -48,15 +56,17 @@ def convert(module_url: str, out_path: str) -> None:
     variables = {v.name: v.numpy() for v in model.variables}
 
     emb_shards = sorted(
-        (name, arr) for name, arr in variables.items()
-        if "Embeddings" in name
+        ((name, arr) for name, arr in variables.items()
+         if "Embeddings" in name),
+        key=lambda kv: numeric_key(kv[0]),
     )
     assert emb_shards, f"no embedding shards found in {sorted(variables)}"
     table = np.concatenate([arr for _, arr in emb_shards], axis=0)
 
     params: dict = {"embedding": table}
     hidden = sorted(
-        name for name in variables if "hidden_layers" in name
+        (name for name in variables if "hidden_layers" in name),
+        key=numeric_key,
     )
     layer_idx = 0
     seen = set()

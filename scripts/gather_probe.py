@@ -140,8 +140,9 @@ def take_once(st, i):
 one_idx = idx[0]
 got = None
 try:
-    g = make_dma_take(4, store)
-    # reuse the inner gather via a fresh call for value check
+    # standalone copy of make_dma_take's nb=4 kernel body returning the raw
+    # rows (the benched fn reduces them to a scalar, so it can't be reused
+    # for a value check directly) — keep in sync if the DMA logic changes
     def _check():
         def _kernel(idx_ref, store_ref, out_ref, sem):
             nrows = out_ref.shape[0]

@@ -215,3 +215,52 @@ def test_import_reads_real_tf_keras_h5(tmp_path):
             got = np.asarray(new["encoder"][f"kernel_{b}"][row,
                                                            : kref.shape[0]])
             np.testing.assert_array_equal(got, kref)
+
+
+def test_import_raises_when_attention_missing(tmp_path):
+    """An h5 whose attention sub-Denses can't be located must fail fast,
+    not import everything else and leave attention at random init."""
+    import numpy as np
+    import pytest
+
+    from masters_thesis_tpu.utils.keras_import import import_lc_nic_h5
+
+    # minimal fake flat h5 content: embedding/lstm/heads present, NO
+    # attention-named groups. Reuse the module's own loader path by writing
+    # a real h5 via h5py if available, else emulate with the flat-dict hook.
+    h5py = pytest.importorskip("h5py")
+    path = tmp_path / "w.h5"
+    with h5py.File(path, "w") as f:
+        def ds(name, arr):
+            f.create_dataset(name, data=arr)
+        ds("emb_text/emb_text/embeddings:0",
+           np.zeros((50, 16), np.float32))
+        ds("lstm/lstm/kernel:0", np.zeros((144, 128), np.float32))
+        ds("lstm/lstm/recurrent_kernel:0", np.zeros((32, 128), np.float32))
+        ds("lstm/lstm/bias:0", np.zeros(128, np.float32))
+        ds("time_distributed_softmax/dense_1/kernel:0",
+           np.zeros((32, 50), np.float32))
+        ds("time_distributed_softmax/dense_1/bias:0",
+           np.zeros(50, np.float32))
+        ds("time_distributed_nonlinear/dense_0/kernel:0",
+           np.zeros((32, 32), np.float32))
+        ds("time_distributed_nonlinear/dense_0/bias:0",
+           np.zeros(32, np.float32))
+
+    from masters_thesis_tpu.models.nic import LcNIC
+    from masters_thesis_tpu.ops.group_layout import GroupLayout
+
+    groups = [np.arange(i * 8, (i + 1) * 8) for i in range(4)]
+    model = LcNIC(GroupLayout(groups, 32), units=32, group_size=8,
+                  embedding_text=16, attn_units=8, vocab_size=50,
+                  max_length=5)
+    import jax
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32), np.float32),
+                           np.zeros((1, 5), np.int32),
+                           np.zeros((1, 32), np.float32),
+                           np.zeros((1, 32), np.float32), False)
+    with pytest.raises(KeyError, match="attention"):
+        import_lc_nic_h5(str(path), variables["params"],
+                         GroupLayout(groups, 32))

@@ -159,3 +159,72 @@ def test_run_metrics_labels_guse_honestly(bundle_path, monkeypatch, tmp_path):
     cfg.dataset.guse_path = str(gdir)
     scores = run_metrics({"cfg": cfg, "pairs": pairs}, eval_out)
     assert "GUSE_pearson_r" in scores
+
+
+def test_converter_shard_sort_is_numeric():
+    """USE-v4 ships ~17 embedding shards; lexicographic order scrambles the
+    vocab table (sharded_10 < sharded_2)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_tfhub_use",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "convert_tfhub_use.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = [f"Embeddings_en/sharded_{i}:0" for i in range(17)]
+    shuffled = sorted(names)          # lexicographic (the old bug)
+    assert shuffled != names          # proves lexicographic is wrong
+    assert sorted(names, key=mod.numeric_key) == names
+
+
+def test_save_bundle_preserves_long_tokens(tmp_path):
+    """Vocab tokens longer than 64 chars must survive the npz round-trip
+    (a fixed U64 dtype silently truncated them)."""
+    import numpy as np
+
+    from masters_thesis_tpu.models.use_encoder import (
+        USEEncoder,
+        save_use_bundle,
+    )
+
+    long_tok = "a" * 80
+    vocab = ["<pad>", "dog", long_tok]
+    rng = np.random.default_rng(0)
+    params = {
+        "embedding": rng.standard_normal((3 + 8, 16)).astype(np.float32),
+        "dan_layer_0": {
+            "kernel": rng.standard_normal((16, 8)).astype(np.float32),
+            "bias": np.zeros(8, np.float32)},
+        "dan_out": {
+            "kernel": rng.standard_normal((8, 4)).astype(np.float32),
+            "bias": np.zeros(4, np.float32)},
+    }
+    path = tmp_path / "use.npz"
+    save_use_bundle(str(path), vocab, params, oov_buckets=8)
+    enc = USEEncoder.from_npz(str(path))
+    # the long token resolves to its own row, not an OOV bucket
+    assert enc.token_ids(long_tok) == [2]
+
+
+def test_fused_serving_excluded_for_frozen_embedding():
+    """GloveNIC(trainable=False) stores the table as a module constant, not
+    params['embedding'] — the fused decode kernel must not be selected."""
+    import numpy as np
+
+    from masters_thesis_tpu.models.nic import GloveNIC
+    from masters_thesis_tpu.ops.group_layout import GroupLayout
+    from masters_thesis_tpu.serve import Captioner
+
+    groups = [np.arange(i * 8, (i + 1) * 8) for i in range(4)]
+    layout = GroupLayout(groups, 32)
+    table = np.zeros((50, 16), np.float32)
+    model = GloveNIC(
+        layout, table, trainable=False, units=32, group_size=8,
+        attn_units=8, vocab_size=50, max_length=5)
+    cap = Captioner.__new__(Captioner)
+    cap.use_fused = None
+    cap.mesh = None
+    cap.model = model
+    assert cap._fused_eligible() is False
