@@ -171,6 +171,12 @@ def _align_paraphrase_stage(ref, hyp, table: ParaphraseTable,
     ref_idxs: list = []
     anchors: list = []
     H, R = len(hyp), len(ref)
+    # reference span strings are invariant across the (j, n) loops — build
+    # the R x max_n table once instead of re-joining inside the inner loop
+    ref_spans = [
+        [" ".join(ref[i:i + k]) for k in range(min(max_n, R - i) + 1)]
+        for i in range(R)
+    ]
     j = 0
     while j < H:
         if j in hyp_used:
@@ -186,7 +192,7 @@ def _align_paraphrase_stage(ref, hyp, table: ParaphraseTable,
                 for k in range(min(max_n, R - i), 0, -1):
                     if any((i + t) in ref_used for t in range(k)):
                         continue
-                    if table.matches(h_phrase, " ".join(ref[i:i + k])):
+                    if table.matches(h_phrase, ref_spans[i][k]):
                         hit_len = k
                         break
                 if hit_len:

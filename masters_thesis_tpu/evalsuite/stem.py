@@ -9,6 +9,8 @@ stage that stays external in a zero-egress image). Implements the original
 
 from __future__ import annotations
 
+import functools
+
 _VOWELS = frozenset("aeiou")
 
 
@@ -77,7 +79,10 @@ _STEP4 = ("al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
           "ize")
 
 
+@functools.lru_cache(maxsize=65536)
 def porter_stem(word: str) -> str:
+    # pure word->word: the cache removes the bulk of the stemming work in
+    # corpus METEOR, which re-stems every hypothesis once per reference
     w = word.lower()
     if len(w) <= 2:
         return w

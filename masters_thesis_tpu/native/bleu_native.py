@@ -16,7 +16,22 @@ def _lib():
     so = build()
     if so is None:
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        # corrupt cached .so (e.g. from a pre-atomic-build checkout, or a
+        # library built for another platform): rebuild once, else fall back
+        # to the Python implementations instead of crashing every eval call
+        from masters_thesis_tpu.native.build import remove_cached
+
+        remove_cached()
+        so = build(force=True)
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
     lib.tm_bleu_batch.restype = ctypes.c_double
     lib.tm_bleu_batch.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
@@ -48,8 +63,10 @@ def lcs_batch_native(a: np.ndarray, b: np.ndarray,
         return None
     a = np.ascontiguousarray(a, dtype=np.int32)
     b = np.ascontiguousarray(b, dtype=np.int32)
-    assert a.ndim == b.ndim == 2 and a.shape[0] == b.shape[0], (
-        a.shape, b.shape)
+    # a real raise, not assert: this guards the C++ kernel against an
+    # out-of-bounds read and must survive python -O
+    if not (a.ndim == b.ndim == 2 and a.shape[0] == b.shape[0]):
+        raise ValueError(f"mismatched LCS batch shapes: {a.shape} vs {b.shape}")
     out = np.zeros(a.shape[0], np.int32)
     lib.tm_lcs_batch(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), a.shape[0],
@@ -81,10 +98,11 @@ def bleu_batch_native(
         refs = refs[:, None, :]
     B, Lp = preds.shape
     Br, R, Lr = refs.shape
-    assert Br == B, (
-        f"{B} predictions vs {Br} reference rows — the native kernel would "
-        "read out of bounds"
-    )
+    if Br != B:  # real raise: must survive python -O (guards C++ OOB read)
+        raise ValueError(
+            f"{B} predictions vs {Br} reference rows — the native kernel "
+            "would read out of bounds"
+        )
 
     lib = _lib()
     if lib is not None:

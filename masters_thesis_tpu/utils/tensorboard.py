@@ -91,17 +91,24 @@ class EventWriter:
 
     def __init__(self, logdir: str, filename_suffix: str = ""):
         os.makedirs(logdir, exist_ok=True)
-        name = f"events.out.tfevents.{int(time.time())}.mtt{filename_suffix}"
+        # pid keeps two writers started within the same second (train+eval
+        # pair, back-to-back trials) from opening — and truncating — the
+        # same file; TF's writers embed hostname+pid for the same reason
+        name = (f"events.out.tfevents.{int(time.time())}.mtt.{os.getpid()}"
+                f"{filename_suffix}")
         self._f = open(os.path.join(logdir, name), "wb")
-        self._write_event(self._event(b""))  # file header event (version)
+        self._write_event(self._event(None))  # file header event (version)
 
-    def _event(self, summary: bytes, step: int = 0) -> bytes:
+    def _event(self, summary: bytes | None, step: int = 0) -> bytes:
+        """``summary=None`` means the file_version header; an EMPTY summary
+        (e.g. scalars({})) is a regular, empty event — never a second
+        version record mid-file."""
         ev = _double_field(1, time.time())
         ev += _int64_field(2, step)
-        if summary:
-            ev += _bytes_field(5, summary)
-        else:
+        if summary is None:
             ev += _bytes_field(3, b"brain.Event:2")  # file_version
+        else:
+            ev += _bytes_field(5, summary)
         return ev
 
     def _write_event(self, payload: bytes) -> None:
@@ -116,6 +123,8 @@ class EventWriter:
         self._write_event(self._event(_scalar_value(tag, value), step))
 
     def scalars(self, values: dict, step: int, prefix: str = "") -> None:
+        if not values:
+            return
         summary = b"".join(
             _scalar_value(prefix + k, float(v)) for k, v in values.items()
         )
@@ -185,5 +194,8 @@ def render_caption_image(image, caption: str) -> tuple[bytes, int, int]:
     fig.savefig(buf, format="png", bbox_inches="tight")
     plt.close(fig)
     png = buf.getvalue()
-    w, h = fig.canvas.get_width_height()
-    return png, h, w
+    # bbox_inches='tight' crops the canvas, so the figure's own
+    # get_width_height() is NOT the emitted size — read the true dims from
+    # the PNG IHDR (bytes 16..24: width, height big-endian)
+    w, h = struct.unpack(">II", png[16:24])
+    return png, int(h), int(w)

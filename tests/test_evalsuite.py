@@ -297,3 +297,45 @@ def test_metric_suite_reports_spice_lite():
         [["a man rides a horse", "a person on a horse"]],
     )
     assert 0.0 < scores["SPICE_lite"] <= 1.0
+
+
+def test_native_lib_recovers_from_corrupt_so(tmp_path, monkeypatch):
+    """A corrupt cached .so must trigger a rebuild (or Python fallback),
+    never a permanent OSError from every eval call."""
+    import os
+    import shutil
+
+    from masters_thesis_tpu.native import bleu_native, build as build_mod
+
+    so = build_mod._SO
+    backup = None
+    if os.path.exists(so):
+        backup = so + ".bak"
+        shutil.move(so, backup)
+    try:
+        with open(so, "wb") as f:
+            f.write(b"not a shared object")
+        # make the corrupt file newer than the source so the cache trusts it
+        os.utime(so, None)
+        bleu_native._lib.cache_clear()
+        lib = bleu_native._lib()  # must not raise
+        # either a fresh rebuild worked (lib) or fallback engaged (None)
+        assert lib is not None or not bleu_native.native_available()
+    finally:
+        bleu_native._lib.cache_clear()
+        if os.path.exists(so):
+            os.unlink(so)
+        if backup:
+            shutil.move(backup, so)
+
+
+def test_native_bleu_mismatched_rows_raise_valueerror():
+    import numpy as np
+    import pytest
+
+    from masters_thesis_tpu.native.bleu_native import bleu_batch_native
+
+    preds = np.zeros((4, 5), np.int32)
+    refs = np.zeros((2, 3, 5), np.int32)
+    with pytest.raises(ValueError, match="out of bounds"):
+        bleu_batch_native(preds, refs, end_id=2)

@@ -96,3 +96,49 @@ def test_png_encoder_matches_matplotlib_decode(tmp_path):
     np.testing.assert_array_equal(
         (back[..., :3] * 255).round().astype(np.uint8), rgb
     )
+
+
+def test_empty_scalars_writes_nothing(tmp_path):
+    """scalars({}) must be a no-op — the old code emitted a second
+    file_version record mid-file."""
+    import glob
+    import os
+
+    from masters_thesis_tpu.utils.tensorboard import EventWriter
+
+    w = EventWriter(str(tmp_path))
+    (path,) = glob.glob(os.path.join(str(tmp_path), "events.out.tfevents*"))
+    size_after_header = os.path.getsize(path)
+    w.scalars({}, step=1)
+    w.close()
+    assert os.path.getsize(path) == size_after_header
+
+
+def test_caption_image_dims_match_png(tmp_path):
+    """render_caption_image must report the EMITTED PNG's dimensions
+    (bbox_inches='tight' crops the canvas)."""
+    import struct
+
+    import numpy as np
+
+    from masters_thesis_tpu.utils.tensorboard import render_caption_image
+
+    img = np.zeros((50, 80, 3), np.uint8)
+    png, h, w = render_caption_image(img, "a caption")
+    pw, ph = struct.unpack(">II", png[16:24])
+    assert (w, h) == (pw, ph)
+
+
+def test_two_writers_same_second_distinct_files(tmp_path):
+    import glob
+    import os
+
+    from masters_thesis_tpu.utils.tensorboard import EventWriter
+
+    a = EventWriter(str(tmp_path))
+    b = EventWriter(str(tmp_path), filename_suffix=".x")
+    a.scalar("t", 1.0, 0)
+    b.scalar("t", 2.0, 0)
+    a.close(); b.close()
+    files = glob.glob(os.path.join(str(tmp_path), "events.out.tfevents*"))
+    assert len(files) == 2
