@@ -557,11 +557,16 @@ def main(argv=None) -> int:
     _add_common(e)
     e.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
     e.add_argument("--beam-width", type=int, default=5)
+    e.add_argument("--subject", choices=["a", "b"], default="a",
+                   help="ms2_nic only: which per-subject encoder decodes "
+                        "(the reference evaluates one subject at a time)")
 
     m = sub.add_parser("metrics", help="train+eval+score in one go")
     _add_common(m)
     m.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
     m.add_argument("--beam-width", type=int, default=5)
+    m.add_argument("--subject", choices=["a", "b"], default="a",
+                   help="ms2_nic only: which per-subject encoder decodes")
 
     tu = sub.add_parser("tune", help="random-search + ASHA over L2 regs")
     _add_common(tu)
@@ -784,6 +789,7 @@ def main(argv=None) -> int:
             bundle, run_path,
             decoder=getattr(args, "decoder", "greedy"),
             beam_width=getattr(args, "beam_width", 5),
+            ms2_subject=getattr(args, "subject", "a"),
         )
         result = {"run_path": run_path, "n_captions": len(out["texts"])}
         if args.cmd == "metrics":

@@ -43,6 +43,7 @@ class BatchPipeline:
         shuffle: bool = True,
         prefetch: int = 2,
         drop_remainder: bool = True,
+        subject_split: bool = False,
     ):
         self.pairs = pairs
         self.store = store
@@ -52,6 +53,24 @@ class BatchPipeline:
         self.rng = np.random.Generator(np.random.PCG64(seed))
         n = len(pairs)
         self.steps_per_epoch = n // batch_size if drop_remainder else -(-n // batch_size)
+        self.subject_split = subject_split
+        if subject_split:
+            # ms2_NIC batch contract: rows [0, bs/2) are subject A, rows
+            # [bs/2, bs) subject B (the reference generator builds every
+            # batch this way, data_generator_multisub.py:90-102;
+            # DualSubjectEncoder routes the halves to encoder_a/encoder_b).
+            # A uniformly shuffled batch would silently train each encoder
+            # on mixed-subject rows.
+            subs = np.unique(pairs.subjects)
+            if len(subs) != 2:
+                raise ValueError(
+                    f"subject_split needs exactly 2 subject ids, got "
+                    f"{subs.tolist()} — assign pairs.subjects per subject")
+            if batch_size % 2:
+                raise ValueError("subject_split needs an even batch size")
+            self._sub_idx = [np.nonzero(pairs.subjects == s)[0] for s in subs]
+            half = batch_size // 2
+            self.steps_per_epoch = min(len(i) for i in self._sub_idx) // half
         self.targets = shift_target(pairs.tokens)
         if store is not None:
             self.store_idx = store.indices_for(pairs.keys)
@@ -59,6 +78,18 @@ class BatchPipeline:
             self.store_idx = np.zeros(n, dtype=np.int32)
 
     def _order(self) -> np.ndarray:
+        if self.subject_split:
+            half = self.batch_size // 2
+            idx_a, idx_b = (i.copy() for i in self._sub_idx)
+            if self.shuffle:
+                self.rng.shuffle(idx_a)
+                self.rng.shuffle(idx_b)
+            parts = []
+            for step in range(self.steps_per_epoch):
+                parts.append(idx_a[step * half:(step + 1) * half])
+                parts.append(idx_b[step * half:(step + 1) * half])
+            return (np.concatenate(parts) if parts
+                    else np.zeros(0, np.int64))
         order = np.arange(len(self.pairs))
         if self.shuffle:
             self.rng.shuffle(order)

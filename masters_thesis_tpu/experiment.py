@@ -399,8 +399,30 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     train_enc = encode_pairs(pairs["train"], tok, cfg.max_length)
     val_enc = encode_pairs(pairs["val"], tok, cfg.max_length)
     bs = min(cfg.batch_size, max(2, len(train_enc) // 2))
-    train_pipe = BatchPipeline(train_enc, store, bs, seed=cfg.seed)
-    val_pipe = BatchPipeline(val_enc, store, bs, seed=cfg.seed, shuffle=False)
+    # ms2_NIC's two-encoder split requires every batch laid out
+    # [A-half ; B-half] (main_ms.py's generator contract) — a plain
+    # shuffled pipeline would train each per-subject encoder on
+    # mixed-subject rows with no error
+    subject_split = cfg.model.lower() == "ms2_nic"
+    if subject_split:
+        for enc in (train_enc, val_enc):
+            if len(np.unique(enc.subjects)) < 2:
+                # single-subject pair list (synthetic smoke data, or a
+                # one-subject dataset): alternate pseudo-subject ids so the
+                # batch layout contract holds; both encoders then see the
+                # same distribution — the reference's ablation structure,
+                # not real two-subject training
+                logger.warning(
+                    "ms2_nic with a single-subject pair list: assigning "
+                    "alternating pseudo-subject ids (real two-subject runs "
+                    "need per-subject pair lists / subject_ids)")
+                enc.subjects = np.arange(len(enc), dtype=np.int32) % 2
+    if subject_split and bs % 2:
+        bs -= 1  # the [A-half ; B-half] layout needs an even batch
+    train_pipe = BatchPipeline(train_enc, store, bs, seed=cfg.seed,
+                               subject_split=subject_split)
+    val_pipe = BatchPipeline(val_enc, store, bs, seed=cfg.seed, shuffle=False,
+                             subject_split=subject_split)
 
     batch = next(iter(BatchPipeline(train_enc, store, bs, seed=0, prefetch=0).epoch()))
     betas0 = (np.asarray(batch["betas"]) if "betas" in batch
@@ -657,13 +679,29 @@ def vocab_overlap(tok_a, tok_b, top_k: int = 5000) -> dict:
 # ---------------------------------------------------------------- eval
 
 def run_eval(bundle, run_path: str, epoch: int | None = None,
-             decoder: str = "greedy", beam_width: int = 5):
+             decoder: str = "greedy", beam_width: int = 5,
+             ms2_subject: str = "a"):
     """Test-set decoding (reference eval.py:147-193): writes
-    output_captions_{e}.npy, attention scores, and decoded text."""
+    output_captions_{e}.npy, attention scores, and decoded text.
+
+    ``ms2_subject``: which per-subject encoder decodes an ms2_nic run's test
+    set. The split layout is a TRAINING batch contract; the reference
+    evaluates one subject at a time through that subject's encoder
+    (ms2_NIC callA/callB)."""
     import jax.numpy as jnp
 
     cfg, model, tok = bundle["cfg"], bundle["model"], bundle["tokenizer"]
     state, store = bundle["state"], bundle["store"]
+
+    from masters_thesis_tpu.models.multisubject import DualSubjectEncoder
+
+    enc_mod = getattr(model, "encoder", None)
+    if isinstance(enc_mod, DualSubjectEncoder) and enc_mod.mode == "split":
+        import dataclasses
+
+        logger.info("ms2 eval: decoding through encoder_%s", ms2_subject)
+        model = dataclasses.replace(
+            model, encoder=dataclasses.replace(enc_mod, mode=ms2_subject))
     pairs = bundle["pairs"]["test"] or bundle["pairs"]["val"]
     enc = encode_pairs(pairs, tok, cfg.max_length)
     bs = min(cfg.batch_size, len(enc))

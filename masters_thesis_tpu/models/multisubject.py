@@ -49,10 +49,15 @@ class DualSubjectEncoder(nn.Module):
         )
 
     def __call__(self, x, training: bool = False):
-        if self.mode == "a":
-            return self.encoder_a(x, training=training)
-        if self.mode == "b":
-            return self.encoder_b(x, training=training)
+        if self.mode in ("a", "b"):
+            if self.is_initializing():
+                # materialize BOTH encoders' params regardless of mode so a
+                # split-trained checkpoint restores into a per-subject eval
+                # model (the target tree must carry encoder_a AND encoder_b)
+                _ = self.encoder_a(x, training=False)
+                _ = self.encoder_b(x, training=False)
+            enc = self.encoder_a if self.mode == "a" else self.encoder_b
+            return enc(x, training=training)
         bs = x.shape[0]
         assert bs % 2 == 0, "split mode needs an even batch (A-half; B-half)"
         half = bs // 2

@@ -129,7 +129,7 @@ class NIC(nn.Module):
         only in which independent mask each step draws.
         """
         features = self.encode(inputs, training)
-        emb = jnp.take(self.embedding, tokens, axis=0)  # (B, T, E)
+        emb = self.embed(tokens)  # (B, T, E)
         emb = self.drop_text(emb, deterministic=not training)
 
         if self.learned_init_state:
@@ -180,7 +180,7 @@ class NIC(nn.Module):
         carried unchanged (ignored).
         """
         context, alpha = self.attention(h, features, training=False)
-        emb = jnp.take(self.embedding, token, axis=0)
+        emb = self.embed(token)
         x = jnp.concatenate([context, emb], axis=-1)
         if self.cell_type == "lstm":
             (h, c), _ = self.cell((h, c), x)

@@ -77,7 +77,7 @@ class ShowTell(nn.Module):
         return y  # (B, E)
 
     def head(self, h, training: bool = False):
-        x = self.drop(h, deterministic=not training) if training else h
+        x = self.drop(h, deterministic=not training)
         logits = self.fc_vocab(x)
         if self.head_activation == "relu":
             logits = nn.relu(logits)

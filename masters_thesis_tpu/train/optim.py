@@ -38,8 +38,21 @@ def clip_by_per_tensor_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _unitwise_norm(x):
+    """NFNet unitwise norm (Model/agc.py:6-18): whole tensor for <=1-D,
+    per-output-unit (axis 0) for 2/3-D linear kernels, per-filter
+    (axes 0,1,2) for 4-D HWIO conv kernels."""
+    if x.ndim <= 1:
+        return jnp.sqrt(jnp.sum(jnp.square(x)))
+    axis = (0,) if x.ndim in (2, 3) else (0, 1, 2)
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+
+
 def adaptive_grad_clip(clip_factor: float, eps: float = 1e-3) -> optax.GradientTransformation:
-    """AGC: g <- g * min(1, clip * max(||w||, eps) / ||g||) per tensor."""
+    """NFNet-style AGC with UNITWISE norms (Model/agc.py:20-38): each output
+    unit's gradient is clipped by its own ||w_unit||/||g_unit|| ratio — a
+    per-tensor norm would let one exploding unit drag down (or hide behind)
+    every other unit's update."""
 
     def init_fn(params):
         del params
@@ -49,9 +62,11 @@ def adaptive_grad_clip(clip_factor: float, eps: float = 1e-3) -> optax.GradientT
         assert params is not None, "AGC needs params"
 
         def clip(g, w):
-            wn = jnp.maximum(jnp.linalg.norm(w.reshape(-1)), eps)
-            gn = jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-6)
-            return g * jnp.minimum(1.0, clip_factor * wn / gn)
+            p_norm = _unitwise_norm(w)
+            max_norm = jnp.maximum(p_norm, eps) * clip_factor
+            g_norm = _unitwise_norm(g)
+            clipped = g * (max_norm / jnp.maximum(g_norm, 1e-6))
+            return jnp.where(g_norm < max_norm, g, clipped)
 
         return jax.tree_util.tree_map(clip, updates, params), state
 
@@ -72,7 +87,7 @@ def warmup_schedule(base_lr: float, warmup_steps: int) -> optax.Schedule:
 
 
 def make_optimizer(cfg, schedule=None) -> optax.GradientTransformation:
-    """Build the configured optimizer chain (clip -> AGC -> Adam/SGD)."""
+    """Build the configured optimizer chain (AGC -> clipnorm -> Adam/SGD)."""
     if schedule is not None:
         lr = schedule
     elif getattr(cfg, "cosine_decay_steps", 0):
@@ -92,10 +107,13 @@ def make_optimizer(cfg, schedule=None) -> optax.GradientTransformation:
     else:
         lr = cfg.alpha
     chain = []
-    if getattr(cfg, "clipnorm", 0):
-        chain.append(clip_by_per_tensor_norm(cfg.clipnorm))
+    # reference order: AGC runs on the RAW tape gradients (lc_NIC.py:388),
+    # then Keras clipnorm applies inside optimizer.apply_gradients — AGC
+    # must see unclipped norms
     if getattr(cfg, "agc_clip", 0):
         chain.append(adaptive_grad_clip(cfg.agc_clip))
+    if getattr(cfg, "clipnorm", 0):
+        chain.append(clip_by_per_tensor_norm(cfg.clipnorm))
     name = cfg.optimizer.lower()
     if name == "adam":
         chain.append(

@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from masters_thesis_tpu.ops.gather import gather_rows
 
@@ -98,7 +99,7 @@ def make_train_step(model, cfg, l2_rules, masked: bool = False,
             (_, (_, _)), g1 = grad_fn(
                 state.params, state, rng, betas, tokens, target, mask
             )
-            gnorm = optax_global_norm(g1)
+            gnorm = optax.global_norm(g1)
             scale = cfg.sam_rho / (gnorm + 1e-12)
             perturbed = jax.tree_util.tree_map(
                 lambda p, g: p + g * scale, state.params, g1
@@ -113,7 +114,7 @@ def make_train_step(model, cfg, l2_rules, masked: bool = False,
 
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         metrics["total"] = total
-        metrics["grad_norm"] = optax_global_norm(grads)  # df_grads.csv analogue
+        metrics["grad_norm"] = optax.global_norm(grads)  # df_grads.csv analogue
         return new_state, metrics
 
     if not jit:
@@ -145,11 +146,6 @@ def make_eval_step(model, cfg, l2_rules, masked: bool = False):
         }
 
     return jax.jit(step)
-
-
-def optax_global_norm(tree) -> jnp.ndarray:
-    leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
 def make_grad_stats_fn(model, cfg, l2_rules, masked: bool = False):
@@ -234,7 +230,7 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
                 _, g1 = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params
                 )
-                scale = cfg.sam_rho / (optax_global_norm(g1) + 1e-12)
+                scale = cfg.sam_rho / (optax.global_norm(g1) + 1e-12)
                 perturbed = jax.tree_util.tree_map(
                     lambda p, g: p + g * scale, state.params, g1
                 )
@@ -249,7 +245,7 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
                 batch_stats=new_stats
             )
             metrics["total"] = total
-            metrics["grad_norm"] = optax_global_norm(grads)
+            metrics["grad_norm"] = optax.global_norm(grads)
             return new_state, metrics
 
         return jax.lax.scan(body, state, (idx, tokens, target))

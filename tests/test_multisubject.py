@@ -131,3 +131,79 @@ def test_ms2_nic_sharded_train_step_over_mesh():
         s2, m2 = pstep(s2, jnp.asarray(betas), jnp.asarray(tokens),
                        jnp.asarray(target))
     np.testing.assert_allclose(losses[-1], float(m2["loss"]), rtol=2e-4)
+
+
+def test_pipeline_subject_split_batch_layout():
+    """subject_split batches are [A-half ; B-half] — the ms2_NIC generator
+    contract (data_generator_multisub.py:90-102). A uniformly shuffled batch
+    would silently train each per-subject encoder on mixed rows."""
+    import numpy as np
+
+    from masters_thesis_tpu.data.pairs import EncodedPairs
+    from masters_thesis_tpu.data.pipeline import BatchPipeline
+
+    n = 40
+    subjects = np.arange(n, dtype=np.int32) % 2
+    pairs = EncodedPairs(
+        keys=np.arange(n, dtype=np.int64),
+        tokens=np.ones((n, 5), np.int32),
+        subjects=subjects,
+    )
+    pipe = BatchPipeline(pairs, None, batch_size=8, seed=0,
+                         subject_split=True, prefetch=0)
+    n_batches = 0
+    for batch in pipe.epoch():
+        subs = subjects[batch["keys"]]
+        assert (subs[:4] == subs[0]).all() and (subs[4:] == subs[4]).all()
+        assert subs[0] != subs[4]  # the two halves are different subjects
+        n_batches += 1
+    assert n_batches == pipe.steps_per_epoch == 5  # 20 per subject / 4
+
+
+def test_pipeline_subject_split_validations():
+    import numpy as np
+    import pytest
+
+    from masters_thesis_tpu.data.pairs import EncodedPairs
+    from masters_thesis_tpu.data.pipeline import BatchPipeline
+
+    one_subject = EncodedPairs(
+        keys=np.arange(8, dtype=np.int64),
+        tokens=np.ones((8, 5), np.int32),
+        subjects=np.zeros(8, np.int32),
+    )
+    with pytest.raises(ValueError, match="2 subject ids"):
+        BatchPipeline(one_subject, None, 4, subject_split=True)
+    two = EncodedPairs(
+        keys=np.arange(8, dtype=np.int64),
+        tokens=np.ones((8, 5), np.int32),
+        subjects=np.arange(8, dtype=np.int32) % 2,
+    )
+    with pytest.raises(ValueError, match="even batch"):
+        BatchPipeline(two, None, 3, subject_split=True)
+
+
+def test_split_checkpoint_restores_into_subject_mode():
+    """A per-subject eval model's init tree must carry BOTH encoders so
+    split-trained params restore into it."""
+    import jax
+    import numpy as np
+
+    layout = GroupLayout([np.arange(i * 8, (i + 1) * 8) for i in range(4)], 32)
+    kwargs = dict(units=16, group_size=8, embedding_text=16, attn_units=8,
+                  vocab_size=30, max_length=4)
+    split = Ms2NIC(layout, layout, mode="split", **kwargs)
+    mode_a = Ms2NIC(layout, layout, mode="a", **kwargs)
+    x = np.zeros((2, 32), np.float32)
+    toks = np.zeros((2, 4), np.int32)
+    a0 = np.zeros((2, 16), np.float32)
+    vs = split.init(jax.random.PRNGKey(0), x, toks, a0, a0, False)
+    va = mode_a.init(jax.random.PRNGKey(0), x, toks, a0, a0, False)
+    paths = lambda t: set(jax.tree_util.tree_map_with_path(
+        lambda p, _: None, t) and
+        [jax.tree_util.keystr(p) for p, _ in
+         jax.tree_util.tree_flatten_with_path(t)[0]])
+    assert paths(vs["params"]) == paths(va["params"])
+    # split-trained params apply cleanly in mode 'a'
+    out, _ = mode_a.apply(vs, x, toks, a0, a0, False,
+                          mutable=["batch_stats"])

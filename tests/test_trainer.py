@@ -440,3 +440,65 @@ def test_prng_impl_knob(tmp_path):
             jax.config.jax_default_prng_impl == "rbg")
     finally:
         jax.config.update("jax_default_prng_impl", prev)
+
+
+def test_agc_is_unitwise():
+    """NFNet AGC clips each output unit by its own ||w||/||g|| ratio
+    (Model/agc.py:6-38) — a per-tensor norm would let one exploding unit
+    hide behind (or drag down) the rest."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from masters_thesis_tpu.train.optim import adaptive_grad_clip
+
+    clip_factor, eps = 0.01, 1e-3
+    w = np.ones((4, 3), np.float32)           # per-unit norm = 2
+    g = np.full((4, 3), 1e-4, np.float32)
+    g[:, 0] = 10.0                             # unit 0 explodes
+    agc = adaptive_grad_clip(clip_factor, eps)
+    state = agc.init({"k": jnp.asarray(w)})
+    out, _ = agc.update({"k": jnp.asarray(g)}, state, {"k": jnp.asarray(w)})
+    out = np.asarray(out["k"])
+    # reference formula per unit (axis 0 norms)
+    p_norm = np.sqrt((w ** 2).sum(axis=0, keepdims=True))
+    max_norm = np.maximum(p_norm, eps) * clip_factor
+    g_norm = np.sqrt((g ** 2).sum(axis=0, keepdims=True))
+    clipped = g * (max_norm / np.maximum(g_norm, 1e-6))
+    want = np.where(g_norm < max_norm, g, clipped)
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+    # the exploding unit is clipped, the calm units pass through untouched
+    # unit 0: ||w||=2 -> max_norm 0.02; ||g||=20 -> clipped to 10*0.02/20
+    assert np.isclose(out[0, 0], 0.01) and np.allclose(out[:, 1:], g[:, 1:])
+
+
+def test_optimizer_chain_agc_before_clipnorm():
+    """Reference order: AGC on raw tape grads (lc_NIC.py:388), then Keras
+    clipnorm inside the optimizer. With clipnorm first, AGC would see
+    pre-clipped norms and make different decisions."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.train.optim import (
+        adaptive_grad_clip,
+        clip_by_per_tensor_norm,
+        make_optimizer,
+    )
+
+    cfg = Config(run="t", log="/tmp")
+    cfg = dataclasses.replace(cfg, clipnorm=0.1, agc_clip=0.01,
+                              optimizer="sgd", alpha=1.0, warmup_steps=0)
+    tx = make_optimizer(cfg)
+    w = {"k": jnp.asarray(np.ones((4, 3), np.float32) * 5)}
+    g = {"k": jnp.asarray(np.full((4, 3), 2.0, np.float32))}
+    state = tx.init(w)
+    upd, _ = tx.update(g, state, w)
+    # expected: agc then clipnorm then sgd(lr=1) -> negated
+    agc = adaptive_grad_clip(0.01)
+    cn = clip_by_per_tensor_norm(0.1)
+    a, _ = agc.update(g, agc.init(w), w)
+    c, _ = cn.update(a, cn.init(w))
+    np.testing.assert_allclose(np.asarray(upd["k"]),
+                               -np.asarray(c["k"]), rtol=1e-6)
