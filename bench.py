@@ -47,6 +47,29 @@ MEASURE_STEPS = 20   # per-dispatch extra measurement
 def main() -> None:
     import os
 
+    # tunnel watchdog: a down axon tunnel makes jax.devices() block
+    # indefinitely INSIDE this process (env-level platform pin). Probe the
+    # backend in a child with a generous timeout so a dead tunnel fails
+    # fast and loud instead of hanging the whole bench run. Compiles are
+    # NOT under this timeout — only backend discovery.
+    import subprocess
+    import sys
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("MTT_BENCH_PROBE_TIMEOUT_S", "600")),
+        )
+        backend_up = probe.returncode == 0
+        tail = (probe.stderr or "")[-300:]
+    except subprocess.TimeoutExpired:
+        backend_up, tail = False, "device probe timed out"
+    if not backend_up:
+        print(f"bench: JAX backend unavailable ({tail})", file=sys.stderr)
+        sys.exit(2)
+
     import jax
 
     # persistent compile cache: first run pays the XLA compiles (remote
