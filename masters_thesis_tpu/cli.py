@@ -625,6 +625,8 @@ def main(argv=None) -> int:
                     help="sampling PRNG seed")
     cp.add_argument("--out", default=None,
                     help="write captions here (default: stdout)")
+    cp.add_argument("--subject", choices=["a", "b"], default="a",
+                    help="ms2_nic runs: which per-subject encoder serves")
     cp.add_argument("--shard", type=int, default=0,
                     help="data-parallel serving over N chips (0 = single "
                     "device): batch axis sharded over a ('data',) mesh, "
@@ -730,7 +732,8 @@ def main(argv=None) -> int:
         from masters_thesis_tpu.serve import Captioner
 
         kw = {"temperature": args.temperature,
-              "sample_top_k": args.sample_top_k, "seed": args.seed}
+              "sample_top_k": args.sample_top_k, "seed": args.seed,
+              "subject": args.subject}
         if args.shard:
             from masters_thesis_tpu.parallel.mesh import (
                 make_mesh,

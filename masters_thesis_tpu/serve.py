@@ -158,6 +158,21 @@ class Captioner:
             groups, n_voxels = [], cfg.input_dim()
         model, _, _ = build_model(cfg, groups, n_voxels)
 
+        from masters_thesis_tpu.models.multisubject import DualSubjectEncoder
+
+        enc_mod = getattr(model, "encoder", None)
+        if isinstance(enc_mod, DualSubjectEncoder) and enc_mod.mode == "split":
+            # the split layout is a TRAINING batch contract; a service
+            # request's betas all come from one subject, so route every row
+            # through that subject's encoder (kw: subject='a'|'b')
+            import dataclasses
+
+            model = dataclasses.replace(
+                model, encoder=dataclasses.replace(
+                    enc_mod, mode=kw.pop("subject", "a")))
+        else:
+            kw.pop("subject", None)
+
         # template state for orbax restore
         dummy_inputs = np.zeros((1, n_voxels), np.float32)
         dummy_tokens = np.zeros((1, cfg.max_length), np.int32)

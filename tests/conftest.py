@@ -31,6 +31,8 @@ _SLOW_TESTS = {
     "test_batch_stats_update",
     "test_bf16_config_runs_and_keeps_fp32_masters",
     "test_captioner_from_run_dir",
+    "test_captioner_from_ms2_run_routes_one_encoder",
+    "test_split_checkpoint_restores_into_subject_mode",
     "test_captioner_serves_rbg_trained_run",
     "test_cli_features_subcommand",
     "test_cli_metrics_smoke",

@@ -64,3 +64,22 @@ def test_captioner_serves_rbg_trained_run(tmp_path):
         assert len(cap.caption(betas)) == 2
     finally:
         jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def test_captioner_from_ms2_run_routes_one_encoder(tmp_path):
+    """ms2 runs serve through ONE subject's encoder (the split layout is a
+    training batch contract): subject='a' and 'b' restore the split-trained
+    checkpoint and produce per-encoder decodes."""
+    from masters_thesis_tpu.models.multisubject import DualSubjectEncoder
+
+    cfg = Config(run="serve_ms2", model="ms2_nic", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
+                 embedding_text=8, log=str(tmp_path))
+    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    betas = np.asarray(bundle["store"].data[:2], np.float32)
+    for subject in ("a", "b"):
+        cap = Captioner.from_run_dir(run_path, batch_size=4, subject=subject)
+        enc = cap.model.encoder
+        assert isinstance(enc, DualSubjectEncoder) and enc.mode == subject
+        texts = cap.caption(betas)
+        assert len(texts) == 2
