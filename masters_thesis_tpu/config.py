@@ -24,6 +24,11 @@ class DatasetConfig:
 
     betas_path: str = ""
     captions_path: str = ""
+    # second subject (ms2_nic real runs, main_ms.py:67-94: each subject has
+    # its own betas dir + caption files). captions_path_b defaults to
+    # captions_path when the caption corpus is shared.
+    betas_path_b: str = ""
+    captions_path_b: str = ""
     vgg16_path: str = ""
     guse_path: str = ""
     nsd_dir: str = ""

@@ -66,9 +66,11 @@ def encode_pairs(
     tokens = pad_sequences(seqs, maxlen=max_len)
     keys = np.asarray([int(p[0]) for p in pairs], dtype=np.int64)
     if subject_ids is None:
-        subjects = np.zeros(len(pairs), dtype=np.int32)
-    else:
-        subjects = np.asarray([subject_ids[str(p[4])] for p in pairs], dtype=np.int32)
+        # auto-map the distinct subject labels carried on the pair tuples
+        # (sorted -> 0..n-1; a single-subject list stays all-zero as before)
+        distinct = sorted({str(p[4]) for p in pairs})
+        subject_ids = {s: i for i, s in enumerate(distinct)}
+    subjects = np.asarray([subject_ids[str(p[4])] for p in pairs], dtype=np.int32)
     return EncodedPairs(keys=keys, tokens=tokens, subjects=subjects)
 
 

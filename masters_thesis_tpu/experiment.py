@@ -99,13 +99,45 @@ def _apply_group_selection(data, cfg: Config):
     return split, pairs, tok, store, kept
 
 
+# subject-B NSD keys are offset internally so two subjects' betas for the
+# same stimulus can coexist in one store/pair list (NSD 73KIDs are < 10^6)
+B_KEY_OFFSET = 10_000_000
+
+
+def _load_beta_store(betas_path: str, keys):
+    from masters_thesis_tpu.data.pack import open_pack
+    from masters_thesis_tpu.data.store import ArrayStore
+
+    import glob
+
+    if os.path.exists(os.path.join(betas_path, "meta.json")):
+        return open_pack(betas_path, device_resident=False)
+    npys = glob.glob(os.path.join(betas_path, "*_KID*.npy"))
+    assert npys, (
+        f"betas path {betas_path!r} contains neither a packed dataset "
+        "(meta.json) nor per-key *_KID*.npy beta files"
+    )
+    prefix = os.path.basename(npys[0]).split("_KID")[0]
+    return ArrayStore.from_npy_dir(
+        betas_path, list(keys), lambda key: f"{prefix}_KID{key}.npy",
+    )
+
+
 def _build_real_data(cfg: Config):
-    """NSD loading: key split, captions, beta store, Glasser groups."""
+    """NSD loading: key split, captions, beta store, Glasser groups.
+
+    Two-subject mode (ms2_nic + dataset.betas_path_b, the main_ms.py setup):
+    subject A loads from the first subj0*_conditions.csv + betas_path,
+    subject B from the second CSV + betas_path_b; B's keys are offset by
+    ``B_KEY_OFFSET`` in the combined pair list / store. Train and val pairs
+    carry both subjects (the [A;B] batch layout comes from the pipeline's
+    subject_split); the TEST split stays subject A's — the reference
+    evaluates one subject at a time (swap the dataset paths to score B).
+    """
     import glob
 
     from masters_thesis_tpu.data.captions import load_captions_dir
     from masters_thesis_tpu.data.pairs import create_pairs
-    from masters_thesis_tpu.data.pack import open_pack
     from masters_thesis_tpu.data.preprocess.glasser import groups_from_atlas
     from masters_thesis_tpu.data.splits import get_nsd_keys
     from masters_thesis_tpu.data.store import ArrayStore
@@ -123,9 +155,32 @@ def _build_real_data(cfg: Config):
 
     caps = load_captions_dir(cfg.dataset.captions_path, keys=all_keys)
     pairs = {
-        name: create_pairs(getattr(split, name), caps)
+        name: create_pairs(getattr(split, name), caps, subject="A")
         for name in ("train", "val", "test")
     }
+
+    two_subject = (cfg.model.lower() == "ms2_nic"
+                   and bool(cfg.dataset.betas_path_b))
+    store_b = None
+    if two_subject:
+        csv_b = cond_csvs[1] if len(cond_csvs) > 1 else cond_csvs[0]
+        split_b = get_nsd_keys(
+            csv_b, os.path.join(nsd_dir, "test_conditions.csv"), strict=False)
+        keys_b = np.concatenate([split_b.train, split_b.val, split_b.test])
+        caps_b_dir = cfg.dataset.captions_path_b or cfg.dataset.captions_path
+        caps_b = load_captions_dir(caps_b_dir, keys=keys_b)
+        for name in ("train", "val"):
+            sub_pairs = create_pairs(getattr(split_b, name), caps_b,
+                                     subject="B")
+            pairs[name] = pairs[name] + [
+                (int(k) + B_KEY_OFFSET, cap, cid, cnt, subj)
+                for k, cap, cid, cnt, subj in sub_pairs
+            ]
+        store_b = _load_beta_store(cfg.dataset.betas_path_b, keys_b)
+        logger.info(
+            "two-subject data: %d + %d train pairs (B keys offset by %d)",
+            sum(p[4] == "A" for p in pairs["train"]),
+            sum(p[4] == "B" for p in pairs["train"]), B_KEY_OFFSET)
 
     tok_path = os.path.join(nsd_dir, "tokenizer.json")
     if os.path.exists(tok_path):
@@ -135,18 +190,13 @@ def _build_real_data(cfg: Config):
         tok.fit_on_texts([p[1] for p in pairs["train"] + pairs["val"]])
         tok.install_pad()
 
-    if os.path.exists(os.path.join(cfg.dataset.betas_path, "meta.json")):
-        store = open_pack(cfg.dataset.betas_path, device_resident=False)
-    else:
-        npys = glob.glob(os.path.join(cfg.dataset.betas_path, "*_KID*.npy"))
-        assert npys, (
-            f"dataset.betas_path {cfg.dataset.betas_path!r} contains neither "
-            "a packed dataset (meta.json) nor per-key *_KID*.npy beta files"
-        )
-        prefix = os.path.basename(npys[0]).split("_KID")[0]
-        store = ArrayStore.from_npy_dir(
-            cfg.dataset.betas_path, list(all_keys),
-            lambda key: f"{prefix}_KID{key}.npy",
+    store = _load_beta_store(cfg.dataset.betas_path, all_keys)
+    if store_b is not None:
+        store = ArrayStore(
+            np.concatenate([np.asarray(store.data),
+                            np.asarray(store_b.data)]),
+            [int(k) for k in store.keys]
+            + [int(k) + B_KEY_OFFSET for k in store_b.keys],
         )
 
     lh = np.load(os.path.join(nsd_dir, "glasser_lh.npy"))

@@ -107,3 +107,75 @@ def test_flagship_config_carries_15_region_removal():
     )
     assert len(cfg.groups_to_remove) == 15
     assert 142 in cfg.groups_to_remove
+
+
+def _make_two_subject_dataset(root, n_voxels=96):
+    """Subject A via _make_dataset, plus subject B: its own conditions CSV
+    (different unique keys), caption files, and betas dir."""
+    nsd, caps, betas = _make_dataset(root, n_voxels=n_voxels)
+    rng = np.random.default_rng(7)
+
+    unique_b = list(range(50, 66))           # 16 unique keys for B
+    shared = list(range(100, 106))           # same shared keys as A
+    lines = ["nsd_key,is_shared"]
+    lines += [f"{k},0" for k in unique_b]
+    lines += [f"{k},1" for k in shared]
+    (nsd / "subj05_conditions.csv").write_text("\n".join(lines))
+
+    caps_b = root / "caps_b"
+    caps_b.mkdir()
+    words = "a the dog cat runs sits park red blue".split()
+    for k in unique_b + shared:
+        caps_lines = [
+            " ".join(rng.choice(words, size=5)) + "." for _ in range(5)
+        ]
+        (caps_b / f"KID{k}.txt").write_text("\n".join(caps_lines))
+
+    betas_b = root / "betas_b"
+    betas_b.mkdir()
+    for k in unique_b + shared:
+        np.save(betas_b / f"subj05_KID{k}.npy",
+                rng.standard_normal(n_voxels).astype(np.float32))
+    return nsd, caps, betas, caps_b, betas_b
+
+
+def test_two_subject_ms2_real_data(tmp_path):
+    """ms2_nic + betas_path_b loads BOTH subjects: train pairs carry real
+    subject ids (no pseudo-subject fallback), B keys are offset, the
+    combined store serves both, and every training batch is [A ; B]."""
+    from masters_thesis_tpu.data.pairs import encode_pairs
+    from masters_thesis_tpu.experiment import B_KEY_OFFSET
+
+    nsd, caps, betas, caps_b, betas_b = _make_two_subject_dataset(tmp_path)
+    cfg = Config(
+        run="ms2_real", model="ms2_nic", epochs=1, batch_size=8, max_length=8,
+        top_k=30, units=16, attn_units=8, group_size=4, embedding_text=8,
+        log=str(tmp_path / "logs"),
+    )
+    cfg.dataset.betas_path = str(betas)
+    cfg.dataset.captions_path = str(caps)
+    cfg.dataset.betas_path_b = str(betas_b)
+    cfg.dataset.captions_path_b = str(caps_b)
+    cfg.dataset.nsd_dir = str(nsd)
+
+    split, pairs, tok, store, groups = build_data(cfg)
+    subs = {p[4] for p in pairs["train"]}
+    assert subs == {"A", "B"}
+    n_a = sum(p[4] == "A" for p in pairs["train"])
+    n_b = sum(p[4] == "B" for p in pairs["train"])
+    assert n_a == 100 and n_b == 80     # (20 and 16 unique keys) x 5
+    # B keys offset; combined store covers both key spaces
+    b_keys = [p[0] for p in pairs["train"] if p[4] == "B"]
+    assert min(b_keys) >= B_KEY_OFFSET
+    assert store.indices_for(np.asarray([1, 50 + B_KEY_OFFSET])).shape == (2,)
+    # test split stays subject A (raw keys)
+    assert all(p[0] < B_KEY_OFFSET for p in pairs["test"])
+
+    # real subject ids -> subject_split engages without the pseudo fallback
+    enc = encode_pairs(pairs["train"], tok, cfg.max_length)
+    assert set(np.unique(enc.subjects)) == {0, 1}
+
+    run_path, logs, bundle = run_training(cfg, epochs=1)
+    assert np.isfinite(logs["loss"])
+    with open(f"{run_path}/log.log") as f:
+        assert "pseudo-subject" not in f.read()
