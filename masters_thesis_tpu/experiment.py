@@ -159,7 +159,10 @@ def _build_real_data(cfg: Config):
         for name in ("train", "val", "test")
     }
 
-    two_subject = (cfg.model.lower() == "ms2_nic"
+    # ms2_nic: two encoders, [A;B] split batches; ms_nic: ONE shared encoder
+    # on the mixed pair list (main_ms_single_enc.py — equal-halves loss ==
+    # batch mean, so plain shuffling is the correct layout there)
+    two_subject = (cfg.model.lower() in ("ms2_nic", "ms_nic")
                    and bool(cfg.dataset.betas_path_b))
     store_b = None
     if two_subject:

@@ -54,6 +54,7 @@ _SLOW_TESTS = {
     "test_ms2_nic_trains_and_modes_share_params",
     "test_real_data_build_and_train",
     "test_two_subject_ms2_real_data",
+    "test_two_subject_ms_nic_shared_encoder",
     "test_resnet50_structure_and_shapes",
     "test_resume_from_checkpoint",
     "test_run_eval_beam_writes_nonzero_attention",

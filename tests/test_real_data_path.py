@@ -179,3 +179,25 @@ def test_two_subject_ms2_real_data(tmp_path):
     assert np.isfinite(logs["loss"])
     with open(f"{run_path}/log.log") as f:
         assert "pseudo-subject" not in f.read()
+
+
+def test_two_subject_ms_nic_shared_encoder(tmp_path):
+    """ms_nic (shared encoder, main_ms_single_enc.py) trains on the mixed
+    two-subject pair list with plain shuffling — equal-halves loss equals
+    the batch mean, so no split layout is needed."""
+    nsd, caps, betas, caps_b, betas_b = _make_two_subject_dataset(tmp_path)
+    cfg = Config(
+        run="ms_real", model="ms_nic", epochs=1, batch_size=8, max_length=8,
+        top_k=30, units=16, attn_units=8, group_size=4, embedding_text=8,
+        log=str(tmp_path / "logs"),
+    )
+    cfg.dataset.betas_path = str(betas)
+    cfg.dataset.captions_path = str(caps)
+    cfg.dataset.betas_path_b = str(betas_b)
+    cfg.dataset.captions_path_b = str(caps_b)
+    cfg.dataset.nsd_dir = str(nsd)
+
+    split, pairs, tok, store, groups = build_data(cfg)
+    assert {p[4] for p in pairs["train"]} == {"A", "B"}
+    run_path, logs, bundle = run_training(cfg, epochs=1)
+    assert np.isfinite(logs["loss"])
