@@ -422,6 +422,22 @@ def _run_analyze(args) -> dict:
                    if label.startswith("BLEU-")},
             }
 
+        # cross-run caption agreement: n-gram hit rate + Jaccard between this
+        # run's captions and another run's for the shared keys (the
+        # cross-subject comparison Eval/hit_rate.py circles around)
+        if args.compare_run:
+            other = os.path.join(args.compare_run, f"captions_{e}.txt")
+            if os.path.exists(other):
+                from masters_thesis_tpu.evalsuite.analysis import hit_rate
+
+                caps_b = {}
+                for ln in open(other):
+                    if "\t" in ln:
+                        k, t = ln.rstrip("\n").split("\t", 1)
+                        caps_b[int(k)] = t
+                report[f"cross_run_hit_rate_{e}"] = hit_rate(
+                    dict(zip(keys, texts)), caps_b)
+
         # nearest-training-caption retrieval (guse_comparison.py): rank every
         # (trial, cid) training caption by cosine distance to each eval
         # caption's sentence embedding, dump top-3 + farthest per candidate
@@ -647,6 +663,9 @@ def main(argv=None) -> int:
     an.add_argument("--flat-coords", default=None,
                     help="npz of lh/rh (V, 2) flat-surface vertex coords "
                     "(scripts/export_flat_coords.py) for true flatmap scatter")
+    an.add_argument("--compare-run", default=None, metavar="DIR",
+                    help="another run dir: cross-run caption n-gram hit "
+                         "rate + Jaccard on shared keys per epoch")
     an.add_argument("--word-map", type=int, default=None, metavar="IDX",
                     help="render trial IDX's (word x region) attention map "
                          "(eval_output.py attention_against_word)")

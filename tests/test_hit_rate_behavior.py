@@ -88,3 +88,25 @@ def test_load_behavior_hits_skips_nan_iscorrect(tmp_path):
         f.write("2\t1\t9\t1.0\n")
     hits = load_behavior_hits(str(tsv))
     assert hits == {7: 1, 9: 1}
+
+
+def test_analyze_compare_run_cross_hit_rate(tmp_path):
+    import contextlib
+    import io
+    import json
+
+    from masters_thesis_tpu.cli import main
+
+    run_a = tmp_path / "a"
+    run_b = tmp_path / "b"
+    run_a.mkdir(), run_b.mkdir()
+    (run_a / "captions_1.txt").write_text("1\ta red car\n2\tthe blue boat\n")
+    (run_b / "captions_1.txt").write_text("1\ta red bike\n2\tgreen train\n")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["analyze", "--run", str(run_a),
+                     "--compare-run", str(run_b)]) == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    hr = rep["cross_run_hit_rate_1"]
+    # key 1 shares unigrams ('a', 'red'), key 2 shares none -> hit rate 0.5
+    assert hr["n_shared"] == 2 and hr["hit_rate"] == 0.5
