@@ -66,7 +66,15 @@ def write_pack(directory: str, keys, rows, dtype=np.float32) -> dict:
         row_shape = rows.shape[1:]
     else:
         rows = iter(rows)
-        first_key, first_row = next(rows)
+        first = next(rows, None)
+        if first is None:
+            # open_pack supports zero-row packs, but the row shape can't be
+            # inferred from nothing — a clear error beats a bare
+            # StopIteration escaping from write_pack
+            raise ValueError(
+                "write_pack got an empty rows iterable; pass an (0, D) "
+                "ndarray (with its keys) to write a valid empty pack")
+        first_key, first_row = first
         row_shape = np.asarray(first_row).shape
 
         def chain():

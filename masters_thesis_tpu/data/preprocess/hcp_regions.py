@@ -40,17 +40,25 @@ HCP_MMP1_REGIONS = [
 ]
 
 
+_HEADER_WORDS = frozenset(
+    "region regions name names parcel parcels label labels area areas "
+    "description region_name area_description".split())
+
+
 def load_names_csv(path: str) -> list[str]:
-    """One region name per line (optionally 'index,name' rows); header rows
-    that don't parse are skipped."""
+    """One region name per line (optionally 'index,name' rows).
+
+    Header detection: the FIRST row is dropped when its last cell matches a
+    common header word (region/name/parcel/label/area variants) — an
+    unskipped header would shift every region name by one position."""
     names: list[str] = []
     with open(path) as f:
-        for line in f:
+        for i, line in enumerate(f):
             line = line.strip()
             if not line:
                 continue
             cell = line.split(",")[-1].strip()
-            if cell.lower() in ("region", "name", "regions"):
+            if i == 0 and cell.lower().replace(" ", "_") in _HEADER_WORDS:
                 continue
             names.append(cell)
     return names

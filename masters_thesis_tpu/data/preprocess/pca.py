@@ -56,8 +56,14 @@ def fit_pca(
     if use_jax:
         try:
             return _fit_jax(x, mean, k, n_oversample, n_iter, seed)
-        except Exception:  # pragma: no cover - fall through to numpy
-            pass
+        except Exception as e:  # pragma: no cover - fall through to numpy
+            import logging
+
+            # the host factorization of a (27k, 62k) matrix takes HOURS —
+            # say why the accelerator path was abandoned
+            logging.getLogger(__name__).warning(
+                "jax PCA path failed (%s: %s); falling back to numpy",
+                type(e).__name__, e)
     return _fit_numpy(x, mean, k, n_oversample, n_iter, seed)
 
 

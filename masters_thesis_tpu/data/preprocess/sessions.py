@@ -148,6 +148,11 @@ def ingest_sessions(
             f"session {ses_i}: {all_verts.shape[1]} trials in betas vs "
             f"{len(rows)} behavior rows"
         )
+        # beta column t pairs with the session's t-th PRESENTATION — a
+        # behavior file exported in any other order (e.g. sorted by 73KID)
+        # would silently mislabel every trial. (RUN, TRIAL) is the
+        # presentation order within a session.
+        rows = sorted(rows, key=lambda r: (int(r["RUN"]), int(r["TRIAL"])))
         if zscore_data:
             # reference z-scores the (V, T) array across trials (axis=1);
             # session_zscore takes (T, V) with axis=0 — same math transposed
@@ -174,8 +179,16 @@ def ingest_sessions(
             if caps:
                 cap_dir = os.path.join(subj_dir, "captions")
                 os.makedirs(cap_dir, exist_ok=True)
+                # strip every line-structure character from the caption:
+                # newlines would split the file's rows, tabs would corrupt
+                # the '{path}#{i}\t{caption}' format that load_captions_dir
+                # parses with rsplit('\t', 1)
+                def _clean(c: str) -> str:
+                    return (c.replace("\n", " ").replace("\r", " ")
+                            .replace("\t", " "))
+
                 lines = "".join(
-                    f"{beta_path}#{i}\t{c.replace(chr(10), '')}\n"
+                    f"{beta_path}#{i}\t{_clean(c)}\n"
                     for i, c in enumerate(caps[:5])
                 )
                 # mode "w" on every presentation — the reference's exact

@@ -82,14 +82,41 @@ class BatchLoss(Callback):
             os.path.join(run_path, "batch_training_log.csv"), self.FIELDS
         )
         self.every = every
+        self._pending: list = []
 
     def on_batch_end(self, trainer, step, logs):
+        # metrics may still live on device (the per-step path hands them
+        # over un-fetched): float()-ing here would block the host on every
+        # step's device call — buffer and format at epoch end instead
+        # (identical CSV; the scanned path already defers delivery)
         if step % self.every == 0:
+            self._pending.append(
+                (step, {k: v for k, v in logs.items() if k in self.FIELDS}))
+
+    def _flush(self):
+        for step, logs in self._pending:
             row = {"step": step}
-            row.update(
-                {k: f"{float(v):.6f}" for k, v in logs.items() if k in self.FIELDS}
-            )
+            row.update({k: f"{float(v):.6f}" for k, v in logs.items()})
             self.csv.write(row)
+        self._pending.clear()
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        self._flush()
+
+    def on_train_end(self, trainer):
+        # runs in the trainer's finally: no rows are lost on error/interrupt
+        self._flush()
+
+
+def _preview_betas(trainer, batch):
+    """Device betas for a stored preview batch: host rows when the pipeline
+    staged them, device gather by index for HBM-resident stores (one shared
+    helper — the same branch used to live in three callbacks)."""
+    import jax.numpy as jnp
+
+    if "betas" in batch:
+        return jnp.asarray(batch["betas"])
+    return trainer.store.device_gather(batch["idx"])
 
 
 class PredictPreview(Callback):
@@ -105,16 +132,11 @@ class PredictPreview(Callback):
     def on_epoch_end(self, trainer, epoch, logs):
         if epoch % self.every:
             return
-        import jax.numpy as jnp
-
         variables = {
             "params": trainer.state.params,
             "batch_stats": trainer.state.batch_stats,
         }
-        if "betas" in self.batch:
-            betas = jnp.asarray(self.batch["betas"])
-        else:  # device-resident store: gather by index
-            betas = trainer.store.device_gather(self.batch["idx"])
+        betas = _preview_betas(trainer, self.batch)
         words, _, _ = self.decoder(variables, betas, self.tokenizer.start_id)
         texts = self.tokenizer.sequences_to_texts(list(words))
         with open(self.path, "a") as f:
@@ -182,18 +204,13 @@ class CaptionImagePreview(Callback):
     def on_epoch_end(self, trainer, epoch, logs):
         if epoch % self.every:
             return
-        import jax.numpy as jnp
-
         from masters_thesis_tpu.utils.tensorboard import render_caption_image
 
         variables = {
             "params": trainer.state.params,
             "batch_stats": trainer.state.batch_stats,
         }
-        if "betas" in self.batch:
-            betas = jnp.asarray(self.batch["betas"])
-        else:
-            betas = trainer.store.device_gather(self.batch["idx"])
+        betas = _preview_betas(trainer, self.batch)
         words, _, _ = self.decoder(variables, betas, self.tokenizer.start_id)
         texts = self.tokenizer.sequences_to_texts(list(words))
         for i, text in enumerate(texts[: self.max_images]):
@@ -310,29 +327,27 @@ class GradStats(Callback):
         self.stats_fn = stats_fn
         self.batch = batch
         self.every = every
-        self._wrote_header = False
 
     def on_epoch_end(self, trainer, epoch, logs):
         if epoch % self.every:
             return
         import jax.numpy as jnp
 
-        if "betas" in self.batch:
-            betas = jnp.asarray(self.batch["betas"])
-        else:
-            betas = trainer.store.device_gather(self.batch["idx"])
+        betas = _preview_betas(trainer, self.batch)
         stats = self.stats_fn(
             trainer.state, betas, jnp.asarray(self.batch["tokens"]),
             jnp.asarray(self.batch["target"]),
         )
         import csv as _csv
 
+        # header only when the file doesn't exist: per-process state would
+        # append a duplicate header mid-CSV on every resumed run
+        write_header = not os.path.exists(self.path)
         with open(self.path, "a", newline="") as f:
             w = _csv.writer(f)
-            if not self._wrote_header:
+            if write_header:
                 w.writerow(["epoch", "param", "grad_norm", "grad_mean_abs",
                             "grad_max_abs"])
-                self._wrote_header = True
             for name, (norm, mean_abs, max_abs) in sorted(stats.items()):
                 w.writerow([epoch, name, f"{norm:.6e}", f"{mean_abs:.6e}",
                             f"{max_abs:.6e}"])

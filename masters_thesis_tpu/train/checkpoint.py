@@ -157,16 +157,21 @@ def merge_by_name(template, source) -> tuple[dict, dict]:
     template's init elsewhere. Returns (merged, report)."""
     report = {"loaded": [], "skipped_shape": [], "missing": []}
 
+    from collections.abc import Mapping
+
     def walk(tpl, src, prefix):
-        if not isinstance(tpl, dict):
+        # Mapping, not dict: flax FrozenDict (older flax returns it from
+        # Module.init) must walk too — a dict-only check would silently
+        # no-op the whole merge and warm starts would load ZERO weights
+        if not isinstance(tpl, Mapping):
             return tpl
         out = {}
         for k, v in tpl.items():
             p = f"{prefix}/{k}" if prefix else k
-            s = src.get(k) if isinstance(src, dict) else None
-            if isinstance(v, dict):
-                out[k] = walk(v, s if isinstance(s, dict) else {}, p)
-            elif s is not None and not isinstance(s, dict):
+            s = src.get(k) if isinstance(src, Mapping) else None
+            if isinstance(v, Mapping):
+                out[k] = walk(v, s if isinstance(s, Mapping) else {}, p)
+            elif s is not None and not isinstance(s, Mapping):
                 if np.shape(s) == np.shape(v):
                     out[k] = jax.numpy.asarray(s)
                     report["loaded"].append(p)

@@ -141,3 +141,14 @@ def test_word_map_short_captions_file_is_skipped(tmp_path):
     # basenames only: tmp_path itself embeds the test name ("word_map")
     names = {a.rsplit("/", 1)[-1] for a in report["artifacts"]}
     assert not any("word_map" in n for n in names)
+
+
+def test_names_csv_skips_common_headers(tmp_path):
+    csv = tmp_path / "h.csv"
+    csv.write_text("index,region_name\n1,alpha\n2,beta\n")
+    assert load_names_csv(str(csv)) == ["alpha", "beta"]
+    # only the FIRST row is header-checked: a parcel actually named
+    # 'label' mid-file survives
+    csv2 = tmp_path / "h2.csv"
+    csv2.write_text("parcel\nalpha\nlabel\n")
+    assert load_names_csv(str(csv2)) == ["alpha", "label"]

@@ -94,3 +94,45 @@ def test_pca_reconstructs_low_rank(use_jax):
     np.testing.assert_allclose(
         model.components @ model.components.T, np.eye(3), atol=1e-4
     )
+
+
+def test_groups_from_atlas_n_labels_pins_blocks(caplog):
+    import logging
+
+    from masters_thesis_tpu.data.preprocess.glasser import groups_from_atlas
+
+    lh = np.array([1, 2, 2, 3])
+    rh = np.array([1, 1, 0, 0])   # RH max 1 < LH max 3
+    with caplog.at_level(logging.WARNING):
+        groups = groups_from_atlas(lh, rh)
+    assert "different label ranges" in caplog.text
+    assert len(groups) == 3 + 1   # per-hemi max sizing (legacy default)
+
+    pinned = groups_from_atlas(lh, rh, n_labels=3)
+    assert len(pinned) == 6       # 3 LH + 3 RH, empty groups preserved
+    assert pinned[3].tolist() == [4, 5]   # RH label 1 at index n_labels+0
+    assert pinned[4].size == 0            # absent RH label 2 -> empty
+
+
+def test_write_pack_empty_iterable_raises(tmp_path):
+    from masters_thesis_tpu.data.pack import open_pack, write_pack
+
+    with pytest.raises(ValueError, match="empty rows iterable"):
+        write_pack(str(tmp_path / "p"), None, iter([]))
+    # the ndarray form still writes a valid zero-row pack
+    write_pack(str(tmp_path / "p2"), [], np.zeros((0, 7), np.float32))
+    store = open_pack(str(tmp_path / "p2"))
+    assert len(store) == 0
+
+
+def test_merge_by_name_walks_frozendict():
+    import flax.core
+    import jax.numpy as jnp
+
+    from masters_thesis_tpu.train.checkpoint import merge_by_name
+
+    tpl = flax.core.freeze({"layer": {"kernel": jnp.zeros((2, 2))}})
+    src = {"layer": {"kernel": np.ones((2, 2), np.float32)}}
+    merged, report = merge_by_name(tpl, src)
+    assert report["loaded"] == ["layer/kernel"]
+    np.testing.assert_array_equal(np.asarray(merged["layer"]["kernel"]), 1.0)

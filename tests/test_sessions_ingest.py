@@ -252,3 +252,44 @@ def test_caption_prefix_stripped_for_tokenizer(tmp_path):
         "/x/betas_SUB2_S1_R1_T1_KID9.npy#0\ta cat sleeps.\nplain caption.\n")
     caps = load_captions_dir(str(d))
     assert caps[9] == ["a cat sleeps.", "plain caption."]
+
+
+def test_ingest_pairs_by_presentation_order_not_file_order(tmp_path):
+    """Behavior rows written in a non-presentation order (e.g. exported
+    sorted by 73KID) must still pair beta column t with the session's t-th
+    presentation — silent mislabeling otherwise."""
+    sessions_dir, behav, caps_json, raw, kid_schedule = _write_fixture(
+        tmp_path, n_sessions=1)
+    # rewrite the behavior file with rows shuffled (sorted by KID)
+    lines = behav.read_text().splitlines()
+    header, rows = lines[0], lines[1:]
+    rows_sorted = sorted(rows, key=lambda ln: int(ln.split(",")[-1]))
+    assert rows_sorted != rows  # the shuffle is real
+    behav.write_text("\n".join([header] + rows_sorted) + "\n")
+
+    out = tmp_path / "out"
+    ingest_sessions(str(sessions_dir), str(behav), str(out), n_sessions=1,
+                    zscore_data=False)
+    # trial t's beta (raw column t) must be saved under kid_schedule[0][t]
+    for t, kid in enumerate(kid_schedule[0]):
+        path = (out / "subj_2" / "betas" /
+                f"betas_SUB2_S1_R1_T{t + 1}_KID{kid}.npy")
+        np.testing.assert_allclose(
+            np.load(path), raw[1][:, t].astype(np.float32), rtol=1e-6)
+
+
+def test_ingest_sanitizes_tabs_in_captions(tmp_path):
+    """Tabs/CR in caption text would corrupt the '{path}#{i}\\t{caption}'
+    line format that load_captions_dir splits on."""
+    sessions_dir, behav, caps_json, raw, kid_schedule = _write_fixture(
+        tmp_path, n_sessions=1)
+    caps = {"11": ["a man\twalking a dog\r\nnear a tree"],
+            "12": ["plain caption"], "13": ["x"], "14": ["y"], "15": ["z"]}
+    caps_json.write_text(json.dumps(caps))
+    out = tmp_path / "out"
+    ingest_sessions(str(sessions_dir), str(behav), str(out), n_sessions=1,
+                    captions_json=str(caps_json))
+    from masters_thesis_tpu.data.captions import load_captions_dir
+
+    got = load_captions_dir(str(out / "subj_2" / "captions"))
+    assert got[11] == ["a man walking a dog  near a tree"]

@@ -502,3 +502,42 @@ def test_optimizer_chain_agc_before_clipnorm():
     c, _ = cn.update(a, cn.init(w))
     np.testing.assert_allclose(np.asarray(upd["k"]),
                                -np.asarray(c["k"]), rtol=1e-6)
+
+
+def test_gradstats_resume_no_duplicate_header(tmp_path):
+    """A resumed run (fresh process) must append rows, not a second header
+    mid-CSV."""
+    from masters_thesis_tpu.train.callbacks import GradStats
+
+    batch = {"betas": np.zeros((2, 4), np.float32),
+             "tokens": np.zeros((2, 3), np.int32),
+             "target": np.zeros((2, 3), np.int32)}
+
+    def stats_fn(state, betas, tokens, target):
+        return {"layer/kernel": (1.0, 0.5, 2.0)}
+
+    class T:  # minimal trainer stand-in
+        state = None
+        store = None
+
+    gs1 = GradStats(str(tmp_path), stats_fn, batch, every=1)
+    gs1.on_epoch_end(T(), 0, {})
+    gs2 = GradStats(str(tmp_path), stats_fn, batch, every=1)  # "resume"
+    gs2.on_epoch_end(T(), 1, {})
+    lines = (tmp_path / "df_grads.csv").read_text().splitlines()
+    assert sum(1 for ln in lines if ln.startswith("epoch,")) == 1
+    assert len(lines) == 3  # header + 2 rows
+
+
+def test_batchloss_buffers_until_epoch_end(tmp_path):
+    from masters_thesis_tpu.train.callbacks import BatchLoss
+
+    bl = BatchLoss(str(tmp_path), every=1)
+    bl.on_batch_end(None, 1, {"loss": 1.5, "total": 2.0})
+    bl.on_batch_end(None, 2, {"loss": 1.25, "total": 1.75})
+    csv_path = tmp_path / "batch_training_log.csv"
+    n_rows_before = len(csv_path.read_text().splitlines())
+    assert n_rows_before <= 1  # nothing but (maybe) a header yet
+    bl.on_epoch_end(None, 0, {})
+    rows = csv_path.read_text().splitlines()
+    assert len(rows) == 3 and rows[1].startswith("1,")
