@@ -54,13 +54,20 @@ class HashEmbedder:
 
     def __init__(self, dim: int = 512):
         self.dim = dim
+        self._cache: dict[str, np.ndarray] = {}
 
     def _word_vec(self, word: str) -> np.ndarray:
-        h = hashlib.sha1(word.encode()).digest()
-        rng = np.random.Generator(
-            np.random.PCG64(int.from_bytes(h[:8], "little"))
-        )
-        return rng.standard_normal(self.dim).astype(np.float32)
+        # cached: Generator construction is ~ms-scale and corpus words
+        # repeat heavily (10k keys x 5 captions share a small vocabulary)
+        v = self._cache.get(word)
+        if v is None:
+            h = hashlib.sha1(word.encode()).digest()
+            rng = np.random.Generator(
+                np.random.PCG64(int.from_bytes(h[:8], "little"))
+            )
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            self._cache[word] = v
+        return v
 
     def embed(self, sentences: list[str]) -> np.ndarray:
         out = np.zeros((len(sentences), self.dim), np.float32)
@@ -127,26 +134,35 @@ def nearest_training_captions(
     loops scipy ``cosine_distance`` over all 45,000 rows per candidate."""
     embedder = embedder or default_embedder()
     n, c, d = train_embeddings.shape
-    flat = train_embeddings.reshape(n * c, d).astype(np.float64)
-    norm = np.linalg.norm(flat, axis=1, keepdims=True)
+    # float32 throughout: cosine ranking needs ~1e-6, not f64 (f64 made the
+    # normalize+matmul 4-6x slower at the real (10k, 5, 512) table size)
+    flat = np.ascontiguousarray(train_embeddings.reshape(n * c, d), np.float32)
+    norm = np.sqrt(np.einsum("ij,ij->i", flat, flat))[:, None]
     flat = flat / np.where(norm == 0, 1.0, norm)
-    cand = embedder.embed([guse_clean(s) for s in candidates]).astype(np.float64)
-    cnorm = np.linalg.norm(cand, axis=1, keepdims=True)
+    cand = np.asarray(
+        embedder.embed([guse_clean(s) for s in candidates]), np.float32)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cand, cand))[:, None]
     cand = cand / np.where(cnorm == 0, 1.0, cnorm)
     dist = 1.0 - cand @ flat.T                               # (K, N*C)
     top_k = min(top_k, n * c)
     results = []
     for row in dist:
-        order = np.argsort(row, kind="stable")
+        # argpartition (O(n)) instead of a full sort; ties break by index
+        # like the previous stable argsort
+        part = np.argpartition(row, top_k - 1)[:top_k] if top_k else []
+        order = sorted(part, key=lambda i: (row[i], i))
+
         def entry(idx: int) -> dict:
             trial, cid = divmod(int(idx), c)
             e = {"trial": trial, "cid": cid, "distance": float(row[idx])}
             if train_captions is not None:
                 e["caption"] = train_captions[trial][cid]
             return e
+
+        far = int(np.argmax(row)) if len(row) else None
         results.append({
-            "nearest": [entry(i) for i in order[:top_k]],
-            "farthest": entry(order[-1]) if len(order) else None,
+            "nearest": [entry(int(i)) for i in order],
+            "farthest": entry(far) if far is not None else None,
         })
     return results
 
