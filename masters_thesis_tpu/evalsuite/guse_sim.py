@@ -186,9 +186,21 @@ def guse_similarity(
     embedder = embedder or default_embedder()
     consistency = np.zeros(len(candidates))
     brain_corr = np.zeros(len(candidates))
-    for t, (cand, refs) in enumerate(zip(candidates, references_list)):
-        ref_emb = embedder.embed(refs)                      # (R, D)
-        cand_emb = embedder.embed([cand])                   # (1, D)
+    # embed everything in TWO calls, not two per trial: the USE encoder is
+    # a jitted device call, and 2T dispatches over the eval set dominate
+    # the metric's wall time on a tunneled TPU
+    cand_emb_all = (embedder.embed(list(candidates))
+                    if candidates else np.zeros((0, embedder.dim)))
+    flat_refs: list[str] = []
+    slices = []
+    for refs in references_list:
+        slices.append((len(flat_refs), len(flat_refs) + len(refs)))
+        flat_refs.extend(refs)
+    ref_emb_all = (embedder.embed(flat_refs)
+                   if flat_refs else np.zeros((0, embedder.dim)))
+    for t, (lo, hi) in enumerate(slices):
+        ref_emb = ref_emb_all[lo:hi]                        # (R, D)
+        cand_emb = cand_emb_all[t:t + 1]                    # (1, D)
         corr = _rowwise_pearson(ref_emb)
         consistency[t] = corr.mean()
         both = np.concatenate([ref_emb, cand_emb], axis=0)
