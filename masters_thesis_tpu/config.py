@@ -62,7 +62,11 @@ class TPUConfig:
     #                                  and the whole-decode serving kernel
     #                                  (ops/fused_decode.py); False forces
     #                                  plain-XLA paths everywhere
-    remat: bool = False              # jax.checkpoint the per-step scan body
+    remat: bool = False              # jax.checkpoint the decoder's per-
+    #                                  timestep scan body (NIC family): the
+    #                                  backward pass recomputes attention+cell
+    #                                  steps instead of storing T activation
+    #                                  sets — trades FLOPs for HBM
     scan_steps: int = 0              # >0: run K optimisation steps per device
     #                                  call (needs a device-resident store)
     profile_steps: int = 0           # >0: record wall-time stats for steps

@@ -247,6 +247,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
             dropout_attn=cfg.dropout_attn,
             dropout_lstm=cfg.dropout_lstm,
             dropout_out=cfg.dropout_out,
+            remat=cfg.tpu.remat,
         )
         return model, lc_nic_l2_rules(cfg), False
     if name in ("concat_lc_nic", "deep_lc_nic", "fc_nic"):
@@ -290,6 +291,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
             dropout_attn=cfg.dropout_attn,
             dropout_lstm=cfg.dropout_lstm,
             dropout_out=cfg.dropout_out,
+            remat=cfg.tpu.remat,
         )
         return model, lc_nic_l2_rules(cfg), False
     if name == "ms2_nic":
@@ -311,7 +313,8 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
             embed_dim=cfg.embedding_features, units=cfg.units,
             attn_units=cfg.attn_units, vocab_size=cfg.vocab_size,
             max_length=cfg.max_length, embedding_text=cfg.embedding_text,
-            dropout_features=cfg.dropout_features, **_nic_dropouts(cfg),
+            dropout_features=cfg.dropout_features, remat=cfg.tpu.remat,
+            **_nic_dropouts(cfg),
         )
         return model, lc_nic_l2_rules(cfg), False
     if name == "cnn_rnn":
@@ -319,7 +322,8 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
 
         model = CnnRnnNIC(
             embed_dim=256, units=cfg.units, vocab_size=cfg.vocab_size,
-            max_length=cfg.max_length, **_nic_dropouts(cfg),
+            max_length=cfg.max_length, remat=cfg.tpu.remat,
+            **_nic_dropouts(cfg),
         )
         return model, lc_nic_l2_rules(cfg), True
     if name in ("showtell", "thinkandtell"):
@@ -417,7 +421,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     # 84 MB/step voxel->group gather (the layout is the encoder's static
     # bucket order; params/checkpoints are identical either way)
     pregathered = (
-        cfg.tpu.scan_steps > 1
+        cfg.tpu.scan_steps > 0
         and not store.device_resident
         and jax.default_backend() == "tpu"
         and cfg.model.lower() in ("lc_nic", "ms_nic")
@@ -429,7 +433,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         GroupLayout(groups, n_voxels).save(os.path.join(run_path, "layout.npz"))
 
     store_width = n_voxels
-    if cfg.tpu.scan_steps > 1 and not store.device_resident:
+    if cfg.tpu.scan_steps > 0 and not store.device_resident:
         # multi-step training gathers betas on device: move the store into
         # HBM once (optionally bf16). On TPU the store is packed into the
         # (N, S, 128) row-block layout so the in-step gather runs through
@@ -596,7 +600,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         store=store,
         metric_logger=MetricLogger(os.path.join(run_path, "metrics.jsonl")),
     )
-    if cfg.tpu.scan_steps > 1:
+    if cfg.tpu.scan_steps > 0:
         from masters_thesis_tpu.train.steps import make_scanned_train_steps
 
         trainer.use_scanned_steps(

@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.nn.initializers as jinit
 import jax.numpy as jnp
 
 from masters_thesis_tpu.models.common import (
@@ -116,9 +117,19 @@ class DeepLocallyDense(nn.Module):
                 epsilon=BN_EPSILON,
                 name=f"bn{d}",
             )(y)
-            # per-region Dense: einsum over (B, G, D) with (G, D, D)
+            # per-region Dense: einsum over (B, G, D) with (G, D, D).
+            # The leading G axis is a batch of independent Dense layers, so
+            # the init must see fan_in = D per region (batch_axis=0) — plain
+            # he_normal folds G into the receptive field and lands ~sqrt(G)x
+            # too small (std 0.013 vs the reference per-region Dense's 0.25,
+            # deep_layers.py builds G separate Dense(he_normal) layers).
             w = self.param(
-                f"kernel{d}", he_normal, (y.shape[1], self.out_dim, self.out_dim)
+                f"kernel{d}",
+                jinit.variance_scaling(
+                    2.0, "fan_in", "truncated_normal",
+                    in_axis=-2, out_axis=-1, batch_axis=0,
+                ),
+                (y.shape[1], self.out_dim, self.out_dim),
             )
             b = self.param(
                 f"bias{d}", nn.initializers.zeros, (y.shape[1], self.out_dim)

@@ -62,6 +62,10 @@ class NIC(nn.Module):
     dropout_attn: float = 0.2
     dropout_lstm: float = 0.2
     dropout_out: float = 0.2
+    remat: bool = False  # cfg.tpu.remat: jax.checkpoint each scan timestep —
+    #                      the backward pass recomputes the attention+cell
+    #                      step instead of storing T sets of activations
+    #                      (trade FLOPs for HBM at large batch/units)
 
     def setup(self):
         self.attention = BahdanauAttention(
@@ -151,8 +155,12 @@ class NIC(nn.Module):
             out = mod.drop_lstm(out, deterministic=not training)
             return carry, (out, alpha[..., 0])
 
+        # remat: recompute each step in the backward pass instead of storing
+        # every timestep's attention/cell activations (prevent_cse is safe to
+        # drop inside scan — the loop body is compiled once)
+        body = nn.remat(step, prevent_cse=False) if self.remat else step
         scan = nn.scan(
-            step,
+            body,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=1,

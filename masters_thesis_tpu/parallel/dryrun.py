@@ -78,22 +78,28 @@ def dryrun_multichip(n_devices: int) -> None:
         return
 
     if not initialized:
-        # Backend not yet live: we can still steer this process.
-        flags = os.environ.get("XLA_FLAGS", "")
-        if _force_count_in_flags(flags) < n_devices:
-            flags = " ".join(
-                f for f in flags.split() if not f.startswith(_FORCE_FLAG)
-            )
-            os.environ["XLA_FLAGS"] = (
-                flags + f" {_FORCE_FLAG}={n_devices}"
-            ).strip()
-        import jax
+        # Run inline only when the environment is ALREADY steered to an
+        # n-device CPU backend (test/driver harnesses export JAX_PLATFORMS
+        # and the force-count flag before launch). Anything else goes to the
+        # subprocess: mutating XLA_FLAGS / jax_platforms here would pin the
+        # CALLER's process to a CPU backend for its whole lifetime — a
+        # library user dry-running early would silently lose the TPU for
+        # all subsequent training in the same interpreter.
+        env_platform = os.environ.get("JAX_PLATFORMS", "").split(",")[0]
+        if (
+            env_platform == "cpu"
+            and _force_count_in_flags(os.environ.get("XLA_FLAGS", ""))
+            >= n_devices
+        ):
+            import jax
 
-        jax.config.update("jax_platforms", "cpu")
-        if jax.default_backend() == "cpu" and len(jax.devices()) >= n_devices:
-            _dryrun_impl(n_devices)
-            return
-        # fall through: something else grabbed the backend first
+            if (
+                jax.default_backend() == "cpu"
+                and len(jax.devices()) >= n_devices
+            ):
+                _dryrun_impl(n_devices)
+                return
+            # fall through: something else grabbed the backend first
 
     _reexec_dryrun(n_devices)
 

@@ -54,9 +54,18 @@ def param_pspec(path_names, leaf, model_size: int = 1) -> P:
             )
         return False
 
-    if "encoder" in joined and names[-1].startswith("kernel") and ok(1):
-        # (G, P_pad, D): shard padded voxel axis
-        return P(None, "model", None)
+    if "encoder" in joined and names[-1].startswith("kernel"):
+        if len(shape) == 3 and ok(1):
+            # (G, P_pad, D): shard padded voxel axis
+            return P(None, "model", None)
+        if len(shape) == 2 and ok(0):
+            # rank-2 encoder kernels (FullyConnected (N, D), PatchDense
+            # (C, D), ConcatLocallyDense embed (G*D, E)): shard the input
+            # axis — the contraction dim, reduced by an XLA psum like the
+            # bucketed voxel axis above. A rank-3 spec here crashed
+            # device_put for every non-LocallyDense encoder.
+            return P("model", None)
+        return P()
     if names[-1] == "embedding" and ok(0):
         return P("model", None)
     if "dense_out" in joined and names[-1] == "kernel" and ok(1):
@@ -87,12 +96,13 @@ def state_shardings(state, mesh: Mesh):
 
     param_sh = jax.tree_util.tree_map(to_sharding, pspecs)
 
-    # match opt-state leaves (Adam moments mirror param shapes) to params
+    # match opt-state leaves (Adam moments mirror param shapes) to params;
+    # reuse the pspecs tree so the two maps cannot drift apart
     param_leaves = {
-        tuple(_name_of(p) for p in path): NamedSharding(
-            mesh, param_pspec([_name_of(p) for p in path], leaf, model_size)
+        tuple(_name_of(p) for p in path): NamedSharding(mesh, spec)
+        for path, spec in jax.tree_util.tree_leaves_with_path(
+            pspecs, is_leaf=lambda x: isinstance(x, P)
         )
-        for path, leaf in jax.tree_util.tree_leaves_with_path(state.params)
     }
 
     def opt_state_sharding(path, leaf):

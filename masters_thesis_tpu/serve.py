@@ -246,6 +246,10 @@ class Captioner:
                 f"{self.input_width} voxels/features"
             )
         n = len(inputs)
+        if n == 0:
+            # a request whose rows were all filtered upstream: return an
+            # empty (0, T) id matrix instead of np.concatenate([]) raising
+            return np.zeros((0, self.max_length), np.int32)
         out = []
         bs = self.batch_size
         dec = self._decoder(decoder)

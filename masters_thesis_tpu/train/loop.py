@@ -63,7 +63,7 @@ class Trainer:
     def use_scanned_steps(self, scanned_step) -> None:
         """Enable K-steps-per-device-call training (see
         train.steps.make_scanned_train_steps); requires a device-resident
-        store. Activated when cfg.tpu.scan_steps > 1."""
+        store. Activated when cfg.tpu.scan_steps > 0."""
         self.scanned_step = scanned_step
 
     def _run_epoch_scanned(self, scan_k: int) -> list[dict]:
@@ -75,9 +75,13 @@ class Trainer:
 
         def flush(chunk):
             k = len(chunk)
-            idx = jnp.stack([jnp.asarray(b["idx"]) for b in chunk])
-            tok = jnp.stack([jnp.asarray(b["tokens"]) for b in chunk])
-            tgt = jnp.stack([jnp.asarray(b["target"]) for b in chunk])
+            # stack on host, one transfer per array: stacking jnp.asarray
+            # pieces issued 3K tiny host->device copies plus device concats
+            # per call — the very per-dispatch overhead the scanned trainer
+            # amortises (worst on tunneled runtimes)
+            idx = jnp.asarray(np.stack([np.asarray(b["idx"]) for b in chunk]))
+            tok = jnp.asarray(np.stack([np.asarray(b["tokens"]) for b in chunk]))
+            tgt = jnp.asarray(np.stack([np.asarray(b["target"]) for b in chunk]))
             self.state, metrics = self.scanned_step(
                 self.state, data, idx, tok, tgt
             )
@@ -90,36 +94,42 @@ class Trainer:
             self._host_step += k
             pending.append((k, self._host_step, metrics))
 
-        for batch in self.train_pipe.epoch():
-            chunk.append(batch)
-            if len(chunk) == scan_k:
-                flush(chunk)
-                chunk = []
-                self._check_preempted()
+        try:
+            for batch in self.train_pipe.epoch():
+                chunk.append(batch)
+                if len(chunk) == scan_k:
+                    flush(chunk)
+                    chunk = []
+                    self._check_preempted()
 
-        if chunk:
-            # ragged tail: run singly through the per-step path, with the
-            # same timer/callback bookkeeping as full chunks (metrics stay
-            # on device; k=1 entries are un-stacked scalars)
-            for batch in chunk:
-                betas, tokens, target = self._batch_arrays(batch)
-                self.state, metrics = self.train_step(
-                    self.state, betas, tokens, target
-                )
-                self.timer.tick()
-                self._host_step += 1
-                pending.append((1, self._host_step, metrics))
-
-        # one deferred fetch for the whole epoch, then fire batch callbacks
-        # in order (values identical; delivery batched at epoch end)
-        for k, last_step, metrics in pending:
-            host = jax.device_get(metrics)
-            for i in range(k):
-                m = (host if k == 1 and np.ndim(next(iter(host.values()))) == 0
-                     else {key: val[i] for key, val in host.items()})
-                train_metrics.append(m)
-                for cb in self.callbacks:
-                    cb.on_batch_end(self, last_step - k + i + 1, m)
+            if chunk:
+                # ragged tail: run singly through the per-step path, with the
+                # same timer/callback bookkeeping as full chunks (metrics stay
+                # on device; k=1 entries are un-stacked scalars)
+                for batch in chunk:
+                    betas, tokens, target = self._batch_arrays(batch)
+                    self.state, metrics = self.train_step(
+                        self.state, betas, tokens, target
+                    )
+                    self.timer.tick()
+                    self._host_step += 1
+                    pending.append((1, self._host_step, metrics))
+        finally:
+            # one deferred fetch for the whole epoch, then fire batch
+            # callbacks in order (values identical; delivery batched at
+            # epoch end). Runs on preemption/interrupt/error too — the
+            # completed steps' rows must reach BatchLoss & co before the
+            # partial-save path fires, or the whole partial epoch's metrics
+            # silently vanish from the CSVs.
+            for k, last_step, metrics in pending:
+                host = jax.device_get(metrics)
+                for i in range(k):
+                    m = (host
+                         if k == 1 and np.ndim(next(iter(host.values()))) == 0
+                         else {key: val[i] for key, val in host.items()})
+                    train_metrics.append(m)
+                    for cb in self.callbacks:
+                        cb.on_batch_end(self, last_step - k + i + 1, m)
         return train_metrics
 
     def _batch_arrays(self, batch):
@@ -202,7 +212,7 @@ class Trainer:
     def _run_epoch(self, epoch: int) -> dict:
         t0 = time.perf_counter()
         scan_k = getattr(getattr(self.cfg, "tpu", None), "scan_steps", 0)
-        if scan_k > 1 and self.scanned_step is not None:
+        if scan_k > 0 and self.scanned_step is not None:
             train_metrics = self._run_epoch_scanned(scan_k)
         else:
             from masters_thesis_tpu.data.pipeline import device_prefetch

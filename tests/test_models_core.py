@@ -159,3 +159,78 @@ def test_cosine_decay_schedule_in_optimizer():
     s2 = tx2.init({"w": jnp.ones(3)})
     u2, s2 = tx2.update({"w": jnp.ones(3)}, s2, {"w": jnp.ones(3)})
     assert abs(float(np.asarray(u2["w"])[0])) < 0.05  # warming up from 0
+
+
+def test_deep_locally_dense_per_region_init_scale():
+    """The (G, D, D) deep kernels are a batch of independent per-region
+    Dense layers: init must see fan_in = D (std ~ sqrt(2/D)), not D*G —
+    plain he_normal folded G into the receptive field, landing ~sqrt(G)x
+    too small vs the reference's per-region Dense(he_normal) stacks
+    (deep_layers.py)."""
+    from masters_thesis_tpu.models.encoders import DeepLocallyDense
+
+    n_voxels, G, D = 512, 64, 32
+    groups = synthetic_groups(n_voxels=n_voxels, n_groups=G, seed=0)
+    enc = DeepLocallyDense(
+        layout=GroupLayout(groups, n_voxels), out_dim=D, depth=2, name="enc"
+    )
+    x = jnp.zeros((2, n_voxels), jnp.float32)
+    variables = enc.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, training=False,
+    )
+    w = np.asarray(variables["params"]["kernel1"])
+    assert w.shape == (G, D, D)
+    expected = np.sqrt(2.0 / D)
+    assert abs(float(w.std()) - expected) < 0.15 * expected, float(w.std())
+
+
+def test_nic_remat_matches_baseline_step():
+    """cfg.tpu.remat=True (jax.checkpoint on the decoder timestep) changes
+    memory, not numerics: one train step produces identical loss and
+    params with and without it."""
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.models.nic import LcNIC
+    from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+    from masters_thesis_tpu.train.optim import make_optimizer
+    from masters_thesis_tpu.train.state import TrainState, init_model
+    from masters_thesis_tpu.train.steps import make_train_step
+
+    cfg = Config(batch_size=4, max_length=6, top_k=40, units=16, attn_units=8,
+                 group_size=4, embedding_text=8)
+    n_voxels = 64
+    groups = synthetic_groups(n_voxels=n_voxels, n_groups=4, seed=0)
+    layout = GroupLayout(groups, n_voxels)
+    kw = dict(units=cfg.units, group_size=cfg.group_size,
+              embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+              vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    base = LcNIC(layout=layout, **kw)
+    rematted = LcNIC(layout=layout, remat=True, **kw)
+
+    rng = np.random.default_rng(0)
+    betas = jnp.asarray(rng.standard_normal((4, n_voxels)), jnp.float32)
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, cfg.max_length)),
+                         jnp.int32)
+    target = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, cfg.max_length)),
+                         jnp.int32)
+    params, bstats, prng = init_model(base, cfg, betas, tokens)
+    tx = make_optimizer(cfg)
+    rules = lc_nic_l2_rules(cfg)
+
+    def run(model):
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        state = TrainState.create(params=copy(params),
+                                  batch_stats=copy(bstats), tx=tx,
+                                  rng=jnp.copy(prng))
+        step = make_train_step(model, cfg, rules, donate=False)
+        return step(state, betas, tokens, target)
+
+    s0, m0 = run(base)
+    s1, m1 = run(rematted)
+    np.testing.assert_allclose(np.asarray(m0["loss"]), np.asarray(m1["loss"]),
+                               rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        s0.params, s1.params,
+    )

@@ -179,3 +179,26 @@ def test_captioner_sharded_serving_matches_single_device():
     full = np.repeat(betas, 2, axis=0)[: sharded.batch_size]
     ids = sharded.caption_ids(full)
     assert ids.shape == (sharded.batch_size, cfg.max_length)
+
+
+def test_captioner_empty_input():
+    """A request whose rows were all filtered upstream returns an empty
+    (0, T) matrix / empty list instead of np.concatenate([]) raising."""
+    cfg = Config(top_k=40, batch_size=4, max_length=6, units=16, attn_units=8,
+                 group_size=4, embedding_text=8)
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=8, n_voxels=64, n_groups=3, top_k=cfg.top_k
+    )
+    layout = GroupLayout(groups, 64)
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    betas = store.gather_host(np.arange(4, dtype=np.int32))
+    tokens = np.zeros((4, cfg.max_length), np.int32)
+    params, bstats, _ = init_model(model, cfg, betas, tokens)
+    cap = Captioner.from_components(
+        model, params, bstats, tok, cfg.units, cfg.max_length, batch_size=4
+    )
+    ids = cap.caption_ids(np.zeros((0, 64), np.float32))
+    assert ids.shape == (0, cfg.max_length)
+    assert cap.caption(np.zeros((0, 64), np.float32)) == []

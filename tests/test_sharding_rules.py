@@ -17,6 +17,66 @@ def test_encoder_kernels_shard_voxel_axis():
     assert spec == P()
 
 
+def test_rank2_encoder_kernels_shard_input_axis():
+    # FullyConnected (N, D) / PatchDense (C, D) / ConcatLocallyDense embed
+    # (G*D, E): rank-2 encoder kernels shard their contraction axis — the
+    # old rule emitted a rank-3 spec that crashed device_put for every
+    # non-LocallyDense encoder
+    assert param_pspec(["encoder", "fc", "kernel"], _Leaf((512, 64)), 2) == P(
+        "model", None
+    )
+    assert param_pspec(["encoder", "proj", "kernel"], _Leaf((2048, 512)), 4) == P(
+        "model", None
+    )
+    # non-divisible input axis -> replicated
+    assert param_pspec(["encoder", "fc", "kernel"], _Leaf((511, 64)), 2) == P()
+    # rank-1 encoder params never match the kernel rules
+    assert param_pspec(["encoder", "fc", "kernel_scale"], _Leaf((64,)), 2) == P()
+
+
+def test_shard_params_all_encoder_families():
+    """shard_params must place every model family's TrainState onto a
+    ('data','model') mesh — fc/concat/img/cnn_rnn encoders have rank-2
+    kernels that used to get a rank-3 spec and crash."""
+    import jax
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.data.synthetic import synthetic_groups
+    from masters_thesis_tpu.experiment import build_model
+    from masters_thesis_tpu.parallel.mesh import make_mesh
+    from masters_thesis_tpu.parallel.sharding import shard_params
+    from masters_thesis_tpu.train.optim import make_optimizer
+    from masters_thesis_tpu.train.state import TrainState, init_model
+
+    mesh = make_mesh(data=4, model=2)
+    n_voxels = 256
+    groups = synthetic_groups(n_voxels=n_voxels, n_groups=8, seed=0)
+    rng = np.random.default_rng(0)
+    for name in ("fc_nic", "concat_lc_nic", "deep_lc_nic", "img_nic",
+                 "cnn_rnn"):
+        cfg = Config(model=name, batch_size=8, max_length=5, top_k=63,
+                     units=16, attn_units=8, group_size=4, embedding_text=8,
+                     embedding_features=16)
+        model, _, _ = build_model(cfg, groups, n_voxels)
+        if name in ("img_nic", "cnn_rnn"):
+            x = np.asarray(
+                rng.standard_normal((cfg.batch_size, 4, 32)), np.float32)
+        else:
+            x = np.asarray(
+                rng.standard_normal((cfg.batch_size, n_voxels)), np.float32)
+        toks = np.asarray(
+            rng.integers(1, cfg.vocab_size, (cfg.batch_size, cfg.max_length)),
+            np.int32)
+        params, bstats, prng = init_model(model, cfg, x, toks)
+        state = TrainState.create(params=params, batch_stats=bstats,
+                                  tx=make_optimizer(cfg), rng=prng)
+        sharded = shard_params(state, mesh)  # crashed before the rank guard
+        assert all(
+            leaf.sharding.mesh.shape == mesh.shape
+            for leaf in jax.tree_util.tree_leaves(sharded.params)
+        ), name
+
+
 def test_embedding_and_head_shard_vocab():
     assert param_pspec(["embedding"], _Leaf((5000, 512)), 4) == P("model", None)
     assert param_pspec(["embedding"], _Leaf((5001, 512)), 4) == P()
