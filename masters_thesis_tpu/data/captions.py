@@ -34,7 +34,13 @@ def load_captions_dir(captions_path: str, keys=None) -> dict[int, list[str]]:
     """
     wanted = None if keys is None else {int(k) for k in keys}
     out: dict[int, list[str]] = {}
-    for entry in os.scandir(captions_path):
+    # .txt regular files only, in sorted order: a bare KID substring match
+    # read editor backups / stray binaries as caption files (or raised on a
+    # KID-named subdirectory), with scandir order deciding which file won a
+    # duplicated key
+    for entry in sorted(os.scandir(captions_path), key=lambda e: e.name):
+        if not entry.name.endswith(".txt") or not entry.is_file():
+            continue
         m = _KID_RE.search(entry.name)
         if not m:
             continue

@@ -52,14 +52,20 @@ def load_names_csv(path: str) -> list[str]:
     common header word (region/name/parcel/label/area variants) — an
     unskipped header would shift every region name by one position."""
     names: list[str] = []
-    with open(path) as f:
-        for i, line in enumerate(f):
+    first_data_row = True
+    with open(path, encoding="utf-8-sig") as f:  # -sig: Excel exports BOM
+        for line in f:
             line = line.strip()
             if not line:
                 continue
             cell = line.split(",")[-1].strip()
-            if i == 0 and cell.lower().replace(" ", "_") in _HEADER_WORDS:
-                continue
+            # header check binds to the first NON-EMPTY row, not raw line 0:
+            # a leading blank line used to push the header into the data and
+            # shift all 180 names by one
+            if first_data_row:
+                first_data_row = False
+                if cell.lower().replace(" ", "_") in _HEADER_WORDS:
+                    continue
             names.append(cell)
     return names
 

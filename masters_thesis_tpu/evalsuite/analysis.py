@@ -61,10 +61,15 @@ def caption_table(
         else [None] * len(candidates)
     )
     for i, (cand, refs) in enumerate(zip(candidates, references_list)):
+        # references get the reference cleanup (lowercase, strip
+        # punctuation) — raw COCO text ('A horse.') never matches the
+        # lowercased tokenizer output, deflating every score; and an
+        # empty reference list must score 0.0, not method1's smoothing
+        # floor (which ranked unreferenced captions above real zeros)
         b1 = sentence_bleu(
-            [r.split() for r in refs], cand.split(), weights=(1, 0, 0, 0),
-            smoothing="method1",
-        )
+            [guse_clean(r).split() for r in refs], cand.split(),
+            weights=(1, 0, 0, 0), smoothing="method1",
+        ) if refs else 0.0
         rows.append(
             {
                 "key": None if keys is None else int(keys[i]),
@@ -126,7 +131,16 @@ def bleu_by_hit_rate(
         for k in keys
     }
     for w in weights:
-        label = f"BLEU-{sum(x > 0 for x in w)}"
+        # label by the HIGHEST n-gram order the set touches, marking
+        # individual sets — counting non-zero weights labelled the
+        # individual 4-gram set (0,0,0,1) "BLEU-1" and let it silently
+        # overwrite the real BLEU-1 panel
+        nz = [i for i, x in enumerate(w) if x > 0]
+        label = f"BLEU-{nz[-1] + 1}" if nz else "BLEU-0"
+        if len(nz) == 1 and nz[0] > 0:
+            label += "-ind"
+        while label in out:
+            label += "'"
         groups: dict[int, list[float]] = {h: [] for h in range(max_hits + 1)}
         for k in keys:
             refs, hyp = tokenized[k]
@@ -651,7 +665,10 @@ def caption_grid_entries(keys, texts, image_loader=None, references=None,
         scores = []
         for i in rows:
             refs = references.get(int(keys[i]), [])
-            refs_tok = [r.split() for r in refs]
+            # same reference cleanup as bleu_by_hit_rate: raw COCO case/
+            # punctuation never matches tokenizer output, so every BLEU-4
+            # was ~0 and the best/worst split degenerated to input order
+            refs_tok = [guse_clean(r).split() for r in refs]
             scores.append(
                 sentence_bleu(refs_tok, texts[i].split()) if refs else 0.0)
         order = sorted(rows, key=lambda i: -scores[i])

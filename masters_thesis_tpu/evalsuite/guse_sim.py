@@ -147,10 +147,19 @@ def nearest_training_captions(
     top_k = min(top_k, n * c)
     results = []
     for row in dist:
-        # argpartition (O(n)) instead of a full sort; ties break by index
-        # like the previous stable argsort
-        part = np.argpartition(row, top_k - 1)[:top_k] if top_k else []
-        order = sorted(part, key=lambda i: (row[i], i))
+        # argpartition (O(n)) instead of a full sort. Ties at the kth
+        # distance can straddle the partition boundary with an arbitrary
+        # subset selected (duplicate COCO captions embed identically), so
+        # widen to every row at <= the selected max before the
+        # (distance, index) sort — index tie-breaks then match the old
+        # stable argsort exactly.
+        if top_k:
+            part = np.argpartition(row, top_k - 1)[:top_k]
+            thr = row[part].max()
+            tied = np.nonzero(row <= thr)[0]
+            order = sorted(tied, key=lambda i: (row[i], i))[:top_k]
+        else:
+            order = []
 
         def entry(idx: int) -> dict:
             trial, cid = divmod(int(idx), c)
@@ -183,6 +192,13 @@ def guse_similarity(
 ) -> dict:
     """Returns consistency/brain-corr vectors and their Pearson r, plus the
     name of the embedder that produced them (``embedder`` key)."""
+    if len(candidates) != len(references_list):
+        # extra references IndexError'd mid-metric; extra candidates
+        # silently diluted the correlation with untouched zero rows
+        raise ValueError(
+            f"candidates ({len(candidates)}) and references_list "
+            f"({len(references_list)}) must align one-to-one"
+        )
     embedder = embedder or default_embedder()
     consistency = np.zeros(len(candidates))
     brain_corr = np.zeros(len(candidates))

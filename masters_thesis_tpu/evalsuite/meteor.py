@@ -337,7 +337,9 @@ def corpus_meteor(references_list, hypotheses, use_stem: bool = True,
     agg = [0.0, 0.0, 0.0, 0.0, 0, 0]
     for refs, hyp in zip(references_list, hypotheses):
         hyp = list(hyp)
-        refs = [list(r) for r in refs if list(r)]
+        # materialise once THEN filter: `list(r) for r in refs if list(r)`
+        # drains generator references in the filter, leaving empty lists
+        refs = [r for r in (list(r) for r in refs) if r]
         if not refs:
             continue
         if not hyp:

@@ -176,9 +176,11 @@ def load_stimulus_images(images_path: str, keys, max_images: int = 4):
 
                     img = _np.asarray(img)
                 found = True
-            except Exception:  # unreadable file -> banner fallback
+                break
+            except Exception:
+                # unreadable file -> try the key's next format (a corrupt
+                # .png used to mask a perfectly loadable .npy)
                 img = None
-            break
         out.append(img)
     return out if found else None
 
@@ -362,19 +364,34 @@ class TensorBoardScalars(Callback):
 
         self.writer = EventWriter(logdir)
         self.batch_every = batch_every
+        self._pending: list = []
 
     def on_batch_end(self, trainer, step, logs):
         if step % self.batch_every == 0:
-            vals = {k: float(v) for k, v in logs.items()
-                    if k in ("loss", "accuracy", "L2", "grad_norm")}
-            self.writer.scalars(vals, step, prefix="batch/")
+            # buffer device values; float() here blocks the host on the
+            # in-flight step in the per-step path — the exact stall
+            # BatchLoss's epoch-end buffering exists to avoid
+            self._pending.append((step, {
+                k: logs[k] for k in ("loss", "accuracy", "L2", "grad_norm")
+                if k in logs
+            }))
+
+    def _flush(self):
+        for step, vals in self._pending:
+            self.writer.scalars({k: float(v) for k, v in vals.items()},
+                                step, prefix="batch/")
+        self._pending = []
 
     def on_epoch_end(self, trainer, epoch, logs):
+        self._flush()
         vals = {k: float(v) for k, v in logs.items()
                 if isinstance(v, (int, float))}
         self.writer.scalars(vals, epoch, prefix="epoch/")
 
     def on_train_end(self, trainer):
+        # trainer.fit's finally reaches here on error/interrupt too, so
+        # buffered batch rows survive a partial epoch
+        self._flush()
         self.writer.close()
 
 

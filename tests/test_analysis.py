@@ -229,3 +229,24 @@ def test_analyze_temporal_attention_artifacts(tmp_path):
             "attention_word_map_2_1.png"} <= names
     tops = report["top_region_per_step_2"]
     assert len(tops) == 3 and tops[0]["region"].startswith(("LH_", "RH_"))
+
+
+def test_caption_table_cleans_refs_and_zeroes_empty():
+    # raw COCO case/punctuation must not deflate scores; empty ref lists
+    # must score 0.0 (method1 smoothing gave them a spurious floor)
+    rows = caption_table(
+        ["a cat on a mat", "some words here"],
+        [["A cat on a mat."], []],
+        keys=[1, 2],
+    )
+    by_key = {r["key"]: r for r in rows}
+    assert by_key[1]["bleu1"] == 1.0
+    assert by_key[2]["bleu1"] == 0.0
+
+
+def test_caption_grid_entries_cleans_references(tmp_path):
+    from masters_thesis_tpu.evalsuite.analysis import caption_grid_entries
+
+    entries = caption_grid_entries(
+        [7], ["a cat on a mat"], references={7: ["A cat on a mat."]}, n=2)
+    assert entries[0][2].startswith("BLEU-4 1.000"), entries[0][2]

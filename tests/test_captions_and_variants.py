@@ -96,3 +96,14 @@ def test_vocab_overlap_counts_topk_intersection():
     tb.fit_on_texts(["b c c d"])
     out = vocab_overlap(ta, tb, top_k=2)       # A top-2 = [a, b]; B = [c, b]
     assert out == {"overlap": 1, "total": 2, "fraction": 0.5}
+
+
+def test_load_captions_dir_ignores_non_txt_and_subdirs(tmp_path):
+    d = tmp_path / "caps"
+    d.mkdir()
+    (d / "KID3.txt").write_text("a cat\n")
+    (d / "KID3.txt~").write_text("STALE BACKUP\n")     # editor backup
+    (d / "KID4.png").write_bytes(b"\x89PNG\x00not-text")  # binary
+    (d / "KID5").mkdir()                                # directory
+    caps = load_captions_dir(str(d))
+    assert caps == {3: ["a cat"]}

@@ -192,3 +192,39 @@ def test_nearest_guse_mismatched_caption_counts_drop_text(tmp_path):
     # rows still written, caption column empty (alignment not trusted)
     assert len(lines) == 1 + 4
     assert all(ln.endswith("\t") for ln in lines[1:])
+
+
+def test_nearest_ties_break_by_index_across_partition_boundary():
+    """Duplicate captions embed identically -> exactly tied distances; the
+    selection must keep the LOWEST indices (stable-argsort semantics), not
+    an arbitrary argpartition subset straddling the top_k boundary."""
+    import numpy as np
+
+    from masters_thesis_tpu.evalsuite.guse_sim import (
+        HashEmbedder,
+        nearest_training_captions,
+    )
+
+    emb = HashEmbedder(dim=16)
+    # 4 identical rows (trials 0..3, cid 0) then distinct fillers
+    same = np.tile(np.asarray(emb.embed(["a red bird"]))[0], (4, 1))
+    other = np.asarray(emb.embed(["totally different words here",
+                                  "another unrelated caption row"]))
+    table = np.concatenate([same, other], axis=0)[:, None, :]  # (6, 1, D)
+    res = nearest_training_captions(
+        ["a red bird"], table, top_k=3, embedder=emb)
+    picked = [(e["trial"], e["cid"]) for e in res[0]["nearest"]]
+    assert picked == [(0, 0), (1, 0), (2, 0)], picked
+
+
+def test_guse_similarity_rejects_misaligned_lengths():
+    import pytest
+
+    from masters_thesis_tpu.evalsuite.guse_sim import (
+        HashEmbedder,
+        guse_similarity,
+    )
+
+    with pytest.raises(ValueError, match="align"):
+        guse_similarity(["one caption"], [["r1"], ["r2"]],
+                        embedder=HashEmbedder(dim=8))

@@ -152,3 +152,13 @@ def test_names_csv_skips_common_headers(tmp_path):
     csv2 = tmp_path / "h2.csv"
     csv2.write_text("parcel\nalpha\nlabel\n")
     assert load_names_csv(str(csv2)) == ["alpha", "label"]
+
+
+def test_load_names_csv_bom_and_leading_blank(tmp_path):
+    from masters_thesis_tpu.data.preprocess.hcp_regions import load_names_csv
+
+    p = tmp_path / "names.csv"
+    # Excel-style export: UTF-8 BOM, a leading blank line, then the header
+    p.write_bytes("\xef\xbb\xbf\nindex,region_name\n1,V1\n2,MST\n".encode(
+        "latin-1"))
+    assert load_names_csv(str(p)) == ["V1", "MST"]

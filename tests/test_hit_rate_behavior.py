@@ -110,3 +110,18 @@ def test_analyze_compare_run_cross_hit_rate(tmp_path):
     hr = rep["cross_run_hit_rate_1"]
     # key 1 shares unigrams ('a', 'red'), key 2 shares none -> hit rate 0.5
     assert hr["n_shared"] == 2 and hr["hit_rate"] == 0.5
+
+
+def test_bleu_by_hit_rate_individual_weight_label():
+    """The individual 4-gram set must not be labelled BLEU-1 (and must not
+    overwrite the real BLEU-1 panel)."""
+    from masters_thesis_tpu.evalsuite.analysis import bleu_by_hit_rate
+
+    caps = {1: "a cat sat on the mat"}
+    refs = {1: ["a cat sat on the mat"]}
+    hits = {1: 2}
+    out = bleu_by_hit_rate(caps, refs, hits,
+                           weights=((1, 0, 0, 0), (0, 0, 0, 1)))
+    assert "BLEU-1" in out and "BLEU-4-ind" in out
+    assert out["BLEU-1"][2] == [1.0]
+    assert out["BLEU-4-ind"][2] == [1.0]

@@ -204,3 +204,14 @@ def test_paraphrase_converter_roundtrip(tmp_path):
     filtered = build_table(["dog ||| canine", "cat ||| feline"],
                            vocab={"dog", "canine"})
     assert filtered == {"canine": ["dog"]}
+
+
+def test_corpus_meteor_accepts_generator_references():
+    """Generator token sequences must survive the empty-ref filter (the old
+    double list(r) drained them to [] and scored the corpus ~0)."""
+    from masters_thesis_tpu.evalsuite.meteor import corpus_meteor
+
+    toks = ["a", "cat", "on", "a", "mat"]
+    score = corpus_meteor([[iter(toks)]], [list(toks)], params="1.5")
+    expected = corpus_meteor([[list(toks)]], [list(toks)], params="1.5")
+    assert score == expected and score > 0.5, (score, expected)
