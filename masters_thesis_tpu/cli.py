@@ -356,6 +356,55 @@ def _run_analyze(args) -> dict:
             plot_tsne(tcoords, tpng, title="betas t-SNE")
             report["artifacts"].append(tpng)
 
+        # top-N most-active-vertex ranking (+ split-stability overlap)
+        if args.top_verts:
+            from masters_thesis_tpu.evalsuite.analysis import (
+                most_active_vertices,
+            )
+
+            betas_b = (np.load(args.betas_b, mmap_mode="r")
+                       if args.betas_b else None)
+            mav = most_active_vertices(betas, betas_b, top_n=args.top_verts)
+            txt = os.path.join(out_dir, "most_active_vert.txt")
+            with open(txt, "w") as f:  # reference file shape: one index/line
+                for i in mav["indices"]:
+                    f.write(f"{i}\n")
+            report["artifacts"].append(txt)
+            report["most_active_vertices"] = {
+                k: mav[k] for k in ("top_n", "overlap", "overlap_fraction")
+                if k in mav}
+
+        # semantic-vs-neural similarity (betas_sim.py): needs row-aligned
+        # caption embeddings for the same trials
+        if args.guse:
+            from masters_thesis_tpu.evalsuite.analysis import (
+                betas_semantic_similarity,
+                plot_betas_similarity,
+            )
+
+            guse = np.load(args.guse)
+            targets = None
+            if args.sim_targets:
+                targets = [int(s) for s in args.sim_targets.split(",") if s]
+            sim = betas_semantic_similarity(betas, guse, targets=targets)
+            spng = os.path.join(out_dir, "betas_guse_similarity.png")
+            plot_betas_similarity(sim, spng)
+            report["artifacts"].append(spng)
+            report["betas_guse_similarity"] = {
+                "mse_similar_mean": sim["mse_similar_mean"],
+                "mse_random_mean": sim["mse_random_mean"],
+                "mse_ratio": sim["mse_ratio"],
+                "spearman_sem_vs_negmse": sim["spearman_sem_vs_negmse"],
+                "targets": [{k: p[k] for k in
+                             ("target", "most_similar", "max_cosine",
+                              "mse_similar_mean", "mse_random_mean")}
+                            for p in sim["targets"]],
+            }
+
+    if (args.top_verts or args.guse) and not args.betas:
+        report["betas_analysis_error"] = (
+            "--top-verts/--guse need --betas (the (N, V) trial array)")
+
     if args.responses and not references:
         report["bleu_hit_rate_error"] = (
             "--responses needs reference captions: the run config's "
@@ -672,6 +721,22 @@ def main(argv=None) -> int:
     an.add_argument("--betas", default=None, metavar="NPY",
                     help="(N, V) betas: trial-average + L1-norm vertex maps "
                          "and a t-SNE scatter (visualize_betas.py / tsne.py)")
+    an.add_argument("--betas-b", default=None, metavar="NPY",
+                    help="second (N, V) betas split for --top-verts overlap "
+                         "(most_active_vert.py compares unique vs shared)")
+    an.add_argument("--top-verts", type=int, default=None, metavar="N",
+                    help="rank the N most active vertices by mean |beta| of "
+                         "--betas (DataLoaders/most_active_vert.py) -> "
+                         "most_active_vert.txt (+ top-set overlap with "
+                         "--betas-b)")
+    an.add_argument("--guse", default=None, metavar="NPY",
+                    help="(N, 512) or (N, C, 512) caption embeddings "
+                         "row-aligned with --betas: semantic-vs-neural "
+                         "similarity analysis (DataLoaders/betas_sim.py) -> "
+                         "betas_guse_similarity.png")
+    an.add_argument("--sim-targets", default=None, metavar="I,J,...",
+                    help="target trial rows for --guse (default: the "
+                         "reference's row 100)")
     an.add_argument("--region-names", default=None, metavar="CSV",
                     help="override the built-in HCP-MMP1.0 parcel names "
                          "(one name per line / last CSV column)")

@@ -687,3 +687,169 @@ def caption_grid_entries(keys, texts, image_loader=None, references=None,
                 sub += f" | ref: {refs[0]}"
         entries.append((img, f"{keys[i]}: {texts[i]}", sub))
     return entries
+
+
+def most_active_vertices(betas: np.ndarray, betas_b: np.ndarray | None = None,
+                         top_n: int = 4096, chunk: int = 512) -> dict:
+    """Top-N most active vertices by mean |beta| over trials
+    (DataLoaders/most_active_vert.py:63-89): the reference averages
+    ``np.abs`` over the 9000-unique split, argsorts, keeps the top 4096,
+    and counts the overlap with the 1000-shared split's top set to check
+    the ranking is stable across splits. Streamed in row chunks so a
+    memmapped (9000, 327684) store never materialises (the reference
+    loads all 11 GB up front).
+
+    Returns ``indices`` (descending activity), ``mean_abs`` (full per-vertex
+    vector), and — when ``betas_b`` is given — ``indices_b``/``overlap``/
+    ``overlap_fraction`` of the two top-N sets."""
+
+    def _mean_abs(x) -> np.ndarray:
+        n, v = x.shape
+        acc = np.zeros(v, np.float64)
+        for s in range(0, n, chunk):
+            acc += np.abs(np.asarray(x[s:s + chunk], np.float64)).sum(axis=0)
+        return (acc / max(n, 1)).astype(np.float32)
+
+    mean_a = _mean_abs(betas)
+    top_n = min(top_n, mean_a.shape[0])
+    idx_a = np.argsort(mean_a, kind="stable")[::-1][:top_n]
+    out = {"top_n": int(top_n), "indices": idx_a,
+           "mean_abs": mean_a}
+    if betas_b is not None:
+        mean_b = _mean_abs(betas_b)
+        idx_b = np.argsort(mean_b, kind="stable")[::-1][:top_n]
+        overlap = np.intersect1d(idx_a, idx_b)
+        out.update(indices_b=idx_b, overlap=int(overlap.size),
+                   overlap_fraction=float(overlap.size / max(top_n, 1)))
+    return out
+
+
+def betas_semantic_similarity(
+    betas: np.ndarray,
+    guse: np.ndarray,
+    targets: list[int] | None = None,
+    n_similar: int = 100,
+    n_random: int = 100,
+    seed: int = 4,
+) -> dict:
+    """Do semantically similar stimuli evoke similar brain responses?
+    (DataLoaders/betas_sim.py:55-106.) For each target trial the reference
+    ranks every other trial by GUSE cosine similarity of the (averaged)
+    caption embeddings, then compares the betas-space MSE of the top-100
+    most-similar trials against 100 random trials. Beyond the reference's
+    eyeballed dot plot, this also reports a Spearman rank correlation
+    between semantic similarity and -MSE over the sampled pairs (the
+    RSA-style summary number).
+
+    ``guse``: (N, 512) per-trial embeddings row-aligned with ``betas``
+    (an (N, C, 512) caption table is averaged over C first)."""
+    betas = np.asarray(betas, np.float32)
+    guse = np.asarray(guse, np.float32)
+    if guse.ndim == 3:
+        guse = guse.mean(axis=1)
+    n = len(betas)
+    if len(guse) != n:
+        raise ValueError(f"betas rows ({n}) != guse rows ({len(guse)})")
+    gn = guse / np.maximum(np.linalg.norm(guse, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    if targets is None:
+        targets = [100 if n > 100 else 0]  # the reference's target index
+
+    per_target = []
+    sem_all: list[float] = []
+    neg_mse_all: list[float] = []
+    for t in targets:
+        cos = gn @ gn[t]
+        cos[t] = -np.inf  # never pick the target itself
+        order = np.argsort(cos, kind="stable")
+        sim_idx = order[::-1][:n_similar]
+        rand_idx = rng.integers(0, n, size=min(n_random, n))
+
+        def _mse(idx) -> np.ndarray:
+            d = betas[idx] - betas[t]
+            return np.mean(np.square(d, d), axis=1)
+
+        # never draw the target itself (the reference's randint can, putting
+        # a degenerate MSE-0 point in the "random" pool): remap t -> n-1
+        rand_idx = np.where(rand_idx == t, (t + 1) % n, rand_idx)
+
+        mse_sim = _mse(sim_idx)
+        mse_rand = _mse(rand_idx)
+        for idx, mses in ((sim_idx, mse_sim), (rand_idx, mse_rand)):
+            sem_all.extend(float(cos[i]) for i in idx)
+            neg_mse_all.extend(-float(v) for v in mses)
+        per_target.append({
+            "target": int(t),
+            "most_similar": int(sim_idx[0]),
+            "max_cosine": float(cos[sim_idx[0]]),
+            "mse_similar_mean": float(mse_sim.mean()),
+            "mse_random_mean": float(mse_rand.mean()),
+            "mse_similar": mse_sim,
+            "mse_random": mse_rand,
+        })
+
+    sim_means = [p["mse_similar_mean"] for p in per_target]
+    rand_means = [p["mse_random_mean"] for p in per_target]
+    return {
+        "targets": per_target,
+        "mse_similar_mean": float(np.mean(sim_means)),
+        "mse_random_mean": float(np.mean(rand_means)),
+        # < 1 means semantically-similar stimuli sit closer in betas space
+        "mse_ratio": float(np.mean(sim_means) / max(np.mean(rand_means),
+                                                    1e-12)),
+        "spearman_sem_vs_negmse": _spearman(np.asarray(sem_all),
+                                            np.asarray(neg_mse_all)),
+    }
+
+
+def _spearman(x: np.ndarray, y: np.ndarray) -> float:
+    """Spearman rank correlation (average ranks for ties)."""
+    if len(x) < 2:
+        return 0.0
+
+    def _rank(v: np.ndarray) -> np.ndarray:
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), np.float64)
+        ranks[order] = np.arange(len(v), dtype=np.float64)
+        # average tied ranks so exact duplicates don't bias the correlation
+        uniq, inv, counts = np.unique(v, return_inverse=True,
+                                      return_counts=True)
+        sums = np.zeros(len(uniq), np.float64)
+        np.add.at(sums, inv, ranks)
+        return sums[inv] / counts[inv]
+
+    rx, ry = _rank(x), _rank(y)
+    rx -= rx.mean()
+    ry -= ry.mean()
+    denom = np.sqrt((rx * rx).sum() * (ry * ry).sum())
+    return float((rx * ry).sum() / denom) if denom > 0 else 0.0
+
+
+def plot_betas_similarity(result: dict, out_png: str) -> None:  # pragma: no cover
+    """The betas_sim.py comparison figure: per-target strip of betas-MSE
+    for GUSE-similar vs random trials."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for k, p in enumerate(result["targets"]):
+        x = k + 1
+        ax.plot([x] * len(p["mse_similar"]), p["mse_similar"], "go",
+                alpha=0.4, markersize=4,
+                label="GUSE-similar" if k == 0 else None)
+        ax.plot([x + 0.25] * len(p["mse_random"]), p["mse_random"], "ro",
+                alpha=0.4, markersize=4, label="random" if k == 0 else None)
+    ax.set_xticks([k + 1 for k in range(len(result["targets"]))])
+    ax.set_xticklabels([str(p["target"]) for p in result["targets"]])
+    ax.set_xlabel("target trial")
+    ax.set_ylabel("betas MSE to target")
+    ax.set_title(
+        f"semantic vs neural similarity — MSE ratio "
+        f"{result['mse_ratio']:.3f}, Spearman "
+        f"{result['spearman_sem_vs_negmse']:.3f}")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)

@@ -250,3 +250,98 @@ def test_caption_grid_entries_cleans_references(tmp_path):
     entries = caption_grid_entries(
         [7], ["a cat on a mat"], references={7: ["A cat on a mat."]}, n=2)
     assert entries[0][2].startswith("BLEU-4 1.000"), entries[0][2]
+
+
+def test_most_active_vertices_ranking_and_overlap():
+    from masters_thesis_tpu.evalsuite.analysis import most_active_vertices
+
+    rng = np.random.default_rng(0)
+    n, v = 40, 64
+    base = rng.normal(size=v).astype(np.float32)
+    # vertices 0..9 are 10x louder in both splits; splits share structure
+    base[:10] += 10.0
+    a = base + 0.1 * rng.normal(size=(n, v)).astype(np.float32)
+    b = base + 0.1 * rng.normal(size=(n, v)).astype(np.float32)
+    out = most_active_vertices(a, b, top_n=10, chunk=7)
+    assert set(out["indices"].tolist()) == set(range(10))
+    assert out["overlap"] == 10 and out["overlap_fraction"] == 1.0
+    # reference semantics: argsort of mean |betas|, top-N
+    ref = np.argsort(np.abs(a).mean(axis=0))[-10:]
+    assert set(out["indices"].tolist()) == set(ref.tolist())
+    # descending activity order
+    ma = out["mean_abs"][out["indices"]]
+    assert (np.diff(ma) <= 1e-6).all()
+
+
+def test_betas_semantic_similarity_detects_structure():
+    from masters_thesis_tpu.evalsuite.analysis import (
+        betas_semantic_similarity,
+    )
+
+    rng = np.random.default_rng(1)
+    n, v, d = 60, 32, 8
+    # latent semantic factor drives BOTH the embedding and the betas:
+    # semantically-similar trials must sit closer in betas space
+    z = rng.normal(size=(n, d)).astype(np.float32)
+    proj_g = rng.normal(size=(d, 16)).astype(np.float32)
+    proj_b = rng.normal(size=(d, v)).astype(np.float32)
+    guse = z @ proj_g
+    betas = z @ proj_b + 0.05 * rng.normal(size=(n, v)).astype(np.float32)
+    out = betas_semantic_similarity(betas, guse, targets=[3, 17],
+                                    n_similar=8, n_random=20, seed=4)
+    assert out["mse_ratio"] < 1.0  # similar trials closer than random
+    assert out["spearman_sem_vs_negmse"] > 0.3
+    assert len(out["targets"]) == 2
+    t0 = out["targets"][0]
+    assert t0["most_similar"] != 3 and -1.0 <= t0["max_cosine"] <= 1.0
+    # (N, C, 512)-style caption tables average over C
+    out3 = betas_semantic_similarity(
+        betas, np.stack([guse, guse], axis=1), targets=[3, 17],
+        n_similar=8, n_random=20, seed=4)
+    assert np.isclose(out3["mse_ratio"], out["mse_ratio"])
+
+
+def test_spearman_rank_correlation():
+    from masters_thesis_tpu.evalsuite.analysis import _spearman
+
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    assert _spearman(x, 2 * x + 1) == 1.0
+    assert _spearman(x, -x) == -1.0
+    # ties get averaged ranks (monotone but tied data stays +1-ish, not nan)
+    assert _spearman(np.array([1.0, 1.0, 2.0, 2.0]),
+                     np.array([1.0, 1.0, 2.0, 2.0])) == 1.0
+
+
+def test_analyze_betas_flags(tmp_path):
+    import contextlib
+    import io
+    import json
+
+    from masters_thesis_tpu.cli import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    rng = np.random.default_rng(2)
+    betas = rng.normal(size=(30, 40)).astype(np.float32)
+    guse = rng.normal(size=(30, 12)).astype(np.float32)
+    np.save(tmp_path / "betas.npy", betas)
+    np.save(tmp_path / "betas_b.npy", betas + 0.01)
+    np.save(tmp_path / "guse.npy", guse)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["analyze", "--run", str(run),
+                     "--betas", str(tmp_path / "betas.npy"),
+                     "--betas-b", str(tmp_path / "betas_b.npy"),
+                     "--top-verts", "8",
+                     "--guse", str(tmp_path / "guse.npy"),
+                     "--sim-targets", "0,5"]) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    names = {a.rsplit("/", 1)[-1] for a in report["artifacts"]}
+    assert {"most_active_vert.txt", "betas_guse_similarity.png"} <= names
+    assert report["most_active_vertices"]["top_n"] == 8
+    assert report["most_active_vertices"]["overlap"] >= 7  # near-identical b
+    sim = report["betas_guse_similarity"]
+    assert {p["target"] for p in sim["targets"]} == {0, 5}
+    txt = [p for p in report["artifacts"]
+           if p.endswith("most_active_vert.txt")][0]
+    assert len(open(txt).read().split()) == 8
