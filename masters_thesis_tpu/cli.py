@@ -697,6 +697,29 @@ def main(argv=None) -> int:
                     "device): batch axis sharded over a ('data',) mesh, "
                     "params replicated")
 
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP captioning service with dynamic micro-batching: "
+        "POST /caption (betas .npy or JSON body) -> captions; concurrent "
+        "requests coalesce into one device dispatch",
+    )
+    sv.add_argument("--run", required=True, help="training run directory")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000,
+                    help="0 picks a free port (printed on startup)")
+    sv.add_argument("--decoder", choices=["greedy", "beam", "sample"],
+                    default="greedy", help="default decoder "
+                    "(per-request override: POST /caption?decoder=beam)")
+    sv.add_argument("--max-batch", type=int, default=64,
+                    help="max rows coalesced into one device call")
+    sv.add_argument("--max-wait-ms", type=float, default=5.0,
+                    help="how long to hold the first request for "
+                    "co-batchable work")
+    sv.add_argument("--subject", choices=["a", "b"], default="a",
+                    help="ms2_nic runs: which per-subject encoder serves")
+    sv.add_argument("--shard", type=int, default=0,
+                    help="data-parallel serving over N chips")
+
     an = sub.add_parser(
         "analyze",
         help="post-hoc run analysis: loss plot, caption POS stats, "
@@ -835,6 +858,34 @@ def main(argv=None) -> int:
         else:
             for t in texts:
                 print(t)
+        return 0
+
+    if args.cmd == "serve":
+        from masters_thesis_tpu.serve import Captioner
+        from masters_thesis_tpu.server import (
+            make_caption_server,
+            serve_forever,
+        )
+
+        kw = {"subject": args.subject}
+        if args.shard:
+            from masters_thesis_tpu.parallel.mesh import (
+                make_mesh,
+                maybe_distributed_init,
+            )
+
+            maybe_distributed_init()
+            kw["mesh"] = make_mesh(data=args.shard, model=1)
+        cap = Captioner.from_run_dir(args.run, **kw)
+        server = make_caption_server(
+            cap, host=args.host, port=args.port,
+            default_decoder=args.decoder, max_batch=args.max_batch,
+            max_wait_s=args.max_wait_ms / 1000.0)
+        host, port = server.server_address[:2]
+        print(json.dumps({"serving": f"http://{host}:{port}",
+                          "decoder": args.decoder,
+                          "max_batch": args.max_batch}), flush=True)
+        serve_forever(server)
         return 0
     cfg = Config.load(args.config)
 
