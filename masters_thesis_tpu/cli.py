@@ -150,6 +150,91 @@ def _run_stimuli(args) -> dict:
     return {"out_dir": args.out_dir, "exported": n, "format": args.format}
 
 
+def _run_score(args) -> dict:
+    """Standalone caption scoring (Eval/one_shot.py + evaluate.py): a saved
+    captions file vs references, without rebuilding a run. Accepts the
+    run artifacts directly — ``captions_{e}.txt`` (key\\ttext) or the
+    reference-format ``output_captions_{e}.npy`` token-id matrix (with its
+    ``tokenizer.json`` and a key list)."""
+    import os
+
+    import numpy as np
+
+    from masters_thesis_tpu.evalsuite.guse_sim import (
+        default_embedder,
+        guse_similarity,
+    )
+    from masters_thesis_tpu.evalsuite.metric_suite import (
+        bleu_table,
+        evaluate_captions,
+    )
+
+    # --- candidates ---
+    keys: list[int] = []
+    texts: list[str] = []
+    if args.captions.endswith(".npy"):
+        if not (args.tokenizer and args.keys):
+            raise SystemExit(
+                "scoring an .npy id matrix needs --tokenizer tokenizer.json "
+                "and --keys <file> (one NSD key per row)")
+        from masters_thesis_tpu.data.tokenizer import Tokenizer
+        from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
+
+        ids = np.load(args.captions)
+        if ids.ndim == 3 and ids.shape[-1] == 1:
+            ids = ids[..., 0]  # the reference saves (N, T, 1) (one_shot.py)
+        tok = Tokenizer.load(args.tokenizer)
+        keys = [int(ln.split()[0]) for ln in open(args.keys)
+                if ln.strip()]
+        if len(keys) != len(ids):
+            raise SystemExit(
+                f"--keys has {len(keys)} rows but the id matrix has "
+                f"{len(ids)}")
+        texts = [ids_to_caption(row, tok) for row in ids]
+    else:
+        for ln in open(args.captions):
+            if "\t" in ln:
+                k, t = ln.rstrip("\n").split("\t", 1)
+                keys.append(int(k))
+                texts.append(t)
+        if not keys:
+            raise SystemExit(
+                f"{args.captions} has no key\\ttext lines")
+
+    # --- references ---
+    if os.path.isdir(args.references):
+        from masters_thesis_tpu.data.captions import load_captions_dir
+
+        refs_by_key = load_captions_dir(args.references, keys=keys)
+    else:
+        payload = json.load(open(args.references))
+        refs_by_key = {int(k): list(v) for k, v in payload.items()}
+
+    scored_keys, cands, refs = [], [], []
+    for k, t in zip(keys, texts):
+        r = refs_by_key.get(int(k))
+        if r:
+            scored_keys.append(int(k))
+            cands.append(t)
+            refs.append(r)
+    if not cands:
+        raise SystemExit("no candidate key has references")
+
+    report = {
+        "n_candidates": len(keys),
+        "n_scored": len(cands),
+        "n_missing_refs": len(keys) - len(cands),
+        "scores": evaluate_captions(cands, refs),
+    }
+    guse = guse_similarity(cands, refs, embedder=default_embedder(None))
+    prefix = "GUSE" if guse["embedder"] == "use_dan" else "GUSE_hash"
+    report["scores"][f"{prefix}_pearson_r"] = guse["pearson_r"]
+    report["scores"][f"{prefix}_mean_corr"] = guse["mean_brain_corr"]
+    if args.bleu_table:
+        report["bleu_table"] = bleu_table(cands, refs)
+    return report
+
+
 def _run_analyze(args) -> dict:
     """Post-hoc analysis over a finished run dir (the Eval/ scripts'
     artifacts: loss curves, caption word-class stats, attention figures)."""
@@ -697,6 +782,27 @@ def main(argv=None) -> int:
                     "device): batch axis sharded over a ('data',) mesh, "
                     "params replicated")
 
+    so = sub.add_parser(
+        "score",
+        help="score a saved captions file against references — no run/"
+        "config needed (Eval/one_shot.py + evaluate.py: BLEU table over an "
+        "output_captions_{e}.npy)",
+    )
+    so.add_argument("--captions", required=True,
+                    help="captions_{e}.txt (key\\ttext lines) or "
+                    "output_captions_{e}.npy token ids")
+    so.add_argument("--tokenizer", default=None,
+                    help="tokenizer.json — required for .npy ids")
+    so.add_argument("--keys", default=None,
+                    help="text file of NSD keys, one per .npy row — "
+                    "required for .npy")
+    so.add_argument("--references", required=True,
+                    help="KID{key}.txt captions dir, or a JSON "
+                    "{key: [caption, ...]} annotations dict (utils.py)")
+    so.add_argument("--bleu-table", action="store_true",
+                    help="also emit the 8-weight NLTK BLEU table "
+                    "(evaluate.py:178-226)")
+
     sv = sub.add_parser(
         "serve",
         help="HTTP captioning service with dynamic micro-batching: "
@@ -858,6 +964,10 @@ def main(argv=None) -> int:
         else:
             for t in texts:
                 print(t)
+        return 0
+
+    if args.cmd == "score":
+        print(json.dumps(_run_score(args)))
         return 0
 
     if args.cmd == "serve":

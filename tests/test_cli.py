@@ -114,3 +114,68 @@ def test_cli_eval_resume_decodes_without_retraining(tmp_path, capsys):
     assert glob.glob(os.path.join(run_path, "output_captions_*.npy"))
     # restore-only: the training log did not grow
     assert open(os.path.join(run_path, "loss_history.csv")).read() == hist
+
+
+def test_cli_score_txt_and_npy(tmp_path):
+    """`mtt score`: standalone scoring of saved caption artifacts
+    (Eval/one_shot.py + evaluate.py) without a run or config."""
+    import contextlib
+    import io
+    import json
+
+    import numpy as np
+
+    from masters_thesis_tpu.cli import main
+    from masters_thesis_tpu.data.tokenizer import Tokenizer
+
+    refs = tmp_path / "captions"
+    refs.mkdir()
+    (refs / "KID7.txt").write_text("a dog runs fast\na dog running\n")
+    (refs / "KID9.txt").write_text("a red boat\nthe boat sails\n")
+
+    caps = tmp_path / "captions_3.txt"
+    caps.write_text("7\ta dog runs fast\n9\ta red boat\n11\tno refs here\n")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["score", "--captions", str(caps),
+                     "--references", str(refs), "--bleu-table"]) == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["n_candidates"] == 3 and rep["n_scored"] == 2
+    assert rep["n_missing_refs"] == 1
+    # exact matches -> perfect BLEU-1
+    assert rep["scores"]["Bleu_1"] > 0.999
+    assert "GUSE_hash_pearson_r" in rep["scores"]  # honest label, no weights
+    assert rep["bleu_table"]["Cumulative-1"] > 0.999
+
+    # reference-format .npy id matrix (+ tokenizer + key list); the
+    # reference saves (N, T, 1) — exercised via the squeeze path
+    tok = Tokenizer()
+    tok.fit_on_texts(["a dog runs fast", "a red boat"])
+    tok.install_pad()
+    seqs = tok.texts_to_sequences(["a dog runs fast", "a red boat"])
+    ids = np.zeros((2, 8, 1), np.int32)
+    for r, seq in enumerate(seqs):
+        ids[r, :len(seq), 0] = seq
+    np.save(tmp_path / "output_captions_3.npy", ids)
+    (tmp_path / "tokenizer.json").write_text(tok.to_json())
+    (tmp_path / "keys.txt").write_text("7\n9\n")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["score", "--captions",
+                     str(tmp_path / "output_captions_3.npy"),
+                     "--tokenizer", str(tmp_path / "tokenizer.json"),
+                     "--keys", str(tmp_path / "keys.txt"),
+                     "--references", str(refs)]) == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["n_scored"] == 2 and rep["scores"]["Bleu_1"] > 0.999
+
+    # JSON annotations dict as references (utils.py layout)
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({"7": ["a dog runs fast"],
+                               "9": ["a red boat"]}))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["score", "--captions", str(caps),
+                     "--references", str(ann)]) == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["scores"]["Bleu_1"] > 0.999
