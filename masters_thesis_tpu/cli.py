@@ -160,12 +160,10 @@ def _run_score(args) -> dict:
 
     import numpy as np
 
-    from masters_thesis_tpu.evalsuite.guse_sim import (
-        default_embedder,
-        guse_similarity,
-    )
+    from masters_thesis_tpu.evalsuite.guse_sim import labelled_guse_scores
     from masters_thesis_tpu.evalsuite.metric_suite import (
         bleu_table,
+        clean_references,
         evaluate_captions,
     )
 
@@ -216,7 +214,9 @@ def _run_score(args) -> dict:
         if r:
             scored_keys.append(int(k))
             cands.append(t)
-            refs.append(r)
+            # raw COCO reference text never matches tokenizer output — the
+            # same normalisation every in-run scoring path applies
+            refs.append(clean_references(r))
     if not cands:
         raise SystemExit("no candidate key has references")
 
@@ -226,10 +226,7 @@ def _run_score(args) -> dict:
         "n_missing_refs": len(keys) - len(cands),
         "scores": evaluate_captions(cands, refs),
     }
-    guse = guse_similarity(cands, refs, embedder=default_embedder(None))
-    prefix = "GUSE" if guse["embedder"] == "use_dan" else "GUSE_hash"
-    report["scores"][f"{prefix}_pearson_r"] = guse["pearson_r"]
-    report["scores"][f"{prefix}_mean_corr"] = guse["mean_brain_corr"]
+    report["scores"].update(labelled_guse_scores(cands, refs))
     if args.bleu_table:
         report["bleu_table"] = bleu_table(cands, refs)
     return report
@@ -419,15 +416,20 @@ def _run_analyze(args) -> dict:
             plot_vertex_attention,
         )
 
+        from masters_thesis_tpu.evalsuite.analysis import (
+            streamed_betas_stats,
+        )
+
+        # keep the memmap: every consumer below streams or row-indexes, so
+        # a reference-scale (10k, 327k) store never materialises in RAM
         betas = np.load(args.betas, mmap_mode="r")
-        betas = np.asarray(betas, np.float32)
         if betas.ndim == 1:
-            betas = betas[None]
+            betas = np.asarray(betas, np.float32)[None]
         n_lh_b = betas.shape[1] // 2
-        for tag, vec in (("mean", betas.mean(axis=0)),
-                         ("l1norm", np.abs(betas).sum(axis=0))):
+        stats = streamed_betas_stats(betas)
+        for tag in ("mean", "l1norm"):
             bpng = os.path.join(out_dir, f"betas_{tag}.png")
-            plot_vertex_attention(vec, bpng, n_lh_b, coords=coords)
+            plot_vertex_attention(stats[tag], bpng, n_lh_b, coords=coords)
             report["artifacts"].append(bpng)
         if len(betas) > 2:
             x = betas

@@ -712,16 +712,34 @@ def most_active_vertices(betas: np.ndarray, betas_b: np.ndarray | None = None,
 
     mean_a = _mean_abs(betas)
     top_n = min(top_n, mean_a.shape[0])
-    idx_a = np.argsort(mean_a, kind="stable")[::-1][:top_n]
+    # stable DESCENDING sort (argsort(-x)) so tied activities rank
+    # lowest-index-first, the repo's tie convention; reversing an ascending
+    # stable sort would anti-stabilize ties
+    idx_a = np.argsort(-mean_a, kind="stable")[:top_n]
     out = {"top_n": int(top_n), "indices": idx_a,
            "mean_abs": mean_a}
     if betas_b is not None:
         mean_b = _mean_abs(betas_b)
-        idx_b = np.argsort(mean_b, kind="stable")[::-1][:top_n]
+        idx_b = np.argsort(-mean_b, kind="stable")[:top_n]
         overlap = np.intersect1d(idx_a, idx_b)
         out.update(indices_b=idx_b, overlap=int(overlap.size),
                    overlap_fraction=float(overlap.size / max(top_n, 1)))
     return out
+
+
+def streamed_betas_stats(betas, chunk: int = 512) -> dict:
+    """Per-vertex trial-average and L1-norm (visualize_betas.py's maps),
+    accumulated in row chunks so a memmapped reference-scale store never
+    materialises in RAM."""
+    n, v = betas.shape
+    mean = np.zeros(v, np.float64)
+    l1 = np.zeros(v, np.float64)
+    for s in range(0, n, chunk):
+        x = np.asarray(betas[s:s + chunk], np.float64)
+        mean += x.sum(axis=0)
+        l1 += np.abs(x).sum(axis=0)
+    return {"mean": (mean / max(n, 1)).astype(np.float32),
+            "l1norm": l1.astype(np.float32)}
 
 
 def betas_semantic_similarity(
@@ -742,8 +760,9 @@ def betas_semantic_similarity(
     RSA-style summary number).
 
     ``guse``: (N, 512) per-trial embeddings row-aligned with ``betas``
-    (an (N, C, 512) caption table is averaged over C first)."""
-    betas = np.asarray(betas, np.float32)
+    (an (N, C, 512) caption table is averaged over C first). ``betas`` may
+    be a memmap — only the target/similar/random rows are ever read
+    (~200 rows per target, <1% of a reference-scale store)."""
     guse = np.asarray(guse, np.float32)
     if guse.ndim == 3:
         guse = guse.mean(axis=1)
@@ -761,12 +780,15 @@ def betas_semantic_similarity(
     for t in targets:
         cos = gn @ gn[t]
         cos[t] = -np.inf  # never pick the target itself
-        order = np.argsort(cos, kind="stable")
-        sim_idx = order[::-1][:n_similar]
+        # cap at n-1: with n <= n_similar the -inf target would re-enter
+        # the tail of the "similar" pool as a degenerate MSE-0 point
+        sim_idx = np.argsort(-cos, kind="stable")[:min(n_similar, n - 1)]
         rand_idx = rng.integers(0, n, size=min(n_random, n))
+        bt = np.asarray(betas[t], np.float32)
 
         def _mse(idx) -> np.ndarray:
-            d = betas[idx] - betas[t]
+            rows = np.asarray(betas[np.asarray(idx, np.int64)], np.float32)
+            d = rows - bt
             return np.mean(np.square(d, d), axis=1)
 
         # never draw the target itself (the reference's randint can, putting

@@ -79,6 +79,21 @@ class HashEmbedder:
         return out
 
 
+def labelled_guse_scores(candidates, references_list,
+                         weights_path: str | None = None) -> dict:
+    """GUSE consistency scores with the honest-labeling rule applied in ONE
+    place: ``GUSE_*`` keys only when the real USE-DAN encoder produced them,
+    ``GUSE_hash_*`` for the bag-of-words fallback (so a word-overlap proxy
+    can never be mistaken for the reference metric, get_guse.py:49-63)."""
+    guse = guse_similarity(candidates, references_list,
+                           embedder=default_embedder(weights_path))
+    prefix = "GUSE" if guse["embedder"] == "use_dan" else "GUSE_hash"
+    return {
+        f"{prefix}_pearson_r": guse["pearson_r"],
+        f"{prefix}_mean_corr": guse["mean_brain_corr"],
+    }
+
+
 def guse_clean(line: str) -> str:
     """The reference's caption cleanup before embedding (get_guse.py:39-42):
     '.'/',' -> space, lowercase, collapse whitespace. No <start>/<end> —

@@ -86,11 +86,16 @@ def evaluate_token_outputs(
     """From decoder token output + NSD keys to the score dict
     (metric_suit.py main path)."""
     candidates = [ids_to_caption(row, tokenizer) for row in np.asarray(output_ids)]
-    references = [
-        [postprocess_text(c) for c in map(_clean, captions_by_key[int(k)])]
-        for k in keys
-    ]
+    references = [clean_references(captions_by_key[int(k)]) for k in keys]
     return evaluate_captions(candidates, references)
+
+
+def clean_references(refs: list[str]) -> list[str]:
+    """Reference-text normalisation shared by EVERY scoring path: raw COCO
+    captions ('A dog runs fast.') never match lowercased punctuation-free
+    tokenizer output, so scores computed against uncleaned references are
+    systematically depressed and non-comparable."""
+    return [postprocess_text(_clean(c)) for c in refs]
 
 
 def _clean(line: str) -> str:

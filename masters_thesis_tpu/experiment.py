@@ -896,10 +896,7 @@ def run_metrics(bundle, eval_out, captions_by_key=None) -> dict:
     reports as ``GUSE_hash_*`` so a word-overlap proxy can never be mistaken
     for the reference metric (get_guse.py:49-63)."""
     from masters_thesis_tpu.data.pairs import clean_caption
-    from masters_thesis_tpu.evalsuite.guse_sim import (
-        default_embedder,
-        guse_similarity,
-    )
+    from masters_thesis_tpu.evalsuite.guse_sim import labelled_guse_scores
     from masters_thesis_tpu.evalsuite.metric_suite import evaluate_captions
 
     if captions_by_key is None:
@@ -915,11 +912,8 @@ def run_metrics(bundle, eval_out, captions_by_key=None) -> dict:
 
     guse_dir = bundle["cfg"].dataset.guse_path
     bundle_path = os.path.join(guse_dir, "use_dan.npz") if guse_dir else None
-    embedder = default_embedder(
-        bundle_path if bundle_path and os.path.exists(bundle_path) else None
-    )
-    guse = guse_similarity(eval_out["texts"], refs, embedder=embedder)
-    prefix = "GUSE" if guse["embedder"] == "use_dan" else "GUSE_hash"
-    scores[f"{prefix}_pearson_r"] = guse["pearson_r"]
-    scores[f"{prefix}_mean_corr"] = guse["mean_brain_corr"]
+    scores.update(labelled_guse_scores(
+        eval_out["texts"], refs,
+        weights_path=(bundle_path if bundle_path
+                      and os.path.exists(bundle_path) else None)))
     return scores

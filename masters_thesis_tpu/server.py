@@ -103,9 +103,12 @@ class DynamicBatcher:
                 except queue.Empty:
                     break
                 if nxt is None:
+                    # a parked request can't be pending here: pushback is
+                    # only appended-to immediately before breaking out of
+                    # this loop, and the next outer iteration pops it as
+                    # `first` before the sentinel is read — so flushing
+                    # `batch` strands nobody
                     self._flush(batch)
-                    for r in pushback:  # never strand a parked waiter
-                        self._flush([r])
                     return
                 if (nxt.decoder != first.decoder
                         or rows + len(nxt.rows) > self.max_batch):
@@ -120,8 +123,13 @@ class DynamicBatcher:
             self._flush(batch)
 
     def _flush(self, batch: list[_Request]) -> None:
-        rows = np.concatenate([r.rows for r in batch], axis=0)
+        # EVERYTHING that can raise stays inside the try: an exception
+        # escaping _flush kills the batcher thread, after which every
+        # current and future request would hang on an unresolved future
+        # while /healthz stays green (e.g. concatenate on mismatched widths
+        # when the captioner has no input_width to validate against)
         try:
+            rows = np.concatenate([r.rows for r in batch], axis=0)
             texts = self.captioner.caption(rows, decoder=batch[0].decoder)
         except Exception as e:  # surface the error on every waiter
             for r in batch:

@@ -345,3 +345,56 @@ def test_analyze_betas_flags(tmp_path):
     txt = [p for p in report["artifacts"]
            if p.endswith("most_active_vert.txt")][0]
     assert len(open(txt).read().split()) == 8
+
+
+def test_most_active_vertices_ties_break_lowest_index_first():
+    from masters_thesis_tpu.evalsuite.analysis import most_active_vertices
+
+    # vertices 3 and 8 tie exactly; both beat the rest
+    betas = np.zeros((4, 12), np.float32)
+    betas[:, 3] = 2.0
+    betas[:, 8] = 2.0
+    betas[:, 5] = 1.0
+    out = most_active_vertices(betas, top_n=3)
+    assert out["indices"].tolist() == [3, 8, 5]
+
+
+def test_betas_semantic_similarity_excludes_target_from_similar_pool():
+    from masters_thesis_tpu.evalsuite.analysis import (
+        betas_semantic_similarity,
+    )
+
+    rng = np.random.default_rng(0)
+    n, v = 6, 16
+    betas = rng.normal(size=(n, v)).astype(np.float32)
+    guse = rng.normal(size=(n, 8)).astype(np.float32)
+    # n_similar far above n: the -inf-cosine target must NOT re-enter the
+    # tail of the similar pool as a degenerate MSE-0 point
+    out = betas_semantic_similarity(betas, guse, targets=[2],
+                                    n_similar=100, n_random=10, seed=1)
+    t = out["targets"][0]
+    assert len(t["mse_similar"]) == n - 1
+    assert (t["mse_similar"] > 0).all()
+
+
+def test_betas_analyses_work_from_memmap(tmp_path):
+    from masters_thesis_tpu.evalsuite.analysis import (
+        betas_semantic_similarity,
+        streamed_betas_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.normal(size=(25, 40)).astype(np.float32)
+    path = tmp_path / "betas.npy"
+    np.save(path, arr)
+    mm = np.load(path, mmap_mode="r")
+    stats = streamed_betas_stats(mm, chunk=7)
+    np.testing.assert_allclose(stats["mean"], arr.mean(axis=0), atol=1e-5)
+    np.testing.assert_allclose(stats["l1norm"], np.abs(arr).sum(axis=0),
+                               rtol=1e-5)
+    guse = rng.normal(size=(25, 8)).astype(np.float32)
+    out_mm = betas_semantic_similarity(mm, guse, targets=[4],
+                                       n_similar=5, n_random=5, seed=0)
+    out_ram = betas_semantic_similarity(arr, guse, targets=[4],
+                                        n_similar=5, n_random=5, seed=0)
+    assert np.isclose(out_mm["mse_ratio"], out_ram["mse_ratio"])

@@ -130,8 +130,10 @@ def test_cli_score_txt_and_npy(tmp_path):
 
     refs = tmp_path / "captions"
     refs.mkdir()
-    (refs / "KID7.txt").write_text("a dog runs fast\na dog running\n")
-    (refs / "KID9.txt").write_text("a red boat\nthe boat sails\n")
+    # raw COCO style (capitals + periods): mtt score must normalise these
+    # like every in-run scoring path, or BLEU collapses on real data
+    (refs / "KID7.txt").write_text("A dog runs fast.\nA dog running.\n")
+    (refs / "KID9.txt").write_text("A red boat.\nThe boat sails.\n")
 
     caps = tmp_path / "captions_3.txt"
     caps.write_text("7\ta dog runs fast\n9\ta red boat\n11\tno refs here\n")
@@ -171,8 +173,8 @@ def test_cli_score_txt_and_npy(tmp_path):
 
     # JSON annotations dict as references (utils.py layout)
     ann = tmp_path / "ann.json"
-    ann.write_text(json.dumps({"7": ["a dog runs fast"],
-                               "9": ["a red boat"]}))
+    ann.write_text(json.dumps({"7": ["A dog runs fast."],
+                               "9": ["A red boat."]}))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         assert main(["score", "--captions", str(caps),

@@ -236,3 +236,26 @@ def test_batcher_close_flushes_parked_request():
     b.close()
     assert f1.result(timeout=5)[0][0].startswith("greedy")
     assert f2.result(timeout=5)[0][0].startswith("beam")
+
+
+def test_batcher_survives_concatenate_failure():
+    """A width-mismatched coalesced batch must error the waiters, not kill
+    the batcher thread (which would deadlock every later request)."""
+    cap = FakeCaptioner(width=None)  # no server-side width validation
+    b = DynamicBatcher(cap, max_batch=64, max_wait_s=0.2)
+    try:
+        f1 = b.submit(np.ones((1, 8), np.float32), "greedy")
+        f2 = b.submit(np.ones((1, 5), np.float32), "greedy")
+        errs = 0
+        for f in (f1, f2):
+            try:
+                f.result(timeout=5)
+            except ValueError:
+                errs += 1
+        assert errs == 2  # np.concatenate mismatch surfaced on both
+        # the batcher thread is still alive and serving
+        f3 = b.submit(np.ones((2, 8), np.float32), "greedy")
+        texts, _ = f3.result(timeout=5)
+        assert len(texts) == 2
+    finally:
+        b.close()
