@@ -161,6 +161,16 @@ class Config:
     warm_start: str = ""             # run dir to preload matching weights from
     #                                  (load_weights by_name/skip_mismatch,
     #                                   main.py:150-163)
+    learned_init_state: bool = False  # h0/c0 = MLP(mean(features)) instead of
+    #                                  zeros — the init-from-features variant
+    #                                  (tmp_lc_NIC.py:191; Xu et al.)
+    glove_path: str = ""             # pretrained text-embedding table
+    #                                  (glove_NIC.py): a .npy loads as a
+    #                                  prebuilt (vocab_size, E) table, any
+    #                                  other path parses as GloVe txt filtered
+    #                                  to the run tokenizer's vocab
+    glove_trainable: bool = True     # False freezes the table (a module
+    #                                  constant, not a checkpointed param)
 
     tpu: TPUConfig = field(default_factory=TPUConfig)
 

@@ -223,21 +223,72 @@ def _nic_dropouts(cfg: Config) -> dict:
     }
 
 
-def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
+def resolve_glove_table(cfg: Config, tokenizer):
+    """cfg.glove_path -> (vocab_size, E) float32 table or None.
+
+    The glove_NIC variant (AttemptFour/Model/glove_NIC.py) swaps the learned
+    text embedding for pretrained GloVe vectors. A ``.npy`` path loads a
+    prebuilt table; anything else parses as GloVe txt and is filtered to the
+    run tokenizer's vocab (``build_glove_table``: zeros for OOV words,
+    synthetic first/last-dim basis vectors for <start>/<end>)."""
+    if not cfg.glove_path:
+        return None
+    if cfg.glove_path.endswith(".npy"):
+        table = np.load(cfg.glove_path).astype(np.float32)
+    else:
+        from masters_thesis_tpu.data.captions import build_glove_table
+
+        table = build_glove_table(
+            cfg.glove_path, tokenizer, dim=cfg.embedding_text
+        )
+    if table.ndim != 2 or table.shape[0] != cfg.vocab_size:
+        raise ValueError(
+            f"glove table {cfg.glove_path!r} has shape {table.shape}; "
+            f"expected ({cfg.vocab_size}, E) for top_k={cfg.top_k}"
+        )
+    return table
+
+
+def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
+                embedding_table=None):
     """Select the model family from cfg.model; returns (model, l2_rules,
     masked). ``pregathered`` (LcNIC family only) builds the encoder for
-    grouped-layout inputs (permuted HBM store fast path)."""
+    grouped-layout inputs (permuted HBM store fast path). ``embedding_table``
+    (lc_nic/ms_nic only) is a resolved (vocab, E) GloVe table — the
+    glove_NIC variant."""
     name = cfg.model.lower()
+    if embedding_table is not None and name not in ("lc_nic", "ms_nic"):
+        raise ValueError(
+            f"glove_path is only supported for lc_nic/ms_nic (the glove_NIC "
+            f"variant), not model={cfg.model!r}"
+        )
+    if cfg.learned_init_state and name in (
+        "ms2_nic", "guse_nic", "showtell", "thinkandtell"
+    ):
+        # showtell primes the LSTM from the feature vector by construction
+        # and ms2/guse have no single feature bank to pool — refuse rather
+        # than silently ignore the flag
+        raise ValueError(
+            f"learned_init_state is not supported for model={cfg.model!r}"
+        )
     if name in ("lc_nic", "ms_nic"):
         from masters_thesis_tpu.models.nic import LcNIC
 
+        glove = {}
+        if embedding_table is not None:
+            glove = dict(
+                pretrained_embedding=embedding_table,
+                embedding_trainable=cfg.glove_trainable,
+            )
         layout = GroupLayout(groups, n_voxels)
         model = LcNIC(
             layout=layout,
             pregathered=pregathered,
             units=cfg.units,
             group_size=cfg.group_size,
-            embedding_text=cfg.embedding_text,
+            embedding_text=(int(embedding_table.shape[1])
+                            if embedding_table is not None
+                            else cfg.embedding_text),
             attn_units=cfg.attn_units,
             vocab_size=cfg.vocab_size,
             max_length=cfg.max_length,
@@ -248,6 +299,8 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
             dropout_lstm=cfg.dropout_lstm,
             dropout_out=cfg.dropout_out,
             remat=cfg.tpu.remat,
+            learned_init_state=cfg.learned_init_state,
+            **glove,
         )
         return model, lc_nic_l2_rules(cfg), False
     if name in ("concat_lc_nic", "deep_lc_nic", "fc_nic"):
@@ -292,6 +345,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
             dropout_lstm=cfg.dropout_lstm,
             dropout_out=cfg.dropout_out,
             remat=cfg.tpu.remat,
+            learned_init_state=cfg.learned_init_state,
         )
         return model, lc_nic_l2_rules(cfg), False
     if name == "ms2_nic":
@@ -314,6 +368,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
             attn_units=cfg.attn_units, vocab_size=cfg.vocab_size,
             max_length=cfg.max_length, embedding_text=cfg.embedding_text,
             dropout_features=cfg.dropout_features, remat=cfg.tpu.remat,
+            learned_init_state=cfg.learned_init_state,
             **_nic_dropouts(cfg),
         )
         return model, lc_nic_l2_rules(cfg), False
@@ -323,6 +378,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False):
         model = CnnRnnNIC(
             embed_dim=256, units=cfg.units, vocab_size=cfg.vocab_size,
             max_length=cfg.max_length, remat=cfg.tpu.remat,
+            learned_init_state=cfg.learned_init_state,
             **_nic_dropouts(cfg),
         )
         return model, lc_nic_l2_rules(cfg), True
@@ -411,6 +467,12 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     run_path = setup_run_dir(cfg.log, cfg.run, cfg)
     split, pairs, tok, store, groups = build_data(cfg, smoke_keys)
     tok.save(os.path.join(run_path, "tokenizer.json"))
+    # glove_NIC variant: resolve the pretrained table once and persist it in
+    # the run dir — serving/eval rebuilds need the exact table (for
+    # glove_trainable=false it is a module constant, not in the checkpoint)
+    glove_table = resolve_glove_table(cfg, tok)
+    if glove_table is not None:
+        np.save(os.path.join(run_path, "glove_table.npy"), glove_table)
 
     import jax
 
@@ -427,7 +489,8 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         and cfg.model.lower() in ("lc_nic", "ms_nic")
     )
     model, l2_rules, masked = build_model(cfg, groups, n_voxels,
-                                          pregathered=pregathered)
+                                          pregathered=pregathered,
+                                          embedding_table=glove_table)
     # persist the group layout so the model can be rebuilt for serving
     if cfg.model.lower() in ("lc_nic", "ms_nic", "ms2_nic"):
         GroupLayout(groups, n_voxels).save(os.path.join(run_path, "layout.npz"))
@@ -772,7 +835,11 @@ def run_eval(bundle, run_path: str, epoch: int | None = None,
 
         if (jax.default_backend() == "tpu" and cfg.tpu.use_pallas
                 and isinstance(model, NIC) and model.cell_type == "lstm"
-                and not model.learned_init_state):
+                and not model.learned_init_state
+                # frozen pretrained embeddings are a module constant, not
+                # params['embedding'], which the fused kernel requires
+                and (model.pretrained_embedding is None
+                     or model.embedding_trainable)):
             # serving fast path: whole-decode Pallas kernel — same tokens
             # (parity-tested), real per-step alphas for the attention
             # artifact; raw logits aren't consumed by the eval artifacts

@@ -156,7 +156,13 @@ class Captioner:
             n_voxels = layout.n_voxels
         else:
             groups, n_voxels = [], cfg.input_dim()
-        model, _, _ = build_model(cfg, groups, n_voxels)
+        # glove_NIC runs persist their resolved embedding table next to the
+        # checkpoint (for glove_trainable=false it is a module constant the
+        # checkpoint does NOT carry — the rebuild must use the real table)
+        glove_path = os.path.join(run_path, "glove_table.npy")
+        glove_table = np.load(glove_path) if os.path.exists(glove_path) else None
+        model, _, _ = build_model(cfg, groups, n_voxels,
+                                  embedding_table=glove_table)
 
         from masters_thesis_tpu.models.multisubject import DualSubjectEncoder
 

@@ -46,6 +46,9 @@ _SLOW_TESTS = {
     "test_dryrun_reexec_when_backend_locked",
     "test_efficientnet_b0_block_structure",
     "test_efficientnet_b3_pooled_width",
+    "test_glove_frozen_trains_and_serves",
+    "test_glove_trainable_run_decodes",
+    "test_learned_init_state_trains_and_decodes",
     "test_grad_stats_and_analyze_artifacts",
     "test_groups_to_remove_applied",
     "test_inception_v3_full_resolution_shapes",
