@@ -915,6 +915,23 @@ def main(argv=None) -> int:
     st.add_argument("--out-dir", required=True)
     st.add_argument("--format", default="png", choices=["png", "npy"])
 
+    ex = sub.add_parser(
+        "export",
+        help="freeze a trained run's decode program + weights into one "
+        "portable StableHLO artifact (jax.export) that serves without "
+        "model code; load with export.load_exported",
+    )
+    ex.add_argument("--run", required=True, help="training run directory")
+    ex.add_argument("--out", required=True, help="artifact path (zip)")
+    ex.add_argument("--decoder", choices=["greedy", "beam"],
+                    default="greedy")
+    ex.add_argument("--batch-size", type=int, default=64,
+                    help="the artifact's static batch shape")
+    ex.add_argument("--beam-width", type=int, default=5)
+    ex.add_argument("--platforms", default="",
+                    help="comma-separated lowering targets, e.g. cpu,tpu "
+                    "(default: the current backend only)")
+
     gu = sub.add_parser(
         "guse",
         help="precompute sentence embeddings for every caption "
@@ -970,6 +987,17 @@ def main(argv=None) -> int:
 
     if args.cmd == "score":
         print(json.dumps(_run_score(args)))
+        return 0
+
+    if args.cmd == "export":
+        from masters_thesis_tpu.export import export_run
+
+        platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
+                     or None)
+        meta = export_run(args.run, args.out, decoder=args.decoder,
+                          batch_size=args.batch_size,
+                          beam_width=args.beam_width, platforms=platforms)
+        print(json.dumps({"out": args.out, **meta}))
         return 0
 
     if args.cmd == "serve":

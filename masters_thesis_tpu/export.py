@@ -1,0 +1,173 @@
+"""Serialized inference artifacts: freeze a trained run's decode program
+into one portable StableHLO file (``jax.export``).
+
+New TPU-native deployment surface — the reference has no serving or
+deployment story at all (its eval.py writes npy files from the live
+training code, AttemptFour/eval.py:147-193). ``mtt export`` bakes the
+decode program AND the trained weights into a single artifact that serves
+without any model code: loading needs only jax + the bundled tokenizer,
+so a captioning endpoint can run from a checkout that contains neither
+flax modules nor checkpoints.
+
+Artifact layout (one zip):
+    meta.json          version, decoder, shapes, platforms, provenance
+    tokenizer.json     the run's tokenizer (Keras-compatible format)
+    decode.stablehlo   jax.export serialization of decode(betas) -> words
+
+The program has STATIC shapes (XLA contract): inputs are padded to the
+exported ``batch_size`` exactly like ``serve.Captioner`` pads its service
+batch. Multi-platform lowering (``platforms=("cpu", "tpu")``) makes one
+artifact runnable on both a dev host and the serving slice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+import numpy as np
+
+ARTIFACT_VERSION = 1
+_META = "meta.json"
+_TOKENIZER = "tokenizer.json"
+_PROGRAM = "decode.stablehlo"
+
+
+def export_run(run_path: str, out_path: str, decoder: str = "greedy",
+               batch_size: int = 64, beam_width: int = 5,
+               platforms=None, best: bool = True) -> dict:
+    """Export a trained run's decode path to ``out_path``; returns meta.
+
+    ``platforms``: sequence of lowering targets (e.g. ``("cpu", "tpu")``);
+    None lowers for the current backend only. Weights ride inside the
+    program as constants — the artifact is self-contained.
+    """
+    import jax
+    import jax.export as jax_export
+    import jax.numpy as jnp
+
+    from masters_thesis_tpu.serve import Captioner
+
+    # the Pallas fused path is a runtime specialisation, not a portable
+    # program — export always freezes the XLA scan decoders
+    cap = Captioner.from_run_dir(run_path, best=best, batch_size=batch_size,
+                                 beam_width=beam_width, use_fused=False)
+    model, variables, tok = cap.model, cap.variables, cap.tokenizer
+    width = cap.input_width
+    if width is None:
+        raise ValueError(
+            f"run {run_path!r} has no recorded input width (layout.npz / "
+            "config input dim) — cannot fix the exported input shape"
+        )
+
+    if decoder == "greedy":
+        from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+
+        dec = make_greedy_decoder(model, cap.units, cap.max_length)
+
+        def fn(betas):
+            words, _, _ = dec(variables, betas, tok.start_id)
+            return words
+    elif decoder == "beam":
+        from masters_thesis_tpu.decode.beam import make_beam_decoder
+
+        dec = make_beam_decoder(model, cap.units, cap.max_length,
+                                beam_width=beam_width)
+
+        def fn(betas):
+            best_tokens, *_ = dec(variables, betas, tok.start_id, tok.end_id)
+            return best_tokens
+    else:
+        raise ValueError(
+            f"unknown decoder {decoder!r} (greedy|beam; sampling draws "
+            "fresh RNG per call and is not a fixed program)"
+        )
+
+    spec = jax.ShapeDtypeStruct((cap.batch_size, width), jnp.float32)
+    kw = {"platforms": list(platforms)} if platforms else {}
+    exported = jax_export.export(jax.jit(fn), **kw)(spec)
+    blob = exported.serialize()
+
+    meta = {
+        "version": ARTIFACT_VERSION,
+        "decoder": decoder,
+        "batch_size": int(cap.batch_size),
+        "input_width": int(width),
+        "max_length": int(cap.max_length),
+        "vocab_size": int(model.vocab_size),
+        "beam_width": int(beam_width) if decoder == "beam" else None,
+        "platforms": list(exported.platforms),
+        "run_path": os.path.abspath(run_path),
+    }
+    with open(os.path.join(run_path, "tokenizer.json")) as f:
+        tok_json = f.read()
+    tmp = f"{out_path}.tmp-{os.getpid()}"
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr(_META, json.dumps(meta, indent=1))
+            z.writestr(_TOKENIZER, tok_json)
+            z.writestr(_PROGRAM, blob)
+        os.replace(tmp, out_path)  # atomic: no truncated artifacts
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return meta
+
+
+class ExportedCaptioner:
+    """Serve captions from an exported artifact — no model code needed.
+
+    Same padding contract as ``serve.Captioner``: any request size runs
+    through the one compiled batch shape.
+    """
+
+    def __init__(self, exported, tokenizer, meta: dict):
+        self._exported = exported
+        self.tokenizer = tokenizer
+        self.meta = meta
+        self.batch_size = meta["batch_size"]
+        self.input_width = meta["input_width"]
+
+    def caption_ids(self, inputs: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        inputs = np.asarray(inputs, np.float32)
+        if inputs.ndim != 2 or inputs.shape[1] != self.input_width:
+            raise ValueError(
+                f"expected (N, {self.input_width}) betas, got {inputs.shape}"
+            )
+        out = []
+        bs = self.batch_size
+        for i in range(0, len(inputs), bs):
+            chunk = inputs[i:i + bs]
+            n = len(chunk)
+            if n < bs:  # pad to the exported static shape
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+            words = self._exported.call(jnp.asarray(chunk))
+            out.append(np.asarray(words)[:n])
+        return np.concatenate(out)
+
+    def caption(self, inputs: np.ndarray) -> list[str]:
+        from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
+
+        return [ids_to_caption(row, self.tokenizer)
+                for row in self.caption_ids(inputs)]
+
+
+def load_exported(path: str) -> ExportedCaptioner:
+    import jax.export as jax_export
+
+    from masters_thesis_tpu.data.tokenizer import Tokenizer
+
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read(_META))
+        if meta.get("version") != ARTIFACT_VERSION:
+            raise ValueError(
+                f"artifact {path!r} has version {meta.get('version')}; "
+                f"this build reads version {ARTIFACT_VERSION}"
+            )
+        tok = Tokenizer.from_json(z.read(_TOKENIZER).decode())
+        exported = jax_export.deserialize(bytearray(z.read(_PROGRAM)))
+    return ExportedCaptioner(exported, tok, meta)

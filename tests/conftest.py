@@ -46,6 +46,12 @@ _SLOW_TESTS = {
     "test_dryrun_reexec_when_backend_locked",
     "test_efficientnet_b0_block_structure",
     "test_efficientnet_b3_pooled_width",
+    "test_export_greedy_matches_live_decode",
+    "test_export_beam_matches_live_decode",
+    "test_export_chunks_requests_past_batch_size",
+    "test_export_rejects_wrong_width",
+    "test_export_rejects_unknown_decoder",
+    "test_load_rejects_future_version",
     "test_glove_frozen_trains_and_serves",
     "test_glove_trainable_run_decodes",
     "test_learned_init_state_trains_and_decodes",

@@ -1,0 +1,119 @@
+"""mtt export: serialized StableHLO decode artifacts (jax.export)."""
+
+import json
+import zipfile
+
+import numpy as np
+import pytest
+
+from masters_thesis_tpu.config import Config
+from masters_thesis_tpu.experiment import run_training
+from masters_thesis_tpu.export import (
+    ARTIFACT_VERSION,
+    ExportedCaptioner,
+    export_run,
+    load_exported,
+)
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("export_run")
+    cfg = Config(run="export_t", model="lc_nic", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
+                 embedding_text=8, log=str(tmp))
+    run_path, logs, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    return run_path, bundle
+
+
+def test_export_greedy_matches_live_decode(trained_run, tmp_path):
+    from masters_thesis_tpu.serve import Captioner
+
+    run_path, bundle = trained_run
+    out = str(tmp_path / "greedy.mttx")
+    meta = export_run(run_path, out, decoder="greedy", batch_size=4)
+    assert meta["version"] == ARTIFACT_VERSION
+    assert meta["input_width"] == bundle["store"].row_shape[0]
+
+    exp = load_exported(out)
+    betas = np.asarray(bundle["store"].data[:3], np.float32)
+    live = Captioner.from_run_dir(run_path, batch_size=4)
+    np.testing.assert_array_equal(
+        exp.caption_ids(betas), live.caption_ids(betas))
+    assert exp.caption(betas) == live.caption(betas)
+
+
+def test_export_beam_matches_live_decode(trained_run, tmp_path):
+    from masters_thesis_tpu.serve import Captioner
+
+    run_path, bundle = trained_run
+    out = str(tmp_path / "beam.mttx")
+    meta = export_run(run_path, out, decoder="beam", batch_size=4,
+                      beam_width=3)
+    assert meta["beam_width"] == 3
+
+    exp = load_exported(out)
+    betas = np.asarray(bundle["store"].data[:2], np.float32)
+    live = Captioner.from_run_dir(run_path, batch_size=4, beam_width=3)
+    np.testing.assert_array_equal(
+        exp.caption_ids(betas), live.caption_ids(betas, decoder="beam"))
+
+
+def test_export_chunks_requests_past_batch_size(trained_run, tmp_path):
+    run_path, bundle = trained_run
+    out = str(tmp_path / "g.mttx")
+    export_run(run_path, out, decoder="greedy", batch_size=4)
+    exp = load_exported(out)
+    data = np.asarray(bundle["store"].data, np.float32)
+    betas = np.concatenate([data, data])[:9]  # 9 rows through batch 4
+    ids = exp.caption_ids(betas)
+    assert ids.shape[0] == 9
+    # padding rows never leak: row i identical to a solo decode of row i
+    np.testing.assert_array_equal(ids[8], exp.caption_ids(betas[8:9])[0])
+
+
+def test_export_rejects_wrong_width(trained_run, tmp_path):
+    run_path, _ = trained_run
+    out = str(tmp_path / "g.mttx")
+    export_run(run_path, out, decoder="greedy", batch_size=4)
+    exp = load_exported(out)
+    with pytest.raises(ValueError, match="expected"):
+        exp.caption_ids(np.zeros((2, 7), np.float32))
+
+
+def test_export_rejects_unknown_decoder(trained_run, tmp_path):
+    run_path, _ = trained_run
+    with pytest.raises(ValueError, match="decoder"):
+        export_run(run_path, str(tmp_path / "s.mttx"), decoder="sample")
+
+
+def test_load_rejects_future_version(trained_run, tmp_path):
+    run_path, _ = trained_run
+    out = str(tmp_path / "g.mttx")
+    export_run(run_path, out, decoder="greedy", batch_size=4)
+    tampered = str(tmp_path / "future.mttx")
+    with zipfile.ZipFile(out) as src, zipfile.ZipFile(tampered, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "meta.json":
+                meta = json.loads(data)
+                meta["version"] = ARTIFACT_VERSION + 1
+                data = json.dumps(meta).encode()
+            dst.writestr(name, data)
+    with pytest.raises(ValueError, match="version"):
+        load_exported(tampered)
+
+
+def test_exported_captioner_padding_unit():
+    """Padding/chunking logic without a real program (fast tier)."""
+    class FakeExported:
+        def call(self, chunk):
+            assert chunk.shape == (4, 5)  # always the static shape
+            return np.asarray(chunk[:, :2], np.int32)
+
+    meta = {"batch_size": 4, "input_width": 5}
+    exp = ExportedCaptioner(FakeExported(), tokenizer=None, meta=meta)
+    x = np.arange(7 * 5, dtype=np.float32).reshape(7, 5)
+    ids = exp.caption_ids(x)
+    assert ids.shape == (7, 2)
+    np.testing.assert_array_equal(ids, x[:, :2].astype(np.int32))
