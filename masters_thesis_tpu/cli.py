@@ -811,7 +811,11 @@ def main(argv=None) -> int:
         "POST /caption (betas .npy or JSON body) -> captions; concurrent "
         "requests coalesce into one device dispatch",
     )
-    sv.add_argument("--run", required=True, help="training run directory")
+    sv.add_argument("--run", default=None, help="training run directory")
+    sv.add_argument("--export", default=None, dest="export_path",
+                    help="serve from an mtt export artifact instead of a "
+                    "run dir (no model code / checkpoint needed; the "
+                    "artifact's frozen decoder is the only one served)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000,
                     help="0 picks a free port (printed on startup)")
@@ -1001,22 +1005,33 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "serve":
-        from masters_thesis_tpu.serve import Captioner
         from masters_thesis_tpu.server import (
             make_caption_server,
             serve_forever,
         )
 
-        kw = {"subject": args.subject}
-        if args.shard:
-            from masters_thesis_tpu.parallel.mesh import (
-                make_mesh,
-                maybe_distributed_init,
-            )
+        if bool(args.run) == bool(args.export_path):
+            raise SystemExit("serve needs exactly one of --run / --export")
+        if args.export_path:
+            from masters_thesis_tpu.export import load_exported
 
-            maybe_distributed_init()
-            kw["mesh"] = make_mesh(data=args.shard, model=1)
-        cap = Captioner.from_run_dir(args.run, **kw)
+            cap = load_exported(args.export_path)
+            # the artifact freezes ONE decoder; serve it as the default
+            # (a request overriding to another decoder gets a clear error)
+            args.decoder = cap.meta["decoder"]
+        else:
+            from masters_thesis_tpu.serve import Captioner
+
+            kw = {"subject": args.subject}
+            if args.shard:
+                from masters_thesis_tpu.parallel.mesh import (
+                    make_mesh,
+                    maybe_distributed_init,
+                )
+
+                maybe_distributed_init()
+                kw["mesh"] = make_mesh(data=args.shard, model=1)
+            cap = Captioner.from_run_dir(args.run, **kw)
         server = make_caption_server(
             cap, host=args.host, port=args.port,
             default_decoder=args.decoder, max_batch=args.max_batch,

@@ -129,9 +129,18 @@ class ExportedCaptioner:
         self.batch_size = meta["batch_size"]
         self.input_width = meta["input_width"]
 
-    def caption_ids(self, inputs: np.ndarray) -> np.ndarray:
+    def _check_decoder(self, decoder):
+        if decoder is not None and decoder != self.meta["decoder"]:
+            raise ValueError(
+                f"this artifact freezes the {self.meta['decoder']!r} "
+                f"decoder; cannot serve decoder={decoder!r}"
+            )
+
+    def caption_ids(self, inputs: np.ndarray,
+                    decoder: str | None = None) -> np.ndarray:
         import jax.numpy as jnp
 
+        self._check_decoder(decoder)
         inputs = np.asarray(inputs, np.float32)
         if inputs.ndim != 2 or inputs.shape[1] != self.input_width:
             raise ValueError(
@@ -149,11 +158,12 @@ class ExportedCaptioner:
             out.append(np.asarray(words)[:n])
         return np.concatenate(out)
 
-    def caption(self, inputs: np.ndarray) -> list[str]:
+    def caption(self, inputs: np.ndarray,
+                decoder: str | None = None) -> list[str]:
         from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
 
         return [ids_to_caption(row, self.tokenizer)
-                for row in self.caption_ids(inputs)]
+                for row in self.caption_ids(inputs, decoder)]
 
 
 def load_exported(path: str) -> ExportedCaptioner:

@@ -104,6 +104,52 @@ def test_load_rejects_future_version(trained_run, tmp_path):
         load_exported(tampered)
 
 
+def test_http_serves_from_exported_artifact(trained_run, tmp_path):
+    """mtt serve --export: the HTTP service runs from the artifact alone."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from masters_thesis_tpu.server import make_caption_server, serve_forever
+
+    run_path, bundle = trained_run
+    out = str(tmp_path / "g.mttx")
+    export_run(run_path, out, decoder="greedy", batch_size=4)
+    exp = load_exported(out)
+    server = make_caption_server(exp, port=0, max_batch=8, max_wait_s=0.0,
+                                 default_decoder=exp.meta["decoder"])
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=serve_forever, args=(server,), daemon=True)
+    t.start()
+    try:
+        betas = np.asarray(bundle["store"].data[:2], np.float32)
+        body = _json.dumps({"betas": betas.tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/caption", data=body, method="POST",
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            got = _json.loads(resp.read().decode())
+        assert got["captions"] == exp.caption(betas)
+
+        # overriding to a decoder the artifact doesn't freeze fails cleanly
+        req = urllib.request.Request(
+            f"http://{host}:{port}/caption?decoder=beam", data=body,
+            method="POST", headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req, timeout=30)
+    finally:
+        server.shutdown()
+
+
+def test_exported_decoder_guard_unit():
+    exp = ExportedCaptioner(exported=None, tokenizer=None,
+                            meta={"batch_size": 4, "input_width": 5,
+                                  "decoder": "greedy"})
+    with pytest.raises(ValueError, match="freezes"):
+        exp.caption_ids(np.zeros((1, 5), np.float32), decoder="beam")
+
+
 def test_exported_captioner_padding_unit():
     """Padding/chunking logic without a real program (fast tier)."""
     class FakeExported:
