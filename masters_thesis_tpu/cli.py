@@ -935,6 +935,9 @@ def main(argv=None) -> int:
     ex.add_argument("--platforms", default="",
                     help="comma-separated lowering targets, e.g. cpu,tpu "
                     "(default: the current backend only)")
+    ex.add_argument("--subject", choices=["a", "b"], default="a",
+                    help="ms2_nic runs: which per-subject encoder the "
+                    "artifact freezes (one artifact per subject)")
 
     gu = sub.add_parser(
         "guse",
@@ -1000,7 +1003,8 @@ def main(argv=None) -> int:
                      or None)
         meta = export_run(args.run, args.out, decoder=args.decoder,
                           batch_size=args.batch_size,
-                          beam_width=args.beam_width, platforms=platforms)
+                          beam_width=args.beam_width, platforms=platforms,
+                          subject=args.subject)
         print(json.dumps({"out": args.out, **meta}))
         return 0
 
@@ -1012,6 +1016,12 @@ def main(argv=None) -> int:
 
         if bool(args.run) == bool(args.export_path):
             raise SystemExit("serve needs exactly one of --run / --export")
+        if args.export_path and (args.shard or args.subject != "a"):
+            raise SystemExit(
+                "--shard/--subject don't apply to --export serving: the "
+                "artifact is a single-device program with its subject "
+                "frozen at export time (mtt export --subject)"
+            )
         if args.export_path:
             from masters_thesis_tpu.export import load_exported
 

@@ -36,12 +36,15 @@ _PROGRAM = "decode.stablehlo"
 
 def export_run(run_path: str, out_path: str, decoder: str = "greedy",
                batch_size: int = 64, beam_width: int = 5,
-               platforms=None, best: bool = True) -> dict:
+               platforms=None, best: bool = True,
+               subject: str = "a") -> dict:
     """Export a trained run's decode path to ``out_path``; returns meta.
 
     ``platforms``: sequence of lowering targets (e.g. ``("cpu", "tpu")``);
     None lowers for the current backend only. Weights ride inside the
-    program as constants — the artifact is self-contained.
+    program as constants — the artifact is self-contained. ``subject``:
+    which per-subject encoder an ms2_nic artifact freezes (one artifact
+    per subject, like eval/serving).
     """
     import jax
     import jax.export as jax_export
@@ -52,7 +55,8 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
     # the Pallas fused path is a runtime specialisation, not a portable
     # program — export always freezes the XLA scan decoders
     cap = Captioner.from_run_dir(run_path, best=best, batch_size=batch_size,
-                                 beam_width=beam_width, use_fused=False)
+                                 beam_width=beam_width, use_fused=False,
+                                 subject=subject)
     model, variables, tok = cap.model, cap.variables, cap.tokenizer
     width = cap.input_width
     if width is None:
@@ -99,6 +103,7 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
         "beam_width": int(beam_width) if decoder == "beam" else None,
         "platforms": list(exported.platforms),
         "run_path": os.path.abspath(run_path),
+        "subject": subject,
     }
     with open(os.path.join(run_path, "tokenizer.json")) as f:
         tok_json = f.read()

@@ -53,6 +53,7 @@ _SLOW_TESTS = {
     "test_export_rejects_unknown_decoder",
     "test_load_rejects_future_version",
     "test_http_serves_from_exported_artifact",
+    "test_export_ms2_freezes_one_subject_encoder",
     "test_glove_frozen_trains_and_serves",
     "test_glove_trainable_run_decodes",
     "test_learned_init_state_trains_and_decodes",

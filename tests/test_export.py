@@ -142,6 +142,29 @@ def test_http_serves_from_exported_artifact(trained_run, tmp_path):
         server.shutdown()
 
 
+def test_export_ms2_freezes_one_subject_encoder(tmp_path):
+    """ms2 artifacts freeze ONE per-subject encoder (export --subject),
+    matching eval/serving semantics — per-subject tokens must match the
+    live per-subject Captioner."""
+    from masters_thesis_tpu.serve import Captioner
+
+    cfg = Config(run="export_ms2", model="ms2_nic", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
+                 embedding_text=8, log=str(tmp_path))
+    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    betas = np.asarray(bundle["store"].data[:2], np.float32)
+    ids = {}
+    for subject in ("a", "b"):
+        out = str(tmp_path / f"ms2_{subject}.mttx")
+        meta = export_run(run_path, out, decoder="greedy", batch_size=4,
+                          subject=subject)
+        assert meta["subject"] == subject
+        exp = load_exported(out)
+        live = Captioner.from_run_dir(run_path, batch_size=4, subject=subject)
+        ids[subject] = exp.caption_ids(betas)
+        np.testing.assert_array_equal(ids[subject], live.caption_ids(betas))
+
+
 def test_exported_decoder_guard_unit():
     exp = ExportedCaptioner(exported=None, tokenizer=None,
                             meta={"batch_size": 4, "input_width": 5,
