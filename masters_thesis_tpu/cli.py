@@ -820,8 +820,9 @@ def main(argv=None) -> int:
     sv.add_argument("--port", type=int, default=8000,
                     help="0 picks a free port (printed on startup)")
     sv.add_argument("--decoder", choices=["greedy", "beam", "sample"],
-                    default="greedy", help="default decoder "
-                    "(per-request override: POST /caption?decoder=beam)")
+                    default=None, help="default decoder (greedy unless "
+                    "--export, whose frozen decoder is the default; "
+                    "per-request override: POST /caption?decoder=beam)")
     sv.add_argument("--max-batch", type=int, default=64,
                     help="max rows coalesced into one device call")
     sv.add_argument("--max-wait-ms", type=float, default=5.0,
@@ -1026,10 +1027,19 @@ def main(argv=None) -> int:
             from masters_thesis_tpu.export import load_exported
 
             cap = load_exported(args.export_path)
-            # the artifact freezes ONE decoder; serve it as the default
-            # (a request overriding to another decoder gets a clear error)
-            args.decoder = cap.meta["decoder"]
+            # the artifact freezes ONE decoder; serve it as the default.
+            # An explicit contradictory --decoder is user error, not
+            # something to silently override
+            frozen = cap.meta["decoder"]
+            if args.decoder is not None and args.decoder != frozen:
+                raise SystemExit(
+                    f"this artifact freezes the {frozen!r} decoder; "
+                    f"--decoder {args.decoder} cannot be served from it"
+                )
+            args.decoder = frozen
         else:
+            args.decoder = args.decoder or "greedy"
+        if not args.export_path:
             from masters_thesis_tpu.serve import Captioner
 
             kw = {"subject": args.subject}

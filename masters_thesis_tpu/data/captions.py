@@ -81,15 +81,30 @@ def build_glove_table(
     # (~2.5 GB parsed) of which a 5k-vocab run needs ~5k
     wanted = set(tokenizer.word_index)
     vectors: dict[str, np.ndarray] = {}
+    file_dim = None
     with open(glove_txt) as f:
         for line in f:
             word, _, rest = line.rstrip().partition(" ")
+            parts = rest.split(" ")
+            if file_dim is None and rest:
+                file_dim = len(parts)
             if word not in wanted:
                 continue
-            parts = rest.split(" ")
             if len(parts) != dim:
                 continue
             vectors[word] = np.asarray(parts, np.float32)
+    if not vectors:
+        # an all-zeros table trains to completion with meaningless text
+        # embeddings and no other symptom — refuse loudly. The usual cause
+        # is a dimension mismatch (e.g. a 300-d glove.840B file against
+        # embedding_text: 512), which skips every line above.
+        raise ValueError(
+            f"no tokenizer vocabulary word matched a {dim}-d vector in "
+            f"{glove_txt!r}"
+            + (f" (the file's vectors are {file_dim}-d — set embedding_text"
+               f" to {file_dim} or convert the table)"
+               if file_dim not in (None, dim) else "")
+        )
     for word, idx in tokenizer.word_index.items():
         if idx >= vocab_size:
             continue

@@ -469,10 +469,19 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     tok.save(os.path.join(run_path, "tokenizer.json"))
     # glove_NIC variant: resolve the pretrained table once and persist it in
     # the run dir — serving/eval rebuilds need the exact table (for
-    # glove_trainable=false it is a module constant, not in the checkpoint)
-    glove_table = resolve_glove_table(cfg, tok)
-    if glove_table is not None:
-        np.save(os.path.join(run_path, "glove_table.npy"), glove_table)
+    # glove_trainable=false it is a module constant, not in the checkpoint).
+    # On resume the PERSISTED table is authoritative: re-parsing
+    # cfg.glove_path could yield a different table than the weights were
+    # trained against (source file updated/moved) and would silently
+    # overwrite the provenance copy.
+    glove_table = None
+    if cfg.glove_path:
+        persisted = os.path.join(run_path, "glove_table.npy")
+        if resume and os.path.exists(persisted):
+            glove_table = np.load(persisted)
+        else:
+            glove_table = resolve_glove_table(cfg, tok)
+            np.save(persisted, glove_table)
 
     import jax
 

@@ -58,6 +58,16 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
                                  beam_width=beam_width, use_fused=False,
                                  subject=subject)
     model, variables, tok = cap.model, cap.variables, cap.tokenizer
+    from masters_thesis_tpu.models.multisubject import DualSubjectEncoder
+
+    is_ms2 = isinstance(getattr(model, "encoder", None), DualSubjectEncoder)
+    if not is_ms2 and subject != "a":
+        # from_run_dir silently drops the kwarg for single-encoder models;
+        # an artifact whose meta claimed subject=b would be a lie
+        raise ValueError(
+            f"run {run_path!r} is not an ms2_nic run; --subject does not "
+            "apply"
+        )
     width = cap.input_width
     if width is None:
         raise ValueError(
@@ -103,7 +113,7 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
         "beam_width": int(beam_width) if decoder == "beam" else None,
         "platforms": list(exported.platforms),
         "run_path": os.path.abspath(run_path),
-        "subject": subject,
+        "subject": subject if is_ms2 else None,
     }
     with open(os.path.join(run_path, "tokenizer.json")) as f:
         tok_json = f.read()
@@ -145,23 +155,14 @@ class ExportedCaptioner:
                     decoder: str | None = None) -> np.ndarray:
         import jax.numpy as jnp
 
+        from masters_thesis_tpu.serve import padded_chunk_ids
+
         self._check_decoder(decoder)
-        inputs = np.asarray(inputs, np.float32)
-        if inputs.ndim != 2 or inputs.shape[1] != self.input_width:
-            raise ValueError(
-                f"expected (N, {self.input_width}) betas, got {inputs.shape}"
-            )
-        out = []
-        bs = self.batch_size
-        for i in range(0, len(inputs), bs):
-            chunk = inputs[i:i + bs]
-            n = len(chunk)
-            if n < bs:  # pad to the exported static shape
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
-            words = self._exported.call(jnp.asarray(chunk))
-            out.append(np.asarray(words)[:n])
-        return np.concatenate(out)
+        return padded_chunk_ids(
+            inputs, self.batch_size, self.meta["max_length"],
+            self.input_width,
+            lambda chunk: self._exported.call(jnp.asarray(chunk)),
+        )
 
     def caption(self, inputs: np.ndarray,
                 decoder: str | None = None) -> list[str]:

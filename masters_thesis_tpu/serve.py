@@ -20,6 +20,39 @@ import numpy as np
 from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
 
 
+def padded_chunk_ids(inputs, batch_size: int, max_length: int,
+                     input_width: int | None, run_chunk) -> np.ndarray:
+    """The static-shape serving contract, shared by ``Captioner`` and
+    ``export.ExportedCaptioner``: validate the feature width, pad the last
+    chunk to ``batch_size`` by repeating its final row (XLA programs have
+    one compiled shape), run each chunk, slice the padding back off.
+
+    ``run_chunk((batch_size, ...)) -> (batch_size, T) ids``. Empty input
+    returns a (0, max_length) matrix (a request whose rows were all
+    filtered upstream must not reach ``np.concatenate([])``).
+    """
+    inputs = np.asarray(inputs, np.float32)
+    if input_width is not None and inputs.shape[-1] != input_width:
+        raise ValueError(
+            f"input width {inputs.shape[-1]} != model's expected "
+            f"{input_width} voxels/features"
+        )
+    n = len(inputs)
+    if n == 0:
+        return np.zeros((0, max_length), np.int32)
+    out = []
+    for i in range(0, n, batch_size):
+        chunk = inputs[i:i + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, axis=0)]
+            )
+        words = np.asarray(run_chunk(chunk))
+        out.append(words[: len(words) - pad] if pad else words)
+    return np.concatenate(out)
+
+
 class Captioner:
     def __init__(self, model, variables, tokenizer, units: int,
                  max_length: int, batch_size: int = 64, beam_width: int = 5,
@@ -245,28 +278,10 @@ class Captioner:
 
     def caption_ids(self, inputs: np.ndarray, decoder: str = "greedy"):
         """(N, D) inputs -> (N, T) token ids; pads to the service batch."""
-        inputs = np.asarray(inputs, np.float32)
-        if self.input_width is not None and inputs.shape[-1] != self.input_width:
-            raise ValueError(
-                f"input width {inputs.shape[-1]} != model's expected "
-                f"{self.input_width} voxels/features"
-            )
-        n = len(inputs)
-        if n == 0:
-            # a request whose rows were all filtered upstream: return an
-            # empty (0, T) id matrix instead of np.concatenate([]) raising
-            return np.zeros((0, self.max_length), np.int32)
-        out = []
-        bs = self.batch_size
         dec = self._decoder(decoder)
         variables = self._variables()
-        for i in range(0, n, bs):
-            chunk = inputs[i : i + bs]
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], pad, axis=0)]
-                )
+
+        def run_chunk(chunk):
             if decoder == "greedy":
                 words, _, _ = dec(
                     variables, self._device_batch(chunk),
@@ -292,9 +307,10 @@ class Captioner:
             # bound (84 MB betas/batch at flagship width), and measured on
             # the tunneled runtime a deferred-force pipeline is NOT faster
             # (in-flight transfers contend; PERF.md serving notes)
-            words = np.asarray(words)
-            out.append(words[: len(words) - pad] if pad else words)
-        return np.concatenate(out)
+            return words
+
+        return padded_chunk_ids(inputs, self.batch_size, self.max_length,
+                                self.input_width, run_chunk)
 
     def caption(self, inputs: np.ndarray, decoder: str = "greedy") -> list[str]:
         ids = self.caption_ids(inputs, decoder)

@@ -54,6 +54,10 @@ _SLOW_TESTS = {
     "test_load_rejects_future_version",
     "test_http_serves_from_exported_artifact",
     "test_export_ms2_freezes_one_subject_encoder",
+    "test_export_subject_rejected_for_single_encoder_runs",
+    "test_serve_cli_rejects_contradictory_decoder",
+    "test_exported_empty_input_returns_empty_ids",
+    "test_resume_keeps_persisted_glove_table",
     "test_glove_frozen_trains_and_serves",
     "test_glove_trainable_run_decodes",
     "test_learned_init_state_trains_and_decodes",

@@ -165,6 +165,33 @@ def test_export_ms2_freezes_one_subject_encoder(tmp_path):
         np.testing.assert_array_equal(ids[subject], live.caption_ids(betas))
 
 
+def test_export_subject_rejected_for_single_encoder_runs(trained_run,
+                                                         tmp_path):
+    run_path, _ = trained_run
+    with pytest.raises(ValueError, match="not an ms2_nic run"):
+        export_run(run_path, str(tmp_path / "b.mttx"), subject="b")
+
+
+def test_serve_cli_rejects_contradictory_decoder(trained_run, tmp_path):
+    from masters_thesis_tpu.cli import main
+
+    run_path, _ = trained_run
+    out = str(tmp_path / "g.mttx")
+    export_run(run_path, out, decoder="greedy", batch_size=4)
+    with pytest.raises(SystemExit, match="freezes"):
+        main(["serve", "--export", out, "--decoder", "beam", "--port", "0"])
+
+
+def test_exported_empty_input_returns_empty_ids(trained_run, tmp_path):
+    run_path, bundle = trained_run
+    out = str(tmp_path / "g.mttx")
+    export_run(run_path, out, decoder="greedy", batch_size=4)
+    exp = load_exported(out)
+    width = bundle["store"].row_shape[0]
+    ids = exp.caption_ids(np.zeros((0, width), np.float32))
+    assert ids.shape == (0, exp.meta["max_length"])
+
+
 def test_exported_decoder_guard_unit():
     exp = ExportedCaptioner(exported=None, tokenizer=None,
                             meta={"batch_size": 4, "input_width": 5,
@@ -180,7 +207,8 @@ def test_exported_captioner_padding_unit():
             assert chunk.shape == (4, 5)  # always the static shape
             return np.asarray(chunk[:, :2], np.int32)
 
-    meta = {"batch_size": 4, "input_width": 5}
+    meta = {"batch_size": 4, "input_width": 5, "max_length": 2,
+            "decoder": "greedy"}
     exp = ExportedCaptioner(FakeExported(), tokenizer=None, meta=meta)
     x = np.arange(7 * 5, dtype=np.float32).reshape(7, 5)
     ids = exp.caption_ids(x)

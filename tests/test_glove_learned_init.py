@@ -77,6 +77,47 @@ def test_empty_glove_path_is_none(tmp_path):
     assert resolve_glove_table(_cfg(tmp_path), tokenizer=None) is None
 
 
+def test_txt_dimension_mismatch_raises_not_zero_table(tmp_path):
+    """A GloVe file whose vectors aren't embedding_text-wide must refuse —
+    silently skipping every line yields an all-zeros table that trains to
+    completion with meaningless embeddings."""
+    from masters_thesis_tpu.data.tokenizer import Tokenizer
+
+    tok = Tokenizer(num_words=40)
+    tok.fit_on_texts(["<start> red cat <end>"] * 3)
+    cfg = _cfg(tmp_path)  # embedding_text = 8
+    txt = tmp_path / "glove300.txt"
+    txt.write_text("cat " + " ".join(["0.5"] * 300) + "\n")
+    cfg.glove_path = str(txt)
+    with pytest.raises(ValueError, match="300-d"):
+        resolve_glove_table(cfg, tok)
+
+
+def test_resume_keeps_persisted_glove_table(tmp_path):
+    """On --resume the run dir's glove_table.npy is authoritative: the
+    source file may have changed since training, and re-resolving would
+    silently overwrite the provenance copy the frozen weights trained
+    against."""
+    import os
+
+    cfg = _cfg(tmp_path, glove_trainable=False)
+    cfg.glove_path, table = _glove_npy(tmp_path, cfg, seed=0)
+    run_path, _, _ = run_training(cfg, epochs=1, smoke_keys=12)
+    persisted = os.path.join(run_path, "glove_table.npy")
+    np.testing.assert_array_equal(np.load(persisted), table)
+
+    # source table changes on disk after training
+    _, table2 = _glove_npy(tmp_path, cfg, seed=1)
+    assert not np.array_equal(table, table2)
+
+    run_path2, _, bundle = run_training(cfg, epochs=0, resume=True)
+    assert run_path2 == run_path
+    np.testing.assert_array_equal(np.load(persisted), table)  # untouched
+    # and the resumed model runs with the persisted table, not the new file
+    emb = bundle["model"].pretrained_embedding
+    np.testing.assert_array_equal(np.asarray(emb), table)
+
+
 # ---- build_model wiring ----
 
 def test_build_model_embedding_initialised_from_table(tmp_path):
