@@ -486,6 +486,11 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     import jax
 
     n_voxels = store.row_shape[0]
+    # the TRAINED input row shape, before the store is repacked/permuted —
+    # recorded in run_meta.json so serving/export rebuilds restore against
+    # the real trained shapes instead of guessing from cfg.input_dim()
+    # (synthetic smoke runs and image-model patch inputs both deviate)
+    input_row_shape = [int(d) for d in store.row_shape]
     # pregathered fast path: when the whole run trains from an HBM store on
     # TPU with a LocallyDense encoder, permute the store into the grouped
     # padded layout ONCE at upload — the encoder then skips its own
@@ -598,6 +603,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             "model": cfg.model,
             "backend": jax.default_backend(),
             "n_devices": jax.device_count(),
+            "input_row_shape": input_row_shape,
         }, f, indent=1)
 
     from masters_thesis_tpu.train.callbacks import (

@@ -98,7 +98,8 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
             "fresh RNG per call and is not a fixed program)"
         )
 
-    spec = jax.ShapeDtypeStruct((cap.batch_size, width), jnp.float32)
+    row_shape = cap.input_row_shape or (width,)
+    spec = jax.ShapeDtypeStruct((cap.batch_size, *row_shape), jnp.float32)
     kw = {"platforms": list(platforms)} if platforms else {}
     exported = jax_export.export(jax.jit(fn), **kw)(spec)
     blob = exported.serialize()
@@ -108,6 +109,7 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
         "decoder": decoder,
         "batch_size": int(cap.batch_size),
         "input_width": int(width),
+        "input_row_shape": [int(d) for d in row_shape],
         "max_length": int(cap.max_length),
         "vocab_size": int(model.vocab_size),
         "beam_width": int(beam_width) if decoder == "beam" else None,

@@ -69,6 +69,12 @@ class Captioner:
         # XLA clamps out-of-bounds gathers, so a wrong-width input would
         # silently produce garbage captions — validate explicitly
         self.input_width = input_width
+        # full per-row input shape (flat: (voxels,), image models:
+        # (patches, channels)); from_run_dir fills the trained shape,
+        # export uses it to fix the artifact's input spec
+        self.input_row_shape = (
+            (int(input_width),) if input_width is not None else None
+        )
         # greedy fast path: the whole-decode Pallas kernel
         # (ops/fused_decode.py — measured >= XLA with identical tokens at
         # flagship shape). None = auto: on for LSTM NIC models on TPU.
@@ -187,8 +193,25 @@ class Captioner:
             layout = GroupLayout.load(layout_path)
             groups = layout.to_groups()
             n_voxels = layout.n_voxels
+            row_shape = (n_voxels,)
         else:
-            groups, n_voxels = [], cfg.input_dim()
+            # no layout (ShowTell family, image models, fc encoders): the
+            # TRAINED row shape comes from run_meta.json — cfg.input_dim()
+            # is a config constant the actual data can deviate from
+            # (synthetic smoke width, image-model (patches, channels)), and
+            # a wrong template shape fails the orbax restore
+            import json as _json
+
+            groups, row_shape = [], None
+            meta_path = os.path.join(run_path, "run_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    recorded = _json.load(f).get("input_row_shape")
+                if recorded:
+                    row_shape = tuple(int(d) for d in recorded)
+            if row_shape is None:  # pre-meta runs: the old guess
+                row_shape = (cfg.input_dim(),)
+            n_voxels = row_shape[0]
         # glove_NIC runs persist their resolved embedding table next to the
         # checkpoint (for glove_trainable=false it is a module constant the
         # checkpoint does NOT carry — the rebuild must use the real table)
@@ -212,8 +235,8 @@ class Captioner:
         else:
             kw.pop("subject", None)
 
-        # template state for orbax restore
-        dummy_inputs = np.zeros((1, n_voxels), np.float32)
+        # template state for orbax restore (trained row shape, not a guess)
+        dummy_inputs = np.zeros((1, *row_shape), np.float32)
         dummy_tokens = np.zeros((1, cfg.max_length), np.int32)
         params, batch_stats, rng = init_model(
             model, cfg, dummy_inputs, dummy_tokens
@@ -224,11 +247,15 @@ class Captioner:
         )
         mgr = CheckpointManager(os.path.join(run_path, "model"))
         state, epoch = mgr.restore(state, best=best)
-        kw.setdefault("input_width", n_voxels)
-        return cls.from_components(
+        # the width guard checks the LAST input dim (image models serve
+        # (N, patches, channels) requests; flat models (N, voxels))
+        kw.setdefault("input_width", row_shape[-1])
+        inst = cls.from_components(
             model, state.params, state.batch_stats, tokenizer, cfg.units,
             cfg.max_length, **kw,
         )
+        inst.input_row_shape = tuple(row_shape)
+        return inst
 
     def _decoder(self, kind: str):
         if kind not in self._decoders:

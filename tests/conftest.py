@@ -59,6 +59,9 @@ _SLOW_TESTS = {
     "test_exported_empty_input_returns_empty_ids",
     "test_resume_keeps_persisted_glove_table",
     "test_sessions_to_artifact_full_journey",
+    "test_from_run_dir_restores_showtell_run",
+    "test_from_run_dir_restores_img_patch_run",
+    "test_export_showtell_run",
     "test_glove_frozen_trains_and_serves",
     "test_glove_trainable_run_decodes",
     "test_learned_init_state_trains_and_decodes",

@@ -192,6 +192,26 @@ def test_exported_empty_input_returns_empty_ids(trained_run, tmp_path):
     assert ids.shape == (0, exp.meta["max_length"])
 
 
+def test_export_showtell_run(tmp_path):
+    """Non-layout families export too: the artifact's input spec comes
+    from the recorded trained row shape."""
+    from masters_thesis_tpu.serve import Captioner
+
+    cfg = Config(run="export_st", model="showtell", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, embedding_features=16,
+                 log=str(tmp_path))
+    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    out = str(tmp_path / "st.mttx")
+    meta = export_run(run_path, out, decoder="greedy", batch_size=4)
+    width = bundle["store"].row_shape[0]
+    assert meta["input_width"] == width and width != cfg.input_dim()
+    exp = load_exported(out)
+    betas = np.asarray(bundle["store"].data[:2], np.float32)
+    live = Captioner.from_run_dir(run_path, batch_size=4)
+    np.testing.assert_array_equal(
+        exp.caption_ids(betas), live.caption_ids(betas))
+
+
 def test_exported_decoder_guard_unit():
     exp = ExportedCaptioner(exported=None, tokenizer=None,
                             meta={"batch_size": 4, "input_width": 5,

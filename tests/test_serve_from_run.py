@@ -83,3 +83,39 @@ def test_captioner_from_ms2_run_routes_one_encoder(tmp_path):
         assert isinstance(enc, DualSubjectEncoder) and enc.mode == subject
         texts = cap.caption(betas)
         assert len(texts) == 2
+
+
+def test_from_run_dir_restores_showtell_run(tmp_path):
+    """Non-layout families (ShowTell/ThinkAndTell/guse) restore against the
+    TRAINED input width recorded in run_meta.json — cfg.input_dim() is a
+    config constant the data can deviate from (synthetic smoke runs train
+    2048-wide while input.full says 327,684; the old guess failed the orbax
+    restore with a shape mismatch)."""
+    cfg = Config(run="serve_st", model="showtell", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, embedding_features=16,
+                 log=str(tmp_path))
+    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    width = bundle["store"].row_shape[0]
+    assert width != cfg.input_dim()  # the very case that used to fail
+    cap = Captioner.from_run_dir(run_path, batch_size=4)
+    assert cap.input_width == width
+    texts = cap.caption(np.asarray(bundle["store"].data[:2], np.float32))
+    assert len(texts) == 2
+
+
+def test_from_run_dir_restores_img_patch_run(tmp_path):
+    """Image models serve (N, patches, channels) requests: the recorded
+    row shape drives the restore template and the width guard checks the
+    channel dim."""
+    cfg = Config(run="serve_img", model="img_nic", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, attn_units=8,
+                 embedding_features=32, embedding_text=8, log=str(tmp_path))
+    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    row_shape = tuple(bundle["store"].row_shape)
+    assert len(row_shape) == 2  # (patches, channels)
+    cap = Captioner.from_run_dir(run_path, batch_size=4)
+    assert cap.input_row_shape == row_shape
+    assert cap.input_width == row_shape[-1]
+    feats = np.asarray(bundle["store"].data[:2], np.float32)
+    texts = cap.caption(feats)
+    assert len(texts) == 2
