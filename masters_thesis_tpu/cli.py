@@ -321,6 +321,14 @@ def _run_analyze(args) -> dict:
     for attn_path in sorted(glob.glob(os.path.join(run, "attention_scores_*.npy"))):
         e = os.path.basename(attn_path).split("_")[-1].split(".")[0]
         attn = np.load(attn_path)
+        if attn.shape[-1] <= 1:
+            # attention-free families (ShowTell/ThinkAndTell/guse) write a
+            # (B, T, 1) placeholder — region figures would be meaningless
+            # region_0/0.0 noise, so say so instead of emitting them
+            report.setdefault(
+                "attention_note",
+                "attention-free model: no region-attention artifacts")
+            continue
         mean_attn = np.asarray(attn).mean(axis=tuple(range(attn.ndim - 1)))
         png = os.path.join(out_dir, f"region_attention_{e}.png")
         col_names = None  # names aligned with the attention columns

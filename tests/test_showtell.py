@@ -112,3 +112,25 @@ def test_guse_nic_conditions_on_vector():
     # different guse vectors -> different first predictions
     l2, _ = model.apply({"params": params}, guse[::-1], tokens, a0, a0)
     assert not np.allclose(logits[:, 0], l2[:, 0])
+
+
+def test_analyze_skips_attention_artifacts_for_attention_free_run(tmp_path,
+                                                                  capsys):
+    """ShowTell-family eval writes (B, T, 1) attention placeholders; analyze
+    must say so instead of emitting meaningless region_0/0.0 figures."""
+    import json
+
+    from masters_thesis_tpu.cli import main
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.experiment import run_eval, run_training
+
+    cfg = Config(run="st_analyze", model="showtell", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, embedding_features=16,
+                 log=str(tmp_path))
+    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    run_eval(bundle, run_path, epoch=1)
+    assert main(["analyze", "--run", run_path]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "attention_note" in report
+    assert not any("region_attention" in a or "attention_over_time" in a
+                   for a in report["artifacts"])
