@@ -756,9 +756,48 @@ def run_preprocess(
     report["voxel_stats"] = {"n_voxels": int(mean.shape[0])}
 
     if pca_components > 0:
-        model = fit_pca(np.asarray(store.data), pca_components)
+        # fit on the unique-train rows when the key split is resolvable
+        # (the reference fits on the 27k unique split then transforms both
+        # splits, SVD/svd.py:64-93 — fitting on val/test leaks them into
+        # the subspace); otherwise fit on every row and say so
+        fit_rows = np.asarray(store.data)
+        fit_on = "all_rows"
+        nsd_dir = cfg.dataset.nsd_dir
+        if nsd_dir and os.path.isdir(nsd_dir):
+            import glob as _glob
+
+            from masters_thesis_tpu.data.splits import get_nsd_keys
+
+            cond = sorted(_glob.glob(
+                os.path.join(nsd_dir, "subj*_conditions.csv")))
+            test_csv = os.path.join(nsd_dir, "test_conditions.csv")
+            if cond and os.path.exists(test_csv):
+                key_split = get_nsd_keys(cond[0], test_csv, strict=False)
+                key_to_row = {int(k): i
+                              for i, k in enumerate(store.keys.tolist())}
+                idx = [key_to_row[k] for k in key_split.train.tolist()
+                       if k in key_to_row]
+                if idx:
+                    fit_rows = fit_rows[np.asarray(idx)]
+                    fit_on = f"train_split:{len(idx)}"
+        model = fit_pca(fit_rows, pca_components)
         model.save(os.path.join(out_dir, "pca_model.npz"))
-        report["pca"] = {"components": int(model.components.shape[0])}
+        # transform EVERY row into the reduced pack the pca configs train
+        # on (input_kind: pca points dataset.betas_path here) — the model
+        # alone is not a usable training input
+        pca_pack = os.path.join(out_dir, "betas_pack_pca")
+
+        def reduced_rows():
+            data, keys = store.data, store.keys.tolist()
+            for i in range(0, len(keys), 512):  # stream off the memmap
+                z = model.transform(np.asarray(data[i:i + 512], np.float32))
+                for j, key in enumerate(keys[i:i + 512]):
+                    yield key, z[j]
+
+        pca_meta = write_pack(pca_pack, None, reduced_rows())
+        report["pca"] = {"components": int(model.components.shape[0]),
+                         "fit_on": fit_on, "pack": pca_pack,
+                         "n_rows": pca_meta["n_rows"]}
 
     if captions_path and os.path.isdir(captions_path):
         caps = load_captions_dir(captions_path)

@@ -201,3 +201,48 @@ def test_two_subject_ms_nic_shared_encoder(tmp_path):
     assert {p[4] for p in pairs["train"]} == {"A", "B"}
     run_path, logs, bundle = run_training(cfg, epochs=1)
     assert np.isfinite(logs["loss"])
+
+
+def test_pca_preprocess_writes_reduced_pack_and_trains(tmp_path):
+    """The ThinkAndTell PCA chain end-to-end: preprocess --pca fits on the
+    TRAIN split (SVD/svd.py fits on the unique 27k, not val/test) and writes
+    the reduced pack that input_kind: pca configs actually train on — the
+    saved model alone was never a usable training input."""
+    from masters_thesis_tpu.experiment import run_preprocess
+
+    nsd, caps, betas = _make_dataset(tmp_path)
+    # run_preprocess ingests per-key npy files (the my_get_betas output),
+    # not an existing pack — explode the fixture pack into that layout
+    from masters_thesis_tpu.data.pack import open_pack as _open
+
+    src = _open(str(betas))
+    raw = tmp_path / "raw_betas"
+    raw.mkdir()
+    for i, key in enumerate(src.keys.tolist()):
+        np.save(raw / f"subj02_KID{key}.npy", np.asarray(src.data[i]))
+    cfg = Config(
+        run="pca_chain", model="thinkandtell", epochs=1, batch_size=8,
+        max_length=8, top_k=30, units=16, embedding_features=16,
+        log=str(tmp_path / "logs"),
+    )
+    cfg.dataset.betas_path = str(raw)
+    cfg.dataset.captions_path = str(caps)
+    cfg.dataset.nsd_dir = str(nsd)
+    cfg.input_kind = "pca"
+    cfg.input.pca = 4
+
+    out = tmp_path / "pre"
+    report = run_preprocess(cfg, str(out), pca_components=4)
+    assert report["pca"]["fit_on"] == "train_split:20"
+    assert report["pca"]["n_rows"] == 26
+
+    from masters_thesis_tpu.data.pack import open_pack
+
+    reduced = open_pack(report["pca"]["pack"])
+    assert reduced.row_shape == (4,)
+
+    # the reduced pack trains the pca config directly
+    cfg.dataset.betas_path = report["pca"]["pack"]
+    run_path, logs, bundle = run_training(cfg, epochs=1)
+    assert bundle["store"].row_shape == (4,)
+    assert np.isfinite(logs["loss"])
