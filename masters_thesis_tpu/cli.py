@@ -760,6 +760,11 @@ def main(argv=None) -> int:
                     help="JSON of {73KID: [caption, ...]} (offline stand-in "
                     "for nsda.read_image_coco_info)")
     pp.add_argument("--n-sessions", type=int, default=40)
+    pp.add_argument("--vc-parcels", default=None,
+                    help="visual-cortex parcel labels (comma list, or the "
+                    "reference's VISUAL_MASK CSV): masks the pack down to "
+                    "those parcels' vertices -> betas_pack_vc/ for "
+                    "input_kind: vc configs (needs dataset.nsd_dir atlases)")
 
     dr = sub.add_parser(
         "dryrun",
@@ -1092,6 +1097,7 @@ def main(argv=None) -> int:
             cfg, args.out, pca_components=args.pca,
             from_sessions=args.from_sessions, behavior=args.behavior,
             captions_json=args.captions_json, n_sessions=args.n_sessions,
+            vc_parcels=args.vc_parcels,
         )
         print(json.dumps(report))
         return 0

@@ -697,6 +697,31 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
 # ---------------------------------------------------------------- preprocess
 
+def _parse_visual_parcels(spec: str) -> list[int]:
+    """``--vc-parcels``: a comma-separated label list, or a CSV file like
+    the reference's VISUAL_MASK table (ThinkAndTell/train.py:91-92 reads it
+    with pandas index_col=0 and flattens the values — here: every numeric
+    field after the per-row index column)."""
+    if not os.path.exists(spec):
+        return [int(p) for p in spec.split(",") if p.strip()]
+    parcels: list[int] = []
+    with open(spec) as f:
+        for line in f:
+            fields = [p.strip() for p in line.strip().split(",") if p.strip()]
+            if not fields:
+                continue
+            try:  # header rows simply don't parse
+                values = [int(float(p)) for p in fields]
+            except ValueError:
+                continue
+            # a row that is [index, value, ...] drops the index column;
+            # a single-field row IS the value
+            parcels.extend(values[1:] if len(values) > 1 else values)
+    if not parcels:
+        raise ValueError(f"no parcel labels parsed from {spec!r}")
+    return parcels
+
+
 def run_preprocess(
     cfg: Config,
     out_dir: str,
@@ -705,6 +730,7 @@ def run_preprocess(
     behavior: str | None = None,
     captions_json: str | None = None,
     n_sessions: int = 40,
+    vc_parcels: str | None = None,
 ) -> dict:
     """Offline preprocessing driver (the reference's ian_code/nsd_get_data +
     data_mean + SVD/svd.py stage): [optionally session files -> per-trial
@@ -754,6 +780,49 @@ def run_preprocess(
     mean, std = voxelwise_stats(store.data)
     np.savez(os.path.join(out_dir, "voxel_stats.npz"), mean=mean, std=std)
     report["voxel_stats"] = {"n_voxels": int(mean.shape[0])}
+
+    if vc_parcels:
+        # the visual-cortex chain (ThinkAndTell/train.py:78-113 +
+        # create_betas_dataset.py): mask the full-cortex rows down to the
+        # visual parcels and write the pack input_kind: vc configs train on
+        from masters_thesis_tpu.data.preprocess.glasser import (
+            load_atlas_vector,
+            visual_cortex_mask,
+        )
+
+        nsd_dir = cfg.dataset.nsd_dir
+        if not (nsd_dir and os.path.isdir(nsd_dir)):
+            raise ValueError(
+                "--vc-parcels needs dataset.nsd_dir with glasser_lh/rh "
+                "atlas label vectors to build the vertex mask"
+            )
+        lh = load_atlas_vector(os.path.join(nsd_dir, "glasser_lh.npy"))
+        rh = load_atlas_vector(os.path.join(nsd_dir, "glasser_rh.npy"))
+        parcels = _parse_visual_parcels(vc_parcels)
+        mask = visual_cortex_mask(lh, rh, parcels)
+        width = store.row_shape[0]
+        if len(lh) + len(rh) != width:
+            raise ValueError(
+                f"atlas covers {len(lh) + len(rh)} vertices but the pack "
+                f"rows are {width}-wide — wrong atlas for this data"
+            )
+        if mask.size == 0:
+            raise ValueError(
+                f"visual parcels {parcels} match no atlas vertex")
+        np.save(os.path.join(out_dir, "vc_mask.npy"), mask)
+        vc_pack = os.path.join(out_dir, "betas_pack_vc")
+
+        def masked_rows():
+            data, keys = store.data, store.keys.tolist()
+            for i in range(0, len(keys), 512):  # stream off the memmap
+                block = np.asarray(data[i:i + 512], np.float32)[:, mask]
+                for j, key in enumerate(keys[i:i + 512]):
+                    yield key, block[j]
+
+        vc_meta = write_pack(vc_pack, None, masked_rows())
+        report["vc"] = {"n_vertices": int(mask.size), "pack": vc_pack,
+                        "n_rows": vc_meta["n_rows"],
+                        "parcels": sorted(set(parcels))}
 
     if pca_components > 0:
         # fit on the unique-train rows when the key split is resolvable

@@ -246,3 +246,56 @@ def test_pca_preprocess_writes_reduced_pack_and_trains(tmp_path):
     run_path, logs, bundle = run_training(cfg, epochs=1)
     assert bundle["store"].row_shape == (4,)
     assert np.isfinite(logs["loss"])
+
+
+def test_vc_preprocess_writes_masked_pack_and_trains(tmp_path):
+    """The visual-cortex chain end-to-end: preprocess --vc-parcels builds the
+    vertex mask from the run's atlases (ThinkAndTell/train.py:78-113) and
+    writes the masked pack input_kind: vc configs train on; the parcel list
+    parses from the reference's VISUAL_MASK CSV layout (index column +
+    header)."""
+    from masters_thesis_tpu.experiment import run_preprocess
+
+    nsd, caps, betas = _make_dataset(tmp_path)
+    from masters_thesis_tpu.data.pack import open_pack as _open
+
+    src = _open(str(betas))
+    raw = tmp_path / "raw_betas"
+    raw.mkdir()
+    for i, key in enumerate(src.keys.tolist()):
+        np.save(raw / f"subj02_KID{key}.npy", np.asarray(src.data[i]))
+
+    # reference-style CSV: header row + per-row index column
+    vm = tmp_path / "visual_mask.csv"
+    vm.write_text(",parcel\n0,1\n1,2\n")
+
+    cfg = Config(
+        run="vc_chain", model="thinkandtell", epochs=1, batch_size=8,
+        max_length=8, top_k=30, units=16, embedding_features=16,
+        log=str(tmp_path / "logs"),
+    )
+    cfg.dataset.betas_path = str(raw)
+    cfg.dataset.captions_path = str(caps)
+    cfg.dataset.nsd_dir = str(nsd)
+    cfg.input_kind = "vc"
+
+    out = tmp_path / "pre"
+    report = run_preprocess(cfg, str(out), vc_parcels=str(vm))
+    assert report["vc"]["parcels"] == [1, 2]
+    mask = np.load(out / "vc_mask.npy")
+    # fixture atlases: LH has 4x label-1 + 4x label-2, RH has 6x label-1
+    assert report["vc"]["n_vertices"] == len(mask) == 14
+
+    from masters_thesis_tpu.data.pack import open_pack
+
+    masked = open_pack(report["vc"]["pack"])
+    assert masked.row_shape == (14,)
+    # masked values are the original columns at the mask indices
+    np.testing.assert_array_equal(
+        np.asarray(masked.data[0]), np.asarray(src.data[0])[mask])
+
+    cfg.input.vc = 14
+    cfg.dataset.betas_path = report["vc"]["pack"]
+    run_path, logs, bundle = run_training(cfg, epochs=1)
+    assert bundle["store"].row_shape == (14,)
+    assert np.isfinite(logs["loss"])
