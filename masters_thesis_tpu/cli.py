@@ -765,6 +765,22 @@ def main(argv=None) -> int:
                     "reference's VISUAL_MASK CSV): masks the pack down to "
                     "those parcels' vertices -> betas_pack_vc/ for "
                     "input_kind: vc configs (needs dataset.nsd_dir atlases)")
+    pp.add_argument("--normalize", action="store_true",
+                    help="per-voxel (x-mean)/std over the current view "
+                    "(the reference's load-time normalization, "
+                    "load_dataset.py:8-22) -> betas_pack_norm/; chains "
+                    "after --vc-parcels and before --pca")
+
+    tf = sub.add_parser(
+        "transform",
+        help="replay a preprocess run's derived-view chain (vc mask -> "
+        "normalize -> pca, transform.json) on an arbitrary betas .npy — "
+        "serving requests must match the training pack's transforms",
+    )
+    tf.add_argument("--pre", required=True,
+                    help="a `mtt preprocess` output directory")
+    tf.add_argument("--betas", required=True, help="(N, V) .npy to transform")
+    tf.add_argument("--out", required=True, help="output .npy")
 
     dr = sub.add_parser(
         "dryrun",
@@ -1010,6 +1026,17 @@ def main(argv=None) -> int:
         print(json.dumps(_run_score(args)))
         return 0
 
+    if args.cmd == "transform":
+        import numpy as np
+
+        from masters_thesis_tpu.experiment import apply_preprocess_chain
+
+        out_rows = apply_preprocess_chain(args.pre, np.load(args.betas))
+        np.save(args.out, out_rows)
+        print(json.dumps({"out": args.out,
+                          "shape": list(out_rows.shape)}))
+        return 0
+
     if args.cmd == "export":
         from masters_thesis_tpu.export import export_run
 
@@ -1097,7 +1124,7 @@ def main(argv=None) -> int:
             cfg, args.out, pca_components=args.pca,
             from_sessions=args.from_sessions, behavior=args.behavior,
             captions_json=args.captions_json, n_sessions=args.n_sessions,
-            vc_parcels=args.vc_parcels,
+            vc_parcels=args.vc_parcels, normalize=args.normalize,
         )
         print(json.dumps(report))
         return 0

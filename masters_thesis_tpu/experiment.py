@@ -697,6 +697,35 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
 # ---------------------------------------------------------------- preprocess
 
+def apply_preprocess_chain(pre_dir: str, rows: np.ndarray) -> np.ndarray:
+    """Replay a preprocess run's derived-view chain (transform.json:
+    vc_mask -> normalize -> pca, whichever stages ran) on arbitrary (N, V)
+    rows — serving requests and new sessions must go through the SAME
+    transforms the training pack did (`mtt transform`)."""
+    from masters_thesis_tpu.data.preprocess.pca import PCAModel
+
+    with open(os.path.join(pre_dir, "transform.json")) as f:
+        meta = json.load(f)
+    x = np.asarray(rows, np.float32)
+    for st in meta["stages"]:
+        path = os.path.join(pre_dir, st["file"])
+        if st["stage"] == "vc_mask":
+            x = x[:, np.load(path)]
+        elif st["stage"] == "normalize":
+            d = np.load(path)
+            x = (x - d["mean"]) / d["std"]
+        elif st["stage"] == "pca":
+            x = PCAModel.load(path).transform(x).astype(np.float32)
+        else:
+            raise ValueError(f"unknown transform stage {st['stage']!r}")
+    expect = meta.get("final_row_shape")
+    if expect and list(x.shape[1:]) != list(expect):
+        raise ValueError(
+            f"replayed chain produced rows of shape {x.shape[1:]}, "
+            f"expected {expect}")
+    return x
+
+
 def _parse_visual_parcels(spec: str) -> list[int]:
     """``--vc-parcels``: a comma-separated label list, or a CSV file like
     the reference's VISUAL_MASK table (ThinkAndTell/train.py:91-92 reads it
@@ -731,6 +760,7 @@ def run_preprocess(
     captions_json: str | None = None,
     n_sessions: int = 40,
     vc_parcels: str | None = None,
+    normalize: bool = False,
 ) -> dict:
     """Offline preprocessing driver (the reference's ian_code/nsd_get_data +
     data_mean + SVD/svd.py stage): [optionally session files -> per-trial
@@ -781,10 +811,35 @@ def run_preprocess(
     np.savez(os.path.join(out_dir, "voxel_stats.npz"), mean=mean, std=std)
     report["voxel_stats"] = {"n_voxels": int(mean.shape[0])}
 
+    # ---- derived input views, CHAINED in the reference's order:
+    # raw -> vc-mask -> per-voxel normalize -> pca (ThinkAndTell masks to
+    # visual cortex, normalizes with data_mean.py stats at load time
+    # (load_dataset.py:8-22), and SVD/svd.py reduces THAT data). Each enabled
+    # stage consumes the previous stage's pack; transform.json records the
+    # chain so `mtt transform` / apply_preprocess_chain can replay it on
+    # arbitrary rows (serving requests, new sessions).
+    chain: list[dict] = []
+    view = store  # the current stage input
+
+    def _write_view(name, row_fn, row_shape_note):
+        pack_path = os.path.join(out_dir, name)
+
+        def rows():
+            data, keys = view.data, view.keys.tolist()
+            for i in range(0, len(keys), 512):  # stream off the memmap
+                block = row_fn(np.asarray(data[i:i + 512], np.float32))
+                for j, key in enumerate(keys[i:i + 512]):
+                    yield key, block[j]
+
+        meta_ = write_pack(pack_path, None, rows())
+        logger.info("preprocess: wrote %s (%s rows, %s)", name,
+                    meta_["n_rows"], row_shape_note)
+        return pack_path, meta_
+
     if vc_parcels:
-        # the visual-cortex chain (ThinkAndTell/train.py:78-113 +
+        # the visual-cortex stage (ThinkAndTell/train.py:78-113 +
         # create_betas_dataset.py): mask the full-cortex rows down to the
-        # visual parcels and write the pack input_kind: vc configs train on
+        # visual parcels — the pack input_kind: vc configs train on
         from masters_thesis_tpu.data.preprocess.glasser import (
             load_atlas_vector,
             visual_cortex_mask,
@@ -800,7 +855,7 @@ def run_preprocess(
         rh = load_atlas_vector(os.path.join(nsd_dir, "glasser_rh.npy"))
         parcels = _parse_visual_parcels(vc_parcels)
         mask = visual_cortex_mask(lh, rh, parcels)
-        width = store.row_shape[0]
+        width = view.row_shape[0]
         if len(lh) + len(rh) != width:
             raise ValueError(
                 f"atlas covers {len(lh) + len(rh)} vertices but the pack "
@@ -810,26 +865,39 @@ def run_preprocess(
             raise ValueError(
                 f"visual parcels {parcels} match no atlas vertex")
         np.save(os.path.join(out_dir, "vc_mask.npy"), mask)
-        vc_pack = os.path.join(out_dir, "betas_pack_vc")
-
-        def masked_rows():
-            data, keys = store.data, store.keys.tolist()
-            for i in range(0, len(keys), 512):  # stream off the memmap
-                block = np.asarray(data[i:i + 512], np.float32)[:, mask]
-                for j, key in enumerate(keys[i:i + 512]):
-                    yield key, block[j]
-
-        vc_meta = write_pack(vc_pack, None, masked_rows())
+        vc_pack, vc_meta = _write_view(
+            "betas_pack_vc", lambda b: b[:, mask],
+            f"{mask.size} visual-cortex vertices")
         report["vc"] = {"n_vertices": int(mask.size), "pack": vc_pack,
                         "n_rows": vc_meta["n_rows"],
                         "parcels": sorted(set(parcels))}
+        chain.append({"stage": "vc_mask", "file": "vc_mask.npy"})
+        view = open_pack(vc_pack)
+
+    if normalize:
+        # per-voxel (x - mean)/std over the CURRENT view, the reference's
+        # load-time normalization (load_dataset.py:8-22; stats from
+        # data_mean.py). std floors at 1e-8: a dead voxel divides by ~0 in
+        # the reference and NaNs the row
+        v_mean, v_std = voxelwise_stats(view.data)
+        v_std = np.maximum(v_std, 1e-8)
+        np.savez(os.path.join(out_dir, "norm_stats.npz"),
+                 mean=v_mean, std=v_std)
+        norm_pack, norm_meta = _write_view(
+            "betas_pack_norm", lambda b: (b - v_mean) / v_std,
+            "per-voxel normalized")
+        report["normalize"] = {"pack": norm_pack,
+                               "n_rows": norm_meta["n_rows"],
+                               "n_voxels": int(v_mean.shape[0])}
+        chain.append({"stage": "normalize", "file": "norm_stats.npz"})
+        view = open_pack(norm_pack)
 
     if pca_components > 0:
         # fit on the unique-train rows when the key split is resolvable
         # (the reference fits on the 27k unique split then transforms both
         # splits, SVD/svd.py:64-93 — fitting on val/test leaks them into
         # the subspace); otherwise fit on every row and say so
-        fit_rows = np.asarray(store.data)
+        fit_rows = np.asarray(view.data)
         fit_on = "all_rows"
         nsd_dir = cfg.dataset.nsd_dir
         if nsd_dir and os.path.isdir(nsd_dir):
@@ -843,7 +911,7 @@ def run_preprocess(
             if cond and os.path.exists(test_csv):
                 key_split = get_nsd_keys(cond[0], test_csv, strict=False)
                 key_to_row = {int(k): i
-                              for i, k in enumerate(store.keys.tolist())}
+                              for i, k in enumerate(view.keys.tolist())}
                 idx = [key_to_row[k] for k in key_split.train.tolist()
                        if k in key_to_row]
                 if idx:
@@ -854,19 +922,19 @@ def run_preprocess(
         # transform EVERY row into the reduced pack the pca configs train
         # on (input_kind: pca points dataset.betas_path here) — the model
         # alone is not a usable training input
-        pca_pack = os.path.join(out_dir, "betas_pack_pca")
-
-        def reduced_rows():
-            data, keys = store.data, store.keys.tolist()
-            for i in range(0, len(keys), 512):  # stream off the memmap
-                z = model.transform(np.asarray(data[i:i + 512], np.float32))
-                for j, key in enumerate(keys[i:i + 512]):
-                    yield key, z[j]
-
-        pca_meta = write_pack(pca_pack, None, reduced_rows())
+        pca_pack, pca_meta = _write_view(
+            "betas_pack_pca", model.transform,
+            f"{model.components.shape[0]} components")
         report["pca"] = {"components": int(model.components.shape[0]),
                          "fit_on": fit_on, "pack": pca_pack,
                          "n_rows": pca_meta["n_rows"]}
+        chain.append({"stage": "pca", "file": "pca_model.npz"})
+        view = open_pack(pca_pack)
+
+    with open(os.path.join(out_dir, "transform.json"), "w") as f:
+        json.dump({"stages": chain,
+                   "final_row_shape": list(view.row_shape)}, f, indent=1)
+    report["transform"] = {"stages": [c["stage"] for c in chain]}
 
     if captions_path and os.path.isdir(captions_path):
         caps = load_captions_dir(captions_path)

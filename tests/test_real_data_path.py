@@ -299,3 +299,62 @@ def test_vc_preprocess_writes_masked_pack_and_trains(tmp_path):
     run_path, logs, bundle = run_training(cfg, epochs=1)
     assert bundle["store"].row_shape == (14,)
     assert np.isfinite(logs["loss"])
+
+
+def test_preprocess_chain_vc_normalize_pca_and_transform_replay(tmp_path):
+    """Stages CHAIN in the reference's order (mask -> normalize -> reduce:
+    ThinkAndTell masks to VC, normalizes at load time with data_mean stats,
+    and SVD reduces that data), and `mtt transform` replays the recorded
+    chain on arbitrary rows — serving inputs must match the training pack."""
+    import json as _json
+
+    from masters_thesis_tpu.cli import main
+    from masters_thesis_tpu.data.pack import open_pack as _open
+    from masters_thesis_tpu.experiment import (
+        apply_preprocess_chain,
+        run_preprocess,
+    )
+
+    nsd, caps, betas = _make_dataset(tmp_path)
+    src = _open(str(betas))
+    raw = tmp_path / "raw_betas"
+    raw.mkdir()
+    for i, key in enumerate(src.keys.tolist()):
+        np.save(raw / f"subj02_KID{key}.npy", np.asarray(src.data[i]))
+
+    cfg = Config(run="chain", model="thinkandtell", epochs=1, batch_size=8,
+                 max_length=8, top_k=30, units=16, embedding_features=16,
+                 log=str(tmp_path / "logs"))
+    cfg.dataset.betas_path = str(raw)
+    cfg.dataset.captions_path = str(caps)
+    cfg.dataset.nsd_dir = str(nsd)
+
+    out = tmp_path / "pre"
+    report = run_preprocess(cfg, str(out), pca_components=4,
+                            vc_parcels="1,2", normalize=True)
+    assert report["transform"]["stages"] == ["vc_mask", "normalize", "pca"]
+
+    # each stage consumed the previous: norm pack is VC-wide, pca is 4-wide
+    assert _open(report["normalize"]["pack"]).row_shape == (14,)
+    final = _open(report["pca"]["pack"])
+    assert final.row_shape == (4,)
+
+    # the normalized view is actually normalized (per-voxel z over rows)
+    norm = np.asarray(_open(report["normalize"]["pack"]).data)
+    np.testing.assert_allclose(norm.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(norm.std(axis=0), 1.0, atol=1e-4)
+
+    # replaying the chain on the RAW rows reproduces the final pack exactly
+    # (align by key: the derived packs order rows by ingest-file order)
+    replayed = apply_preprocess_chain(str(out), np.asarray(src.data))
+    src_row = {int(k): i for i, k in enumerate(src.keys.tolist())}
+    aligned = replayed[[src_row[int(k)] for k in final.keys.tolist()]]
+    np.testing.assert_allclose(aligned, np.asarray(final.data), atol=1e-5)
+
+    # and the CLI surface does the same
+    x = tmp_path / "x.npy"
+    np.save(x, np.asarray(src.data[:3]))
+    y = tmp_path / "y.npy"
+    assert main(["transform", "--pre", str(out), "--betas", str(x),
+                 "--out", str(y)]) == 0
+    np.testing.assert_allclose(np.load(y), replayed[:3], atol=1e-6)
