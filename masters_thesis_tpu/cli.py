@@ -108,18 +108,49 @@ def _run_features(args) -> dict:
 
     model, head, prep = _backbone_for(args)
     n_rows = _features_row_count(args)
-    variables = out = None
+    variables = None
+
+    def feature_chunks():
+        nonlocal variables
+        for imgs in _image_chunks(args, chunk=max(args.batch_size, 64) * 4):
+            x = prep(np.asarray(imgs, np.float32))
+            if variables is None:
+                variables = model.init(jax.random.PRNGKey(0), x[:1])
+                if args.weights:
+                    # merges params AND BatchNorm moving stats ('stats/')
+                    variables = backbones.load_npz_variables(
+                        dict(variables), args.weights)
+            yield np.asarray(backbones.extract_features(
+                model, variables, x, batch_size=args.batch_size, head=head))
+
+    if getattr(args, "pack", False):
+        # --pack: write a key-addressed pack dir instead of one flat npy —
+        # the layout dataset.betas_path consumes, so img_nic/cnn_rnn
+        # configs train on the extraction output directly
+        if not args.keys:
+            raise SystemExit("--pack needs --keys (the pack's key order)")
+        keys = np.load(args.keys).reshape(-1).astype(np.int64)
+        if len(keys) != n_rows:
+            raise SystemExit(
+                f"--keys lists {len(keys)} keys but the input has "
+                f"{n_rows} images")
+        from masters_thesis_tpu.data.pack import write_pack
+
+        def keyed_rows():
+            row = 0
+            for feats in feature_chunks():
+                for r in feats:
+                    yield int(keys[row]), r
+                    row += 1
+
+        meta = write_pack(args.out, None, keyed_rows())
+        return {"out": args.out, "pack": meta,
+                "backbone": args.backbone, "head": head,
+                "pretrained": bool(args.weights)}
+
+    out = None
     row = 0
-    for imgs in _image_chunks(args, chunk=max(args.batch_size, 64) * 4):
-        x = prep(np.asarray(imgs, np.float32))
-        if variables is None:
-            variables = model.init(jax.random.PRNGKey(0), x[:1])
-            if args.weights:
-                # merges params AND BatchNorm moving stats ('stats/' keys)
-                variables = backbones.load_npz_variables(
-                    dict(variables), args.weights)
-        feats = np.asarray(backbones.extract_features(
-            model, variables, x, batch_size=args.batch_size, head=head))
+    for feats in feature_chunks():
         if out is None:
             out = np.lib.format.open_memmap(
                 args.out, mode="w+", dtype=feats.dtype,
@@ -937,6 +968,10 @@ def main(argv=None) -> int:
                     help="feature head (vgg16: fc2|conv5; others: "
                     "patches|pooled); default per backbone")
     fe.add_argument("--batch-size", type=int, default=64)
+    fe.add_argument("--pack", action="store_true",
+                    help="write --out as a key-addressed pack dir (needs "
+                    "--keys) — the dataset.betas_path layout, so img_nic/"
+                    "cnn_rnn configs train on the output directly")
 
     st = sub.add_parser(
         "stimuli",

@@ -358,3 +358,47 @@ def test_preprocess_chain_vc_normalize_pca_and_transform_replay(tmp_path):
     assert main(["transform", "--pre", str(out), "--betas", str(x),
                  "--out", str(y)]) == 0
     np.testing.assert_allclose(np.load(y), replayed[:3], atol=1e-6)
+
+
+def test_features_pack_trains_img_nic(tmp_path):
+    """The image chain end-to-end: mtt features --pack writes the extraction
+    output as a key-addressed pack that dataset.betas_path consumes, so an
+    img_nic config trains directly on it (the reference dumps per-key conv
+    files that data_generator_image reads; a flat features .npy had no path
+    into training)."""
+    import json as _json
+
+    from masters_thesis_tpu.cli import main
+
+    nsd, caps, betas = _make_dataset(tmp_path)
+    keys = np.asarray(sorted(
+        list(range(1, 21)) + list(range(100, 106))), np.int64)
+    rng = np.random.default_rng(0)
+    images = tmp_path / "imgs.npy"
+    np.save(images, rng.integers(
+        0, 255, (int(keys.max()), 32, 32, 3)).astype(np.float32))
+    keys_npy = tmp_path / "keys.npy"
+    np.save(keys_npy, keys)
+
+    pack_dir = tmp_path / "feat_pack"
+    assert main(["features", "--backbone", "vgg16", "--head", "conv5",
+                 "--images", str(images), "--keys", str(keys_npy),
+                 "--out", str(pack_dir), "--pack",
+                 "--batch-size", "8"]) == 0
+
+    from masters_thesis_tpu.data.pack import open_pack
+
+    feats = open_pack(str(pack_dir))
+    assert len(feats) == 26 and len(feats.row_shape) == 2  # (P, C)
+
+    cfg = Config(
+        run="img_chain", model="img_nic", epochs=1, batch_size=8,
+        max_length=8, top_k=30, units=16, attn_units=8,
+        embedding_features=32, embedding_text=8, log=str(tmp_path / "logs"),
+    )
+    cfg.dataset.betas_path = str(pack_dir)
+    cfg.dataset.captions_path = str(caps)
+    cfg.dataset.nsd_dir = str(nsd)
+    run_path, logs, bundle = run_training(cfg, epochs=1)
+    assert bundle["store"].row_shape == feats.row_shape
+    assert np.isfinite(logs["loss"])
