@@ -66,6 +66,7 @@ _SLOW_TESTS = {
     "test_pca_preprocess_writes_reduced_pack_and_trains",
     "test_vc_preprocess_writes_masked_pack_and_trains",
     "test_features_pack_trains_img_nic",
+    "test_guse_precompute_output_trains_guse_nic",
     "test_glove_frozen_trains_and_serves",
     "test_glove_trainable_run_decodes",
     "test_learned_init_state_trains_and_decodes",

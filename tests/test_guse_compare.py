@@ -228,3 +228,45 @@ def test_guse_similarity_rejects_misaligned_lengths():
     with pytest.raises(ValueError, match="align"):
         guse_similarity(["one caption"], [["r1"], ["r2"]],
                         embedder=HashEmbedder(dim=8))
+
+
+def test_guse_precompute_output_trains_guse_nic(tmp_path):
+    """The guse_nic chain end-to-end: mtt guse's guse_averaged/ per-key
+    vectors are the betas_path a guse_nic config trains on (get_guse.py
+    output feeding guse_NIC.py) — pin the real-data branch consumes them."""
+    import numpy as np
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.experiment import run_guse_precompute, run_training
+
+    unique = list(range(1, 9))
+    shared = [100, 101, 102]
+    caps = {k: [f"a thing number {k}", f"another thing {k}",
+                f"thing {k} again", f"thing {k} once more",
+                f"the thing {k}"] for k in unique + shared}
+    cap_dir = _write_captions(tmp_path, caps)
+
+    nsd = tmp_path / "nsd"
+    nsd.mkdir()
+    lines = ["nsd_key,is_shared"]
+    lines += [f"{k},0" for k in unique]
+    lines += [f"{k},1" for k in shared]
+    (nsd / "subj02_conditions.csv").write_text("\n".join(lines))
+    (nsd / "test_conditions.csv").write_text("nsd_key\n100\n")
+    # guse_nic has no encoder groups; atlases are still part of the layout
+    np.save(nsd / "glasser_lh.npy", np.zeros(4, np.int64))
+    np.save(nsd / "glasser_rh.npy", np.zeros(4, np.int64))
+
+    cfg = Config(run="guse_chain", model="guse_nic", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, embedding_features=16,
+                 log=str(tmp_path / "logs"))
+    cfg.dataset.captions_path = cap_dir
+    cfg.dataset.nsd_dir = str(nsd)
+
+    out = str(tmp_path / "guse")
+    run_guse_precompute(cfg, out)
+
+    cfg.dataset.betas_path = os.path.join(out, "guse_averaged")
+    run_path, logs, bundle = run_training(cfg, epochs=1)
+    assert bundle["store"].row_shape == (512,)  # GUSE vector width
+    assert np.isfinite(logs["loss"])
