@@ -843,6 +843,11 @@ def main(argv=None) -> int:
                     help="data-parallel serving over N chips (0 = single "
                     "device): batch axis sharded over a ('data',) mesh, "
                     "params replicated")
+    cp.add_argument("--pre", default=None,
+                    help="a `mtt preprocess` output dir: replay its "
+                    "transform chain (vc mask/normalize/pca) on the raw "
+                    "betas before decoding — requests must match the "
+                    "training pack's transforms")
 
     so = sub.add_parser(
         "score",
@@ -1047,7 +1052,12 @@ def main(argv=None) -> int:
             maybe_distributed_init()
             kw["mesh"] = make_mesh(data=args.shard, model=1)
         cap = Captioner.from_run_dir(args.run, **kw)
-        texts = cap.caption(np.load(args.betas), decoder=args.decoder)
+        rows = np.load(args.betas)
+        if args.pre:
+            from masters_thesis_tpu.experiment import apply_preprocess_chain
+
+            rows = apply_preprocess_chain(args.pre, rows)
+        texts = cap.caption(rows, decoder=args.decoder)
         if args.out:
             with open(args.out, "w") as f:
                 f.write("\n".join(texts) + "\n")
