@@ -129,11 +129,9 @@ def _run_features(args) -> dict:
         # configs train on the extraction output directly
         if not args.keys:
             raise SystemExit("--pack needs --keys (the pack's key order)")
+        # key-range validation against the actual image count happens in
+        # _image_chunks; with --keys, n_rows IS len(keys) by construction
         keys = np.load(args.keys).reshape(-1).astype(np.int64)
-        if len(keys) != n_rows:
-            raise SystemExit(
-                f"--keys lists {len(keys)} keys but the input has "
-                f"{n_rows} images")
         from masters_thesis_tpu.data.pack import write_pack
 
         def keyed_rows():
@@ -897,6 +895,10 @@ def main(argv=None) -> int:
                     help="ms2_nic runs: which per-subject encoder serves")
     sv.add_argument("--shard", type=int, default=0,
                     help="data-parallel serving over N chips")
+    sv.add_argument("--pre", default=None,
+                    help="a `mtt preprocess` output dir: every request's "
+                    "raw betas replay its transform chain (vc mask/"
+                    "normalize/pca) before decoding")
 
     an = sub.add_parser(
         "analyze",
@@ -1137,6 +1139,10 @@ def main(argv=None) -> int:
                 maybe_distributed_init()
                 kw["mesh"] = make_mesh(data=args.shard, model=1)
             cap = Captioner.from_run_dir(args.run, **kw)
+        if args.pre:
+            from masters_thesis_tpu.serve import PreTransformCaptioner
+
+            cap = PreTransformCaptioner(cap, args.pre)
         server = make_caption_server(
             cap, host=args.host, port=args.port,
             default_decoder=args.decoder, max_batch=args.max_batch,

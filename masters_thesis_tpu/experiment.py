@@ -707,6 +707,13 @@ def apply_preprocess_chain(pre_dir: str, rows: np.ndarray) -> np.ndarray:
     with open(os.path.join(pre_dir, "transform.json")) as f:
         meta = json.load(f)
     x = np.asarray(rows, np.float32)
+    raw_shape = meta.get("input_row_shape")
+    if raw_shape and list(x.shape[1:]) != list(raw_shape):
+        # a vc-mask gather would silently accept any rows wide enough for
+        # its max index — wrong vertices, garbage captions, no error
+        raise ValueError(
+            f"chain {pre_dir!r} was recorded on rows of shape {raw_shape}; "
+            f"got {list(x.shape[1:])}")
     for st in meta["stages"]:
         path = os.path.join(pre_dir, st["file"])
         if st["stage"] == "vc_mask":
@@ -726,26 +733,83 @@ def apply_preprocess_chain(pre_dir: str, rows: np.ndarray) -> np.ndarray:
     return x
 
 
+def _train_split_indices(view, nsd_dir):
+    """Pack-row indices of the unique-train keys, or (None, 'all_rows').
+
+    Picks the conditions CSV whose train split covers the most pack keys —
+    an nsd_dir can hold several subjects' CSVs, and blindly taking the
+    alphabetically first would fit statistics on the WRONG subject's split
+    (near-zero key overlap, a degenerate fit with no error)."""
+    if not (nsd_dir and os.path.isdir(nsd_dir)):
+        return None, "all_rows"
+    import glob as _glob
+
+    from masters_thesis_tpu.data.splits import get_nsd_keys
+
+    test_csv = os.path.join(nsd_dir, "test_conditions.csv")
+    conds = sorted(_glob.glob(os.path.join(nsd_dir, "subj0*_conditions.csv")))
+    if not conds or not os.path.exists(test_csv):
+        return None, "all_rows"
+    key_to_row = {int(k): i for i, k in enumerate(view.keys.tolist())}
+    best_idx, best_cond = [], None
+    for cond in conds:
+        split = get_nsd_keys(cond, test_csv, strict=False)
+        idx = [key_to_row[k] for k in split.train.tolist() if k in key_to_row]
+        if len(idx) > len(best_idx):
+            best_idx, best_cond = idx, cond
+    if not best_idx:
+        return None, "all_rows"
+    if len(conds) > 1:
+        logger.info(
+            "preprocess: train split from %s (best pack-key coverage: %d)",
+            os.path.basename(best_cond), len(best_idx))
+    return np.asarray(best_idx), f"train_split:{len(best_idx)}"
+
+
 def _parse_visual_parcels(spec: str) -> list[int]:
     """``--vc-parcels``: a comma-separated label list, or a CSV file like
     the reference's VISUAL_MASK table (ThinkAndTell/train.py:91-92 reads it
-    with pandas index_col=0 and flattens the values — here: every numeric
-    field after the per-row index column)."""
+    with pandas index_col=0 and flattens the values).
+
+    File parsing is structural, not guess-per-row: if the FIRST line has any
+    non-numeric field it is the header, and a leading EMPTY header field
+    (pandas' unnamed index column) means every data row drops its first
+    field. A fully-numeric file is a plain value list — every field counts
+    (no index heuristics: a pandas header like ',0' must not parse as
+    parcel 0, the unlabelled region, and a stored '1,2,3' list must not
+    lose its first value)."""
     if not os.path.exists(spec):
         return [int(p) for p in spec.split(",") if p.strip()]
-    parcels: list[int] = []
     with open(spec) as f:
-        for line in f:
-            fields = [p.strip() for p in line.strip().split(",") if p.strip()]
-            if not fields:
-                continue
-            try:  # header rows simply don't parse
-                values = [int(float(p)) for p in fields]
-            except ValueError:
-                continue
-            # a row that is [index, value, ...] drops the index column;
-            # a single-field row IS the value
-            parcels.extend(values[1:] if len(values) > 1 else values)
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if not lines:
+        raise ValueError(f"no parcel labels parsed from {spec!r}")
+
+    def fields(line):
+        return [p.strip() for p in line.split(",")]
+
+    def numeric(vals):
+        try:
+            return [int(float(p)) for p in vals]
+        except ValueError:
+            return None
+
+    first = fields(lines[0])
+    drop_index = False
+    if numeric([p for p in first if p]) is None or "" in first:
+        # header row: pandas writes the index column as an empty first name
+        drop_index = first[0] == ""
+        lines = lines[1:]
+    parcels: list[int] = []
+    for line in lines:
+        vals = fields(line)
+        if drop_index:
+            vals = vals[1:]
+        nums = numeric([p for p in vals if p])
+        if nums is None:
+            raise ValueError(
+                f"non-numeric parcel field in {spec!r}: {line!r}")
+        parcels.extend(nums)
     if not parcels:
         raise ValueError(f"no parcel labels parsed from {spec!r}")
     return parcels
@@ -877,9 +941,15 @@ def run_preprocess(
     if normalize:
         # per-voxel (x - mean)/std over the CURRENT view, the reference's
         # load-time normalization (load_dataset.py:8-22; stats from
-        # data_mean.py). std floors at 1e-8: a dead voxel divides by ~0 in
-        # the reference and NaNs the row
-        v_mean, v_std = voxelwise_stats(view.data)
+        # data_mean.py). Stats come from the TRAIN rows when the split is
+        # resolvable — computing them over val/test leaks those rows'
+        # statistics into the training inputs (same rule as the PCA fit
+        # below). std floors at 1e-8: a dead voxel divides by ~0 in the
+        # reference and NaNs the row
+        idx, stats_from = _train_split_indices(view, cfg.dataset.nsd_dir)
+        stat_rows = (view.data if idx is None
+                     else np.asarray(view.data)[idx])
+        v_mean, v_std = voxelwise_stats(stat_rows)
         v_std = np.maximum(v_std, 1e-8)
         np.savez(os.path.join(out_dir, "norm_stats.npz"),
                  mean=v_mean, std=v_std)
@@ -888,7 +958,8 @@ def run_preprocess(
             "per-voxel normalized")
         report["normalize"] = {"pack": norm_pack,
                                "n_rows": norm_meta["n_rows"],
-                               "n_voxels": int(v_mean.shape[0])}
+                               "n_voxels": int(v_mean.shape[0]),
+                               "stats_from": stats_from}
         chain.append({"stage": "normalize", "file": "norm_stats.npz"})
         view = open_pack(norm_pack)
 
@@ -897,26 +968,9 @@ def run_preprocess(
         # (the reference fits on the 27k unique split then transforms both
         # splits, SVD/svd.py:64-93 — fitting on val/test leaks them into
         # the subspace); otherwise fit on every row and say so
-        fit_rows = np.asarray(view.data)
-        fit_on = "all_rows"
-        nsd_dir = cfg.dataset.nsd_dir
-        if nsd_dir and os.path.isdir(nsd_dir):
-            import glob as _glob
-
-            from masters_thesis_tpu.data.splits import get_nsd_keys
-
-            cond = sorted(_glob.glob(
-                os.path.join(nsd_dir, "subj*_conditions.csv")))
-            test_csv = os.path.join(nsd_dir, "test_conditions.csv")
-            if cond and os.path.exists(test_csv):
-                key_split = get_nsd_keys(cond[0], test_csv, strict=False)
-                key_to_row = {int(k): i
-                              for i, k in enumerate(view.keys.tolist())}
-                idx = [key_to_row[k] for k in key_split.train.tolist()
-                       if k in key_to_row]
-                if idx:
-                    fit_rows = fit_rows[np.asarray(idx)]
-                    fit_on = f"train_split:{len(idx)}"
+        idx, fit_on = _train_split_indices(view, cfg.dataset.nsd_dir)
+        fit_rows = (np.asarray(view.data) if idx is None
+                    else np.asarray(view.data)[idx])
         model = fit_pca(fit_rows, pca_components)
         model.save(os.path.join(out_dir, "pca_model.npz"))
         # transform EVERY row into the reduced pack the pca configs train
@@ -933,6 +987,7 @@ def run_preprocess(
 
     with open(os.path.join(out_dir, "transform.json"), "w") as f:
         json.dump({"stages": chain,
+                   "input_row_shape": list(store.row_shape),
                    "final_row_shape": list(view.row_shape)}, f, indent=1)
     report["transform"] = {"stages": [c["stage"] for c in chain]}
 

@@ -145,6 +145,10 @@ class ExportedCaptioner:
         self.meta = meta
         self.batch_size = meta["batch_size"]
         self.input_width = meta["input_width"]
+        # full per-row shape (patch artifacts are (patches, channels));
+        # pre-row_shape artifacts fall back to the flat width
+        self.input_row_shape = tuple(
+            meta.get("input_row_shape") or (meta["input_width"],))
 
     def _check_decoder(self, decoder):
         if decoder is not None and decoder != self.meta["decoder"]:

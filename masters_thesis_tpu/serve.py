@@ -53,6 +53,38 @@ def padded_chunk_ids(inputs, batch_size: int, max_length: int,
     return np.concatenate(out)
 
 
+class PreTransformCaptioner:
+    """Wrap a captioner so every request replays a preprocess transform
+    chain first (``mtt serve/caption --pre``): the service then takes the
+    RAW rows the offline pipeline started from, and the chain's recorded
+    raw shape becomes the service's input contract."""
+
+    def __init__(self, captioner, pre_dir: str):
+        import json
+        import os
+
+        self.inner = captioner
+        self.pre_dir = pre_dir
+        with open(os.path.join(pre_dir, "transform.json")) as f:
+            meta = json.load(f)
+        raw = meta.get("input_row_shape")
+        self.input_row_shape = tuple(raw) if raw else None
+        self.input_width = (self.input_row_shape[-1]
+                            if self.input_row_shape else None)
+
+    def _transform(self, inputs):
+        from masters_thesis_tpu.experiment import apply_preprocess_chain
+
+        return apply_preprocess_chain(self.pre_dir, inputs)
+
+    def caption(self, inputs, decoder: str = "greedy"):
+        return self.inner.caption(self._transform(inputs), decoder=decoder)
+
+    def caption_ids(self, inputs, decoder: str = "greedy"):
+        return self.inner.caption_ids(self._transform(inputs),
+                                      decoder=decoder)
+
+
 class Captioner:
     def __init__(self, model, variables, tokenizer, units: int,
                  max_length: int, batch_size: int = 64, beam_width: int = 5,

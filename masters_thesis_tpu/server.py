@@ -146,22 +146,32 @@ class DynamicBatcher:
 
 
 def _parse_body(body: bytes, content_type: str,
-                n_voxels: int | None) -> np.ndarray:
-    """Decode a request body into (N, V) float32 rows."""
+                row_shape: tuple | None) -> np.ndarray:
+    """Decode a request body into (N, *row_shape) float32 rows.
+
+    ``row_shape`` is the captioner's per-request input shape — (V,) for
+    flat betas, (patches, channels) for image-feature models. A body of
+    exactly ``row_shape`` counts as a batch of one."""
     if content_type.startswith("application/json"):
         payload = json.loads(body.decode("utf-8"))
         rows = np.asarray(payload["betas"], np.float32)
     else:
         rows = np.load(io.BytesIO(body), allow_pickle=False)
         rows = np.asarray(rows, np.float32)
-    if rows.ndim == 1:
-        rows = rows[None]
-    if rows.ndim != 2 or (n_voxels is not None
-                          and rows.shape[1] != n_voxels):
-        want = "V" if n_voxels is None else n_voxels
-        raise ValueError(
-            f"betas must be ({want},) or (N, {want}); "
-            f"got shape {tuple(rows.shape)}")
+    if row_shape is None:
+        if rows.ndim == 1:
+            rows = rows[None]
+        if rows.ndim < 2:
+            raise ValueError(f"betas must be batched; got {tuple(rows.shape)}")
+    else:
+        row_shape = tuple(int(d) for d in row_shape)
+        if tuple(rows.shape) == row_shape:
+            rows = rows[None]
+        if rows.shape[1:] != row_shape or rows.ndim != len(row_shape) + 1:
+            raise ValueError(
+                f"betas must be {row_shape} or (N, "
+                f"{', '.join(str(d) for d in row_shape)}); "
+                f"got shape {tuple(rows.shape)}")
     if len(rows) == 0:
         raise ValueError("empty betas batch")
     return rows
@@ -182,6 +192,11 @@ def make_caption_server(captioner, host: str = "127.0.0.1", port: int = 0,
                              max_wait_s=max_wait_s)
     n_voxels = (None if captioner.input_width is None
                 else int(captioner.input_width))
+    # the full per-request shape: (V,) flat betas, (patches, channels) for
+    # image-feature runs — input_width alone validates only the last dim
+    row_shape = getattr(captioner, "input_row_shape", None)
+    if row_shape is None and n_voxels is not None:
+        row_shape = (n_voxels,)
 
     class Handler(BaseHTTPRequestHandler):
         # quiet per-request stderr lines; stats live at /stats
@@ -202,6 +217,8 @@ def make_caption_server(captioner, host: str = "127.0.0.1", port: int = 0,
                 self._reply(200, {
                     "status": "ok",
                     "n_voxels": n_voxels,
+                    "input_row_shape": (list(row_shape)
+                                        if row_shape else None),
                     "default_decoder": default_decoder,
                     "max_batch": batcher.max_batch,
                 })
@@ -233,7 +250,7 @@ def make_caption_server(captioner, host: str = "127.0.0.1", port: int = 0,
                 length = int(self.headers.get("Content-Length", "0"))
                 rows = _parse_body(
                     self.rfile.read(length),
-                    self.headers.get("Content-Type", ""), n_voxels)
+                    self.headers.get("Content-Type", ""), row_shape)
             except Exception as e:
                 self._reply(400, {"error": str(e)})
                 return

@@ -339,10 +339,15 @@ def test_preprocess_chain_vc_normalize_pca_and_transform_replay(tmp_path):
     final = _open(report["pca"]["pack"])
     assert final.row_shape == (4,)
 
-    # the normalized view is actually normalized (per-voxel z over rows)
-    norm = np.asarray(_open(report["normalize"]["pack"]).data)
-    np.testing.assert_allclose(norm.mean(axis=0), 0.0, atol=1e-5)
-    np.testing.assert_allclose(norm.std(axis=0), 1.0, atol=1e-4)
+    # the normalized view is normalized with TRAIN-split statistics only
+    # (stats over val/test would leak their rows into the training inputs)
+    assert report["normalize"]["stats_from"] == "train_split:20"
+    norm_store = _open(report["normalize"]["pack"])
+    norm = np.asarray(norm_store.data)
+    train_rows = [i for i, k in enumerate(norm_store.keys.tolist())
+                  if int(k) <= 20]
+    np.testing.assert_allclose(norm[train_rows].mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(norm[train_rows].std(axis=0), 1.0, atol=1e-4)
 
     # replaying the chain on the RAW rows reproduces the final pack exactly
     # (align by key: the derived packs order rows by ingest-file order)
@@ -402,3 +407,74 @@ def test_features_pack_trains_img_nic(tmp_path):
     run_path, logs, bundle = run_training(cfg, epochs=1)
     assert bundle["store"].row_shape == feats.row_shape
     assert np.isfinite(logs["loss"])
+
+
+def test_parse_visual_parcels_formats(tmp_path):
+    """CSV parsing is structural: a pandas unnamed-index header (',0') must
+    not parse as parcel 0 (the unlabelled region — the mask would explode to
+    most of cortex), and a stored plain list must not lose its first value
+    to an index heuristic."""
+    from masters_thesis_tpu.experiment import _parse_visual_parcels
+
+    # inline list
+    assert _parse_visual_parcels("1,2,3") == [1, 2, 3]
+    # pandas to_csv with unnamed index: header ',0', data 'i,label'
+    f1 = tmp_path / "pandas.csv"
+    f1.write_text(",0\n0,1\n1,2\n")
+    assert _parse_visual_parcels(str(f1)) == [1, 2]
+    # named header without index column
+    f2 = tmp_path / "named.csv"
+    f2.write_text("parcel\n4\n5\n")
+    assert _parse_visual_parcels(str(f2)) == [4, 5]
+    # plain numeric file: every field is a value
+    f3 = tmp_path / "plain.csv"
+    f3.write_text("1,2,3\n")
+    assert _parse_visual_parcels(str(f3)) == [1, 2, 3]
+    # junk inside data rows fails loudly
+    f4 = tmp_path / "bad.csv"
+    f4.write_text("parcel\nV1\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-numeric"):
+        _parse_visual_parcels(str(f4))
+
+
+def test_transform_replay_rejects_wrong_raw_width(tmp_path):
+    from masters_thesis_tpu.experiment import (
+        apply_preprocess_chain,
+        run_preprocess,
+    )
+
+    nsd, caps, betas = _make_dataset(tmp_path)
+    from masters_thesis_tpu.data.pack import open_pack as _open
+
+    src = _open(str(betas))
+    raw = tmp_path / "raw_betas"
+    raw.mkdir()
+    for i, key in enumerate(src.keys.tolist()):
+        np.save(raw / f"subj02_KID{key}.npy", np.asarray(src.data[i]))
+    cfg = Config(run="w", model="thinkandtell", top_k=30,
+                 log=str(tmp_path / "logs"))
+    cfg.dataset.betas_path = str(raw)
+    cfg.dataset.nsd_dir = str(nsd)
+    out = tmp_path / "pre"
+    run_preprocess(cfg, str(out), vc_parcels="1,2")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="recorded on rows"):
+        apply_preprocess_chain(str(out), np.zeros((2, 400), np.float32))
+
+
+def test_train_split_indices_picks_covering_subject(tmp_path):
+    """Two subjects' conditions CSVs in one nsd_dir: the split fit must use
+    the CSV whose keys actually cover the pack (alphabetical-first would
+    silently fit subject 1's split on subject 2's pack)."""
+    from masters_thesis_tpu.data.pack import open_pack as _open
+    from masters_thesis_tpu.experiment import _train_split_indices
+
+    nsd, caps, betas = _make_dataset(tmp_path)  # subj02: keys 1..20,100..105
+    # an earlier-sorting subject with disjoint keys
+    lines = ["nsd_key,is_shared"] + [f"{k},0" for k in range(500, 520)]
+    (nsd / "subj01_conditions.csv").write_text("\n".join(lines))
+
+    idx, note = _train_split_indices(_open(str(betas)), str(nsd))
+    assert note == "train_split:20"
+    assert len(idx) == 20

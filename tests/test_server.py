@@ -259,3 +259,98 @@ def test_batcher_survives_concatenate_failure():
         assert len(texts) == 2
     finally:
         b.close()
+
+
+class FakePatchCaptioner(FakeCaptioner):
+    """An image-feature service: per-request rows are (patches, channels)."""
+
+    def __init__(self):
+        super().__init__(width=8)
+        self.input_row_shape = (4, 8)
+
+    def caption(self, rows, decoder="greedy"):
+        assert rows.ndim == 3 and rows.shape[1:] == (4, 8), rows.shape
+        self.calls.append((len(rows), decoder))
+        return [f"{decoder}:{float(r.sum()):.0f}" for r in rows]
+
+
+def test_http_patch_run_shape_contract():
+    """Image-feature runs serve (N, patches, channels) bodies: the width
+    guard checks the FULL row shape, a single (patches, channels) body is a
+    batch of one, and a flat (N, channels) body is rejected instead of
+    being split into bogus single-patch rows."""
+    import io
+
+    import numpy as np
+
+    cap = FakePatchCaptioner()
+    server = make_caption_server(cap, port=0, max_batch=8, max_wait_s=0.0)
+    host, port = server.server_address[:2]
+    import threading
+
+    from masters_thesis_tpu.server import serve_forever
+
+    t = threading.Thread(target=serve_forever, args=(server,), daemon=True)
+    t.start()
+    try:
+        def post(arr):
+            buf = io.BytesIO()
+            np.save(buf, arr)
+            return _post(f"http://{host}:{port}/caption", buf.getvalue(),
+                         "application/octet-stream")
+
+        st, out = post(np.ones((2, 4, 8), np.float32))
+        assert st == 200 and len(out["captions"]) == 2
+
+        st, out = post(np.ones((4, 8), np.float32))  # one image, no batch dim
+        assert st == 200 and len(out["captions"]) == 1
+
+        import urllib.error
+        import urllib.request
+
+        buf = io.BytesIO()
+        np.save(buf, np.ones((2, 8), np.float32))  # flat rows: not valid
+        req = urllib.request.Request(
+            f"http://{host}:{port}/caption", data=buf.getvalue(),
+            method="POST", headers={"Content-Type":
+                                    "application/octet-stream"})
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("flat body must be rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        st, health = _get(f"http://{host}:{port}/healthz")
+        assert health["input_row_shape"] == [4, 8]
+    finally:
+        server.shutdown()
+
+
+def test_pre_transform_captioner_wraps_requests(tmp_path):
+    """serve/caption --pre: raw request rows replay the preprocess chain
+    before reaching the inner captioner, and the service contract becomes
+    the chain's recorded RAW shape."""
+    import json as _json
+
+    import numpy as np
+
+    from masters_thesis_tpu.serve import PreTransformCaptioner
+
+    mask = np.asarray([1, 3], np.int64)
+    np.save(tmp_path / "vc_mask.npy", mask)
+    (tmp_path / "transform.json").write_text(_json.dumps({
+        "stages": [{"stage": "vc_mask", "file": "vc_mask.npy"}],
+        "input_row_shape": [6], "final_row_shape": [2]}))
+
+    class Inner:
+        input_width = 2
+        input_row_shape = (2,)
+
+        def caption(self, rows, decoder="greedy"):
+            assert rows.shape[1] == 2
+            return [f"{r[0]:.0f}-{r[1]:.0f}" for r in rows]
+
+    cap = PreTransformCaptioner(Inner(), str(tmp_path))
+    assert cap.input_row_shape == (6,) and cap.input_width == 6
+    raw = np.arange(12, dtype=np.float32).reshape(2, 6)
+    assert cap.caption(raw) == ["1-3", "7-9"]
