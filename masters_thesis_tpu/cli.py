@@ -1010,6 +1010,11 @@ def main(argv=None) -> int:
     ex.add_argument("--subject", choices=["a", "b"], default="a",
                     help="ms2_nic runs: which per-subject encoder the "
                     "artifact freezes (one artifact per subject)")
+    ex.add_argument("--pre", default=None,
+                    help="a `mtt preprocess` output dir: bake its transform "
+                    "chain (vc mask/normalize/pca — all constant-folded jax "
+                    "ops) into the program, so the artifact takes the RAW "
+                    "betas the pipeline started from")
 
     gu = sub.add_parser(
         "guse",
@@ -1092,7 +1097,7 @@ def main(argv=None) -> int:
         meta = export_run(args.run, args.out, decoder=args.decoder,
                           batch_size=args.batch_size,
                           beam_width=args.beam_width, platforms=platforms,
-                          subject=args.subject)
+                          subject=args.subject, pre=args.pre)
         print(json.dumps({"out": args.out, **meta}))
         return 0
 

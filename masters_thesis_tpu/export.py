@@ -34,17 +34,66 @@ _TOKENIZER = "tokenizer.json"
 _PROGRAM = "decode.stablehlo"
 
 
+def _chain_as_jax(pre_dir: str):
+    """The preprocess transform chain (vc mask -> normalize -> pca) as a
+    pure jax function over raw rows, plus the raw input shape it expects.
+
+    Every stage is a constant-folded jax op (gather / affine / matmul), so
+    ``export --pre`` bakes the chain INTO the artifact: one file takes the
+    RAW betas the offline pipeline started from."""
+    import json as _json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from masters_thesis_tpu.data.preprocess.pca import PCAModel
+
+    with open(os.path.join(pre_dir, "transform.json")) as f:
+        meta = _json.load(f)
+    stages = []
+    for st in meta["stages"]:
+        path = os.path.join(pre_dir, st["file"])
+        if st["stage"] == "vc_mask":
+            mask = jnp.asarray(np.load(path))
+            stages.append(lambda x, m=mask: jnp.take(x, m, axis=1))
+        elif st["stage"] == "normalize":
+            d = np.load(path)
+            mean, std = jnp.asarray(d["mean"]), jnp.asarray(d["std"])
+            stages.append(lambda x, m=mean, s=std: (x - m) / s)
+        elif st["stage"] == "pca":
+            p = PCAModel.load(path)
+            mean, comps = jnp.asarray(p.mean), jnp.asarray(p.components)
+            stages.append(lambda x, m=mean, c=comps: (x - m) @ c.T)
+        else:
+            raise ValueError(f"unknown transform stage {st['stage']!r}")
+
+    def chain(x):
+        for fn in stages:
+            x = fn(x)
+        return x
+
+    raw_shape = meta.get("input_row_shape")
+    if not raw_shape:
+        raise ValueError(
+            f"{pre_dir!r}/transform.json records no input_row_shape — "
+            "re-run mtt preprocess to refresh it")
+    return chain, tuple(int(d) for d in raw_shape), \
+        [s["stage"] for s in meta["stages"]]
+
+
 def export_run(run_path: str, out_path: str, decoder: str = "greedy",
                batch_size: int = 64, beam_width: int = 5,
                platforms=None, best: bool = True,
-               subject: str = "a") -> dict:
+               subject: str = "a", pre: str | None = None) -> dict:
     """Export a trained run's decode path to ``out_path``; returns meta.
 
     ``platforms``: sequence of lowering targets (e.g. ``("cpu", "tpu")``);
     None lowers for the current backend only. Weights ride inside the
     program as constants — the artifact is self-contained. ``subject``:
     which per-subject encoder an ms2_nic artifact freezes (one artifact
-    per subject, like eval/serving).
+    per subject, like eval/serving). ``pre``: a preprocess output dir whose
+    transform chain is baked into the program — the artifact then takes the
+    RAW rows the offline pipeline started from.
     """
     import jax
     import jax.export as jax_export
@@ -75,13 +124,20 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
             "config input dim) — cannot fix the exported input shape"
         )
 
+    chain, chain_stages = (lambda x: x), []
+    row_shape = cap.input_row_shape or (width,)
+    if pre:
+        chain, raw_shape, chain_stages = _chain_as_jax(pre)
+        row_shape = raw_shape
+        width = raw_shape[-1]
+
     if decoder == "greedy":
         from masters_thesis_tpu.decode.greedy import make_greedy_decoder
 
         dec = make_greedy_decoder(model, cap.units, cap.max_length)
 
         def fn(betas):
-            words, _, _ = dec(variables, betas, tok.start_id)
+            words, _, _ = dec(variables, chain(betas), tok.start_id)
             return words
     elif decoder == "beam":
         from masters_thesis_tpu.decode.beam import make_beam_decoder
@@ -90,7 +146,8 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
                                 beam_width=beam_width)
 
         def fn(betas):
-            best_tokens, *_ = dec(variables, betas, tok.start_id, tok.end_id)
+            best_tokens, *_ = dec(variables, chain(betas),
+                                  tok.start_id, tok.end_id)
             return best_tokens
     else:
         raise ValueError(
@@ -98,7 +155,6 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
             "fresh RNG per call and is not a fixed program)"
         )
 
-    row_shape = cap.input_row_shape or (width,)
     spec = jax.ShapeDtypeStruct((cap.batch_size, *row_shape), jnp.float32)
     kw = {"platforms": list(platforms)} if platforms else {}
     exported = jax_export.export(jax.jit(fn), **kw)(spec)
@@ -116,6 +172,7 @@ def export_run(run_path: str, out_path: str, decoder: str = "greedy",
         "platforms": list(exported.platforms),
         "run_path": os.path.abspath(run_path),
         "subject": subject if is_ms2 else None,
+        "pre_stages": chain_stages,  # transform chain baked into the program
     }
     with open(os.path.join(run_path, "tokenizer.json")) as f:
         tok_json = f.read()

@@ -62,6 +62,7 @@ _SLOW_TESTS = {
     "test_from_run_dir_restores_showtell_run",
     "test_from_run_dir_restores_img_patch_run",
     "test_export_showtell_run",
+    "test_export_pre_bakes_transform_chain",
     "test_analyze_skips_attention_artifacts_for_attention_free_run",
     "test_pca_preprocess_writes_reduced_pack_and_trains",
     "test_vc_preprocess_writes_masked_pack_and_trains",

@@ -234,3 +234,59 @@ def test_exported_captioner_padding_unit():
     ids = exp.caption_ids(x)
     assert ids.shape == (7, 2)
     np.testing.assert_array_equal(ids, x[:, :2].astype(np.int32))
+
+
+def test_export_pre_bakes_transform_chain(tmp_path):
+    """export --pre: the preprocess chain (vc mask -> normalize -> pca) is
+    baked into the StableHLO program — the artifact takes RAW rows and its
+    tokens match host-side chain replay + live decode exactly."""
+    from masters_thesis_tpu.experiment import (
+        apply_preprocess_chain,
+        run_preprocess,
+    )
+    from masters_thesis_tpu.serve import Captioner
+
+    # raw per-key betas + atlases + split (mirrors the real-data fixtures)
+    nsd = tmp_path / "nsd"
+    caps = tmp_path / "caps"
+    raw = tmp_path / "raw"
+    for d in (nsd, caps, raw):
+        d.mkdir()
+    rng = np.random.default_rng(5)
+    keys = list(range(1, 13))
+    for k in keys:
+        np.save(raw / f"subj02_KID{k}.npy",
+                rng.standard_normal(64).astype(np.float32))
+        (caps / f"KID{k}.txt").write_text("\n".join(
+            " ".join(rng.choice("a the dog cat runs sits".split(), size=5))
+            for _ in range(5)))
+    np.save(nsd / "glasser_lh.npy", np.repeat([0, 1, 2], [24, 4, 4]))
+    np.save(nsd / "glasser_rh.npy", np.repeat([0, 1], [26, 6]))
+    (nsd / "subj02_conditions.csv").write_text("\n".join(
+        ["nsd_key,is_shared"] + [f"{k},0" for k in keys[:9]]
+        + [f"{k},1" for k in keys[9:]]))
+    (nsd / "test_conditions.csv").write_text("nsd_key\n12\n")
+
+    cfg = Config(run="exp_pre", model="thinkandtell", epochs=1, batch_size=4,
+                 max_length=6, top_k=40, units=16, embedding_features=16,
+                 log=str(tmp_path / "logs"))
+    cfg.dataset.betas_path = str(raw)
+    cfg.dataset.captions_path = str(caps)
+    cfg.dataset.nsd_dir = str(nsd)
+    pre = tmp_path / "pre"
+    report = run_preprocess(cfg, str(pre), vc_parcels="1,2", normalize=True,
+                            pca_components=4)
+    cfg.dataset.betas_path = report["pca"]["pack"]
+    run_path, _, bundle = run_training(cfg, epochs=1)
+
+    out = str(tmp_path / "pre.mttx")
+    meta = export_run(run_path, out, decoder="greedy", batch_size=4,
+                      pre=str(pre))
+    assert meta["pre_stages"] == ["vc_mask", "normalize", "pca"]
+    assert meta["input_width"] == 64  # the RAW width, not the reduced 4
+
+    exp = load_exported(out)
+    raw_rows = rng.standard_normal((3, 64)).astype(np.float32)
+    live = Captioner.from_run_dir(run_path, batch_size=4)
+    expect = live.caption_ids(apply_preprocess_chain(str(pre), raw_rows))
+    np.testing.assert_array_equal(exp.caption_ids(raw_rows), expect)
