@@ -774,6 +774,10 @@ def main(argv=None) -> int:
     tu.add_argument("--worker", action="store_true",
                     help="with --queue: join as a worker host instead of "
                     "coordinating")
+    tu.add_argument("--stale-claim", type=float, default=60.0,
+                    help="with --queue: seconds without a heartbeat before "
+                    "a dead worker's running trial is re-queued (Ray "
+                    "restarts lost trials; this is the shared-fs analogue)")
 
     pp = sub.add_parser("preprocess", help="pack betas, stats, PCA, tokenizer")
     pp.add_argument("--config", required=True)
@@ -1247,7 +1251,8 @@ def main(argv=None) -> int:
             # tune.py:215-228): work trials until the coordinator writes STOP
             from masters_thesis_tpu.tune.dispatch import run_worker
 
-            n_done = run_worker(args.queue, trial, sched)
+            n_done = run_worker(args.queue, trial, sched,
+                                stale_claim_s=args.stale_claim)
             print(json.dumps({"worker_trials": n_done, "queue": args.queue}))
             return 0
         if args.queue:
@@ -1256,7 +1261,8 @@ def main(argv=None) -> int:
             )
 
             res = run_distributed_experiment(
-                trial, search, sched, queue_dir=args.queue)
+                trial, search, sched, queue_dir=args.queue,
+                stale_claim_s=args.stale_claim)
         else:
             res = run_experiment(
                 trial,

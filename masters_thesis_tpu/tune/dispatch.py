@@ -19,15 +19,42 @@ itself; any number of extra hosts join with ``mtt tune --worker --queue DIR``.
 same-directory case), so each trial runs exactly once; the ASHA rung file is
 guarded by an O_EXCL lockfile so the top-1/rf cutoff is computed against all
 hosts' results (ASHAScheduler.on_result_shared semantics, asha.py:44-50).
+
+Worker-crash recovery (Ray restarts lost trials when a worker node dies;
+tune.py's cluster mode relies on that): a live worker HEARTBEATS its claimed
+``running/`` spec by touching its mtime every few seconds, and every idle
+worker / polling coordinator re-queues running specs whose heartbeat is
+older than ``stale_claim_s`` (atomic rename back to pending/, so exactly one
+contender performs the re-queue; clocks compared on the FILESERVER's clock,
+like the lock). A re-run trial re-reports its early rungs — duplicate
+observations, same as Ray's retry semantics.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 PENDING, RUNNING, DONE = "pending", "running", "done"
+
+
+def _server_now(near_path: str) -> float:
+    """The FILESERVER's clock, via a freshly-written probe file's mtime.
+    Comparing another file's mtime against local time.time() would let a
+    host with clock skew > the stale threshold break LIVE state."""
+    probe = f"{near_path}.probe.{os.getpid()}"
+    try:
+        with open(probe, "w"):
+            pass
+        now = os.path.getmtime(probe)
+    finally:
+        try:
+            os.unlink(probe)
+        except OSError:
+            pass
+    return now
 
 
 class FileLock:
@@ -39,20 +66,7 @@ class FileLock:
         self.poll_s = poll_s
 
     def _server_now(self) -> float:
-        """The FILESERVER's clock, via a freshly-written probe file's mtime.
-        Comparing the lock's mtime against local time.time() would let a
-        host with clock skew > stale_s break a LIVE lock."""
-        probe = f"{self.path}.probe.{os.getpid()}"
-        try:
-            with open(probe, "w"):
-                pass
-            now = os.path.getmtime(probe)
-        finally:
-            try:
-                os.unlink(probe)
-            except OSError:
-                pass
-        return now
+        return _server_now(self.path)
 
     def __enter__(self):
         while True:
@@ -166,6 +180,68 @@ def write_result(queue_dir: str, spec: dict, record: dict) -> None:
         pass
 
 
+def requeue_stale(queue_dir: str, stale_claim_s: float = 60.0) -> int:
+    """Move running/ specs whose heartbeat mtime is older than
+    ``stale_claim_s`` (fileserver clock) back to pending/. The winning rename
+    targets a contender-private name first, so the requeue-count rewrite
+    can't race another claimer; returns how many trials were re-queued."""
+    running = os.path.join(queue_dir, RUNNING)
+    try:
+        names = [n for n in os.listdir(running) if n.endswith(".json")]
+    except FileNotFoundError:
+        return 0
+    if not names:
+        return 0
+    now = _server_now(os.path.join(running, "clock"))
+    n_requeued = 0
+    for name in sorted(names):
+        src = os.path.join(running, name)
+        try:
+            if now - os.path.getmtime(src) <= stale_claim_s:
+                continue
+            mine = os.path.join(queue_dir, PENDING,
+                                f"{name}.requeue.{os.getpid()}")
+            os.rename(src, mine)  # atomic: one contender wins the requeue
+        except OSError:
+            continue
+        try:
+            with open(mine) as f:
+                spec = json.load(f)
+            spec["requeues"] = int(spec.get("requeues", 0)) + 1
+            spec.pop("_claimed", None)
+            spec.pop("_worker", None)
+            with open(mine, "w") as f:
+                json.dump(spec, f)
+        except (OSError, json.JSONDecodeError):
+            pass  # requeue with the original spec content
+        os.rename(mine, os.path.join(queue_dir, PENDING, name))
+        n_requeued += 1
+    return n_requeued
+
+
+class _Heartbeat:
+    """Daemon thread touching a claimed running/ spec's mtime so other hosts
+    can tell a live long trial from a dead worker's orphan."""
+
+    def __init__(self, path: str, every_s: float = 5.0):
+        self.path = path
+        self.every_s = every_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.wait(self.every_s):
+            try:
+                os.utime(self.path, None)
+            except OSError:
+                return  # spec moved (finished or re-queued) — nothing to beat
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+
 def stop_queue(queue_dir: str) -> None:
     with open(os.path.join(queue_dir, "STOP"), "w") as f:
         f.write("1")
@@ -177,9 +253,12 @@ def _stopped(queue_dir: str) -> bool:
 
 def run_worker(queue_dir: str, trial_fn, scheduler=None,
                worker_id: str | None = None, poll_s: float = 0.5,
-               max_idle_s: float | None = None) -> int:
+               max_idle_s: float | None = None,
+               stale_claim_s: float = 60.0,
+               heartbeat_s: float = 5.0) -> int:
     """Work the queue until STOP (or ``max_idle_s`` with nothing pending).
-    Returns the number of trials this worker completed."""
+    Returns the number of trials this worker completed. Idle workers
+    re-queue dead workers' stale running/ claims (``stale_claim_s``)."""
     init_queue(queue_dir)
     worker_id = worker_id or f"{os.uname().nodename}:{os.getpid()}"
     rungs = FileRungs(os.path.join(queue_dir, "rungs.json"))
@@ -189,6 +268,8 @@ def run_worker(queue_dir: str, trial_fn, scheduler=None,
     while True:
         spec = claim_next(queue_dir, worker_id)
         if spec is None:
+            if requeue_stale(queue_dir, stale_claim_s):
+                continue  # a dead worker's trial is pending again — claim it
             if _stopped(queue_dir):
                 return n_done
             if max_idle_s is not None and time.time() - idle_since > max_idle_s:
@@ -196,6 +277,7 @@ def run_worker(queue_dir: str, trial_fn, scheduler=None,
             time.sleep(poll_s)
             continue
         idle_since = time.time()
+        heartbeat = _Heartbeat(spec["_claimed"], every_s=heartbeat_s)
         history: list = []
         stopped_early = False
 
@@ -225,19 +307,27 @@ def run_worker(queue_dir: str, trial_fn, scheduler=None,
                 "error": f"{type(e).__name__}: {e}",
                 "wall_s": time.time() - t0, "worker": worker_id,
             }
+        finally:
+            heartbeat.stop()
+        if spec.get("requeues"):
+            record["requeues"] = spec["requeues"]
         write_result(queue_dir, spec, record)
         n_done += 1
 
 
 def collect_results(queue_dir: str, n_expected: int, poll_s: float = 0.5,
-                    timeout_s: float | None = None) -> list[dict]:
-    """Block until n_expected results exist in done/; returns them sorted."""
+                    timeout_s: float | None = None,
+                    stale_claim_s: float = 60.0) -> list[dict]:
+    """Block until n_expected results exist in done/; returns them sorted.
+    The poll loop re-queues dead workers' stale running/ claims so a live
+    worker (any host) can pick them up."""
     done = os.path.join(queue_dir, DONE)
     t0 = time.time()
     while True:
         names = [n for n in os.listdir(done) if n.endswith(".json")]
         if len(names) >= n_expected:
             break
+        requeue_stale(queue_dir, stale_claim_s)
         if timeout_s is not None and time.time() - t0 > timeout_s:
             raise TimeoutError(
                 f"{len(names)}/{n_expected} trials done after {timeout_s}s")
@@ -249,23 +339,44 @@ def collect_results(queue_dir: str, n_expected: int, poll_s: float = 0.5,
     return sorted(out, key=lambda r: r["trial_id"])
 
 
+def _count_done(queue_dir: str) -> int:
+    done = os.path.join(queue_dir, DONE)
+    return len([n for n in os.listdir(done) if n.endswith(".json")])
+
+
 def run_distributed_experiment(trial_fn, search, scheduler=None,
                                metric: str = "val_loss", mode: str = "min",
                                queue_dir: str = None, work_inline: bool = True,
-                               timeout_s: float | None = None):
+                               timeout_s: float | None = None,
+                               stale_claim_s: float = 60.0):
     """Coordinator: enqueue the search space, optionally work the queue on
     this host, gather all results. Extra hosts attach any time with
-    ``run_worker(queue_dir, ...)`` / ``mtt tune --worker --queue DIR``."""
+    ``run_worker(queue_dir, ...)`` / ``mtt tune --worker --queue DIR``.
+    An inline coordinator keeps re-entering the worker loop until every
+    trial is done, so trials re-queued after a remote worker's death
+    (``stale_claim_s`` heartbeat timeout) get re-run even with no other
+    worker left alive."""
     from masters_thesis_tpu.tune.runner import TuneResult
 
     assert queue_dir, "queue_dir required"
     configs = list(search)
     _require_fresh_queue(queue_dir)
     n = enqueue_trials(queue_dir, configs)
+    t0 = time.time()
     try:
         if work_inline:
-            run_worker(queue_dir, trial_fn, scheduler, max_idle_s=2.0)
-        records = collect_results(queue_dir, n, timeout_s=timeout_s)
+            while _count_done(queue_dir) < n:
+                run_worker(queue_dir, trial_fn, scheduler, max_idle_s=2.0,
+                           stale_claim_s=stale_claim_s)
+                if _count_done(queue_dir) >= n:
+                    break
+                if timeout_s is not None and time.time() - t0 >= timeout_s:
+                    break  # collect_results raises with the final count
+                time.sleep(0.5)
+        remaining = (None if timeout_s is None
+                     else max(0.0, timeout_s - (time.time() - t0)))
+        records = collect_results(queue_dir, n, timeout_s=remaining,
+                                  stale_claim_s=stale_claim_s)
     finally:
         # ALWAYS drop the sentinel — a collect timeout or coordinator crash
         # must not leave remote `mtt tune --worker` hosts polling forever

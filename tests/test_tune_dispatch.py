@@ -4,6 +4,7 @@ result collection, cross-host ASHA rungs, and the coordinator flow."""
 import json
 import multiprocessing as mp
 import os
+import time
 
 import pytest
 
@@ -11,10 +12,12 @@ from masters_thesis_tpu.tune.asha import ASHAScheduler
 from masters_thesis_tpu.tune.dispatch import (
     FileLock,
     FileRungs,
+    _Heartbeat,
     claim_next,
     collect_results,
     enqueue_trials,
     init_queue,
+    requeue_stale,
     run_distributed_experiment,
     run_worker,
     stop_queue,
@@ -134,6 +137,58 @@ def test_stale_lock_is_broken(tmp_path):
     os.utime(path, (0, 0))  # ancient mtime -> stale
     with FileLock(path, stale_s=1.0):
         pass  # acquiring must not deadlock
+
+
+def test_dead_worker_claim_requeued_and_rerun(tmp_path):
+    """A crashed worker's running/ spec (stale heartbeat) is re-queued by
+    the next idle worker and completes, with the requeue recorded."""
+    q = str(tmp_path / "q")
+    enqueue_trials(q, [{"v": 7.0}])
+    dead = claim_next(q, "dead-host")  # simulate a worker that then crashed
+    os.utime(dead["_claimed"], (0, 0))  # heartbeat long gone
+    stop_queue(q)  # live worker drains pending + stale, then exits
+
+    def trial(cfg, report):
+        report(1, {"val_loss": cfg["v"]})
+        return cfg["v"]
+
+    assert run_worker(q, trial, stale_claim_s=0.5, max_idle_s=2.0) == 1
+    [rec] = collect_results(q, 1, timeout_s=5)
+    assert rec["final_metric"] == 7.0
+    assert rec["requeues"] == 1
+    assert not os.listdir(os.path.join(q, "running"))
+
+
+def test_live_claim_not_requeued_and_heartbeat_refreshes(tmp_path):
+    q = str(tmp_path / "q")
+    enqueue_trials(q, [{"v": 1.0}])
+    spec = claim_next(q, "w0")  # fresh claim mtime = live heartbeat
+    assert requeue_stale(q, stale_claim_s=60.0) == 0
+    # the heartbeat thread keeps an aged spec looking live
+    os.utime(spec["_claimed"], (0, 0))
+    hb = _Heartbeat(spec["_claimed"], every_s=0.05)
+    try:
+        deadline = time.time() + 5.0
+        while (os.path.getmtime(spec["_claimed"]) == 0
+               and time.time() < deadline):
+            time.sleep(0.02)
+        assert os.path.getmtime(spec["_claimed"]) > 0
+    finally:
+        hb.stop()
+    assert requeue_stale(q, stale_claim_s=60.0) == 0
+
+
+def test_coordinator_collect_requeues_stale(tmp_path):
+    """The coordinator's collect poll frees a dead worker's claim even when
+    it cannot run trials itself (TimeoutError still raised with the count)."""
+    q = str(tmp_path / "q")
+    enqueue_trials(q, [{"v": 1.0}])
+    dead = claim_next(q, "dead-host")
+    os.utime(dead["_claimed"], (0, 0))
+    with pytest.raises(TimeoutError):
+        collect_results(q, 1, poll_s=0.05, timeout_s=0.3, stale_claim_s=0.1)
+    assert os.listdir(os.path.join(q, "pending")) == [
+        os.path.basename(dead["_claimed"])]
 
 
 def test_cli_queue_worker_smoke(tmp_path, capsys):
