@@ -778,6 +778,11 @@ def main(argv=None) -> int:
                     help="with --queue: seconds without a heartbeat before "
                     "a dead worker's running trial is re-queued (Ray "
                     "restarts lost trials; this is the shared-fs analogue)")
+    tu.add_argument("--resume-queue", action="store_true",
+                    help="with --queue: continue an interrupted "
+                    "experiment's queue dir — keep done/ results, enqueue "
+                    "only missing trials (search space must reproduce "
+                    "exactly: same config seed and search flags)")
 
     pp = sub.add_parser("preprocess", help="pack betas, stats, PCA, tokenizer")
     pp.add_argument("--config", required=True)
@@ -1262,7 +1267,8 @@ def main(argv=None) -> int:
 
             res = run_distributed_experiment(
                 trial, search, sched, queue_dir=args.queue,
-                stale_claim_s=args.stale_claim)
+                stale_claim_s=args.stale_claim,
+                resume=args.resume_queue)
         else:
             res = run_experiment(
                 trial,

@@ -344,24 +344,75 @@ def _count_done(queue_dir: str) -> int:
     return len([n for n in os.listdir(done) if n.endswith(".json")])
 
 
+def resume_queue(queue_dir: str, configs) -> int:
+    """Reconcile an interrupted experiment's queue with THIS run's search
+    space: done/ results and in-flight claims are kept (a dead coordinator's
+    orphaned running/ specs fall to the stale-claim requeue), only trials
+    missing from every state are enqueued, and any spec whose recorded
+    config differs from this run's same-id config is refused — resume
+    requires the search space to be reproduced exactly (same seed /
+    deterministic search), or trial ids would silently mean different
+    configs across the two runs. Returns the expected total trial count."""
+    init_queue(queue_dir)
+    for name in ("STOP", "rungs.lock"):  # keep rungs.json: ASHA state
+        p = os.path.join(queue_dir, name)
+        if os.path.exists(p):
+            os.unlink(p)
+    present: dict[int, dict] = {}
+    for sub in (PENDING, RUNNING, DONE):
+        d = os.path.join(queue_dir, sub)
+        for n in os.listdir(d):
+            if not n.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(d, n)) as f:
+                    spec = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # claimed/renamed mid-scan — its state is in flight
+            present[int(spec["trial_id"])] = spec
+    configs = list(configs)
+    for i, cfg in enumerate(configs):
+        prev = present.get(i)
+        if prev is not None and prev.get("config") != cfg:
+            raise RuntimeError(
+                f"resume mismatch: queued trial {i} has config "
+                f"{prev.get('config')!r} but this run's search produced "
+                f"{cfg!r} — resume needs the identical (seeded) search space"
+            )
+    missing = [(i, cfg) for i, cfg in enumerate(configs) if i not in present]
+    for i, cfg in missing:
+        path = os.path.join(queue_dir, PENDING, f"trial_{i:04d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"trial_id": i, "config": cfg}, f)
+        os.replace(tmp, path)
+    return len(configs)
+
+
 def run_distributed_experiment(trial_fn, search, scheduler=None,
                                metric: str = "val_loss", mode: str = "min",
                                queue_dir: str = None, work_inline: bool = True,
                                timeout_s: float | None = None,
-                               stale_claim_s: float = 60.0):
+                               stale_claim_s: float = 60.0,
+                               resume: bool = False):
     """Coordinator: enqueue the search space, optionally work the queue on
     this host, gather all results. Extra hosts attach any time with
     ``run_worker(queue_dir, ...)`` / ``mtt tune --worker --queue DIR``.
     An inline coordinator keeps re-entering the worker loop until every
     trial is done, so trials re-queued after a remote worker's death
     (``stale_claim_s`` heartbeat timeout) get re-run even with no other
-    worker left alive."""
+    worker left alive. ``resume=True`` continues an interrupted run's
+    queue (done results kept, missing trials enqueued) instead of
+    refusing the leftover state."""
     from masters_thesis_tpu.tune.runner import TuneResult
 
     assert queue_dir, "queue_dir required"
     configs = list(search)
-    _require_fresh_queue(queue_dir)
-    n = enqueue_trials(queue_dir, configs)
+    if resume:
+        n = resume_queue(queue_dir, configs)
+    else:
+        _require_fresh_queue(queue_dir)
+        n = enqueue_trials(queue_dir, configs)
     t0 = time.time()
     try:
         if work_inline:
@@ -406,6 +457,7 @@ def _require_fresh_queue(queue_dir: str) -> None:
     if bad:
         raise RuntimeError(
             f"queue dir {queue_dir!r} has leftover trial files {bad} from a "
-            "previous run — results would collide; use a fresh directory "
-            "or clear pending/, running/ and done/"
+            "previous run — results would collide; use a fresh directory, "
+            "clear pending/, running/ and done/, or pass --resume-queue "
+            "(resume=True) to continue that run"
         )

@@ -191,6 +191,44 @@ def test_coordinator_collect_requeues_stale(tmp_path):
         os.path.basename(dead["_claimed"])]
 
 
+def test_resume_queue_continues_interrupted_run(tmp_path):
+    """Coordinator crash recovery: resume keeps done/ results, re-enqueues
+    only the missing trials, and finishes the experiment; a changed search
+    space is refused."""
+    q = str(tmp_path / "q")
+
+    def trial(cfg, report):
+        report(1, {"val_loss": cfg["v"]})
+        return cfg["v"]
+
+    space = [{"v": 3.0}, {"v": 1.0}, {"v": 2.0}]
+    # simulate the interrupted first run: trial 0 done, trial 2 claimed by a
+    # now-dead worker, trial 1 never enqueued (coordinator died mid-enqueue)
+    enqueue_trials(q, space)
+    os.unlink(os.path.join(q, "pending", "trial_0001.json"))
+    dead = claim_next(q, "dead-host")
+    assert dead["trial_id"] == 0
+    run_worker(q, trial, max_idle_s=0.1, stale_claim_s=3600)  # trial 2 only
+    os.utime(dead["_claimed"], (0, 0))  # its worker is long dead
+    stop_queue(q)
+    assert len(os.listdir(os.path.join(q, "done"))) == 1
+
+    with pytest.raises(RuntimeError, match="resume"):
+        run_distributed_experiment(trial, space, queue_dir=q, timeout_s=10)
+    with pytest.raises(RuntimeError, match="identical"):
+        run_distributed_experiment(
+            trial, [{"v": 99.0}] * 3, queue_dir=q, timeout_s=10, resume=True)
+
+    res = run_distributed_experiment(
+        trial, space, queue_dir=q, timeout_s=30, resume=True,
+        stale_claim_s=0.2)
+    assert sorted(r["trial_id"] for r in res.trials) == [0, 1, 2]
+    assert res.best()["config"] == {"v": 1.0}
+    # the dead worker's claim of trial 0 was requeued and re-run
+    rec0 = [r for r in res.trials if r["trial_id"] == 0][0]
+    assert rec0["final_metric"] == 3.0 and rec0.get("requeues", 0) >= 1
+
+
 def test_cli_queue_worker_smoke(tmp_path, capsys):
     """`mtt tune --queue` coordinator end-to-end over the real trial body."""
     from tests.test_cli import _smoke_cfg
