@@ -159,6 +159,15 @@ def claim_next(queue_dir: str, worker_id: str) -> dict | None:
             os.rename(src, dst)  # atomic claim; loser raises
         except OSError:
             continue
+        try:
+            # fresh heartbeat NOW: rename preserves the enqueue-time mtime,
+            # so a spec that sat in pending/ longer than stale_claim_s would
+            # otherwise look stale to every requeue_stale poll until the
+            # heartbeat thread's first touch (heartbeat_s later) — a live
+            # claim would be re-queued and run twice
+            os.utime(dst, None)
+        except OSError:
+            pass
         with open(dst) as f:
             spec = json.load(f)
         spec["_claimed"] = dst
@@ -186,14 +195,14 @@ def requeue_stale(queue_dir: str, stale_claim_s: float = 60.0) -> int:
     targets a contender-private name first, so the requeue-count rewrite
     can't race another claimer; returns how many trials were re-queued."""
     running = os.path.join(queue_dir, RUNNING)
+    n_requeued = _sweep_requeue_orphans(queue_dir, stale_claim_s)
     try:
         names = [n for n in os.listdir(running) if n.endswith(".json")]
     except FileNotFoundError:
-        return 0
+        return n_requeued
     if not names:
-        return 0
+        return n_requeued
     now = _server_now(os.path.join(running, "clock"))
-    n_requeued = 0
     for name in sorted(names):
         src = os.path.join(running, name)
         try:
@@ -214,9 +223,57 @@ def requeue_stale(queue_dir: str, stale_claim_s: float = 60.0) -> int:
                 json.dump(spec, f)
         except (OSError, json.JSONDecodeError):
             pass  # requeue with the original spec content
-        os.rename(mine, os.path.join(queue_dir, PENDING, name))
+        try:
+            os.rename(mine, os.path.join(queue_dir, PENDING, name))
+        except OSError:
+            continue  # transient fs error: the orphan sweep recovers `mine`
         n_requeued += 1
     return n_requeued
+
+
+def _sweep_requeue_orphans(queue_dir: str, stale_claim_s: float) -> int:
+    """Recover trials stranded as ``pending/<name>.requeue.<pid>`` by a
+    requeuer that died between its two renames — every listing filters on
+    ``.endswith('.json')``, so without this sweep such a trial would never
+    run again. Only orphans older than ``stale_claim_s`` are swept (a live
+    requeuer finishes its rewrite in milliseconds), and the rename back to
+    the canonical name is atomic, so at most one contender restores it."""
+    pending = os.path.join(queue_dir, PENDING)
+    try:
+        orphans = [n for n in os.listdir(pending) if ".json.requeue." in n]
+    except FileNotFoundError:
+        return 0
+    if not orphans:
+        return 0
+    now = _server_now(os.path.join(pending, "clock"))
+    n = 0
+    for name in sorted(orphans):
+        src = os.path.join(pending, name)
+        try:
+            if now - os.path.getmtime(src) <= stale_claim_s:
+                continue
+            canonical = name.split(".requeue.")[0]
+            os.rename(src, os.path.join(pending, canonical))
+        except OSError:
+            continue
+        n += 1
+    return n
+
+
+_STALE_SCAN_AT: dict = {}  # queue_dir -> monotonic time of last scan
+
+
+def _requeue_stale_throttled(queue_dir: str, stale_claim_s: float) -> int:
+    """Per-process rate limit on the stale scan: every poll tick (0.5 s)
+    doing a listdir + probe-file create/stat/unlink per caller is real
+    metadata churn on NFS/GCS-fuse. Scanning every stale_claim_s/2 still
+    detects a dead worker within 1.5x the staleness threshold."""
+    now = time.monotonic()
+    last = _STALE_SCAN_AT.get(queue_dir)
+    if last is not None and now - last < stale_claim_s / 2.0:
+        return 0
+    _STALE_SCAN_AT[queue_dir] = now
+    return requeue_stale(queue_dir, stale_claim_s)
 
 
 class _Heartbeat:
@@ -226,6 +283,12 @@ class _Heartbeat:
     def __init__(self, path: str, every_s: float = 5.0):
         self.path = path
         self.every_s = every_s
+        try:
+            # first beat synchronously: the thread's first touch is every_s
+            # away, and claim_next's utime could itself race a slow fs
+            os.utime(path, None)
+        except OSError:
+            pass
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -268,7 +331,7 @@ def run_worker(queue_dir: str, trial_fn, scheduler=None,
     while True:
         spec = claim_next(queue_dir, worker_id)
         if spec is None:
-            if requeue_stale(queue_dir, stale_claim_s):
+            if _requeue_stale_throttled(queue_dir, stale_claim_s):
                 continue  # a dead worker's trial is pending again — claim it
             if _stopped(queue_dir):
                 return n_done
@@ -327,7 +390,7 @@ def collect_results(queue_dir: str, n_expected: int, poll_s: float = 0.5,
         names = [n for n in os.listdir(done) if n.endswith(".json")]
         if len(names) >= n_expected:
             break
-        requeue_stale(queue_dir, stale_claim_s)
+        _requeue_stale_throttled(queue_dir, stale_claim_s)
         if timeout_s is not None and time.time() - t0 > timeout_s:
             raise TimeoutError(
                 f"{len(names)}/{n_expected} trials done after {timeout_s}s")
@@ -371,6 +434,13 @@ def resume_queue(queue_dir: str, configs) -> int:
                 continue  # claimed/renamed mid-scan — its state is in flight
             present[int(spec["trial_id"])] = spec
     configs = list(configs)
+    if present and max(present) >= len(configs):
+        raise RuntimeError(
+            f"resume mismatch: queue holds trial id {max(present)} but this "
+            f"run's search space has only {len(configs)} trials — leftover "
+            "trials from a larger run would leak into collect_results; "
+            "resume needs the identical (seeded) search space"
+        )
     for i, cfg in enumerate(configs):
         prev = present.get(i)
         if prev is not None and prev.get("config") != cfg:

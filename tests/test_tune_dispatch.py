@@ -178,6 +178,60 @@ def test_live_claim_not_requeued_and_heartbeat_refreshes(tmp_path):
     assert requeue_stale(q, stale_claim_s=60.0) == 0
 
 
+def test_aged_pending_spec_claim_is_not_stale(tmp_path):
+    """A spec that sat in pending/ longer than stale_claim_s must NOT look
+    stale the instant it is claimed: os.rename preserves the enqueue-time
+    mtime, so without claim_next's utime a live fresh claim would be
+    re-queued (duplicate execution) before the heartbeat's first touch."""
+    q = str(tmp_path / "q")
+    enqueue_trials(q, [{"v": 1.0}])
+    # age the pending spec far past any staleness threshold
+    pending = os.path.join(q, "pending", "trial_0000.json")
+    os.utime(pending, (0, 0))
+    spec = claim_next(q, "w0")
+    assert spec is not None
+    # the claim is seconds old at most — a stale scan must leave it alone
+    assert requeue_stale(q, stale_claim_s=60.0) == 0
+    assert os.path.exists(spec["_claimed"])
+    assert os.listdir(os.path.join(q, "pending")) == []
+
+
+def test_orphaned_requeue_tempfile_is_swept(tmp_path):
+    """A requeuer that died between its two renames strands the trial as
+    pending/<name>.requeue.<pid> — invisible to every .json listing. The
+    orphan sweep inside requeue_stale must restore the canonical name once
+    the orphan is older than stale_claim_s, and the trial then runs."""
+    q = str(tmp_path / "q")
+    enqueue_trials(q, [{"v": 5.0}])
+    name = "trial_0000.json"
+    orphan = os.path.join(q, "pending", f"{name}.requeue.12345")
+    os.rename(os.path.join(q, "pending", name), orphan)
+    assert claim_next(q, "w0") is None  # invisible: nothing claimable
+    # a fresh orphan is left alone (its requeuer may still be mid-rewrite)
+    assert requeue_stale(q, stale_claim_s=60.0) == 0
+    os.utime(orphan, (0, 0))  # its requeuer is long dead
+    assert requeue_stale(q, stale_claim_s=60.0) == 1
+    spec = claim_next(q, "w0")
+    assert spec is not None and spec["trial_id"] == 0
+
+
+def test_resume_refuses_out_of_range_trial_ids(tmp_path):
+    """Resuming with a smaller search space must be refused: leftover done/
+    records with trial_id >= len(configs) would otherwise satisfy
+    collect_results' count and leak foreign configs into best()."""
+    q = str(tmp_path / "q")
+
+    def trial(cfg, report):
+        report(1, {"val_loss": cfg["v"]})
+        return cfg["v"]
+
+    space = [{"v": 3.0}, {"v": 1.0}, {"v": 2.0}]
+    run_distributed_experiment(trial, space, queue_dir=q, timeout_s=10)
+    with pytest.raises(RuntimeError, match="search space has only"):
+        run_distributed_experiment(
+            trial, space[:2], queue_dir=q, timeout_s=10, resume=True)
+
+
 def test_coordinator_collect_requeues_stale(tmp_path):
     """The coordinator's collect poll frees a dead worker's claim even when
     it cannot run trials itself (TimeoutError still raised with the count)."""
