@@ -2,15 +2,28 @@
 
 Runs the reference-scale flagship configuration (AttemptFour config.yaml:
 betas 327,684 voxels -> 360 Glasser-like groups x 32, LSTM 512, vocab 5001,
-batch 64, max_len 15) with synthetic data and prints ONE JSON line:
+batch 64, max_len 15) with synthetic data and prints JSON lines of the form
 
   {"metric": "train_steps_per_sec_per_chip", "value": ..., "unit": "steps/s",
    "vs_baseline": ...}
 
+EMISSION CONTRACT (the round-2 driver run timed out with *no* output —
+BENCH_r02.json rc=124/parsed=null — so the artifact pipeline is built to be
+un-killable now): a complete headline line is printed IMMEDIATELY after the
+first successful timed measurement, and refined lines (more reps, extra
+sections filled in) are printed as later phases complete — the driver parses
+the LAST line, so a kill at any point after the first line still records a
+real number. Every section beyond the first measurement runs under the
+MTT_BENCH_BUDGET_S budget with per-phase minimums sized for cold compiles;
+MTT_BENCH_FAST=1 skips all extras (per-dispatch stepping, bf16, the
+fused-decode compile) for the tightest possible time-to-headline.
+
 The headline number uses the production input path: the beta store resident
-in HBM and K=32 optimisation steps per device call (lax.scan), so it measures
-device throughput rather than host/tunnel dispatch latency. Per-dispatch
-stepping and bf16 numbers are reported in ``extra``.
+in HBM (generated ON DEVICE — no multi-GB host->device tunnel upload, which
+dominated cold-start wall time), permuted+packed on device into the
+pregathered (N, S, 128) layout, and K=128 optimisation steps per device call
+(lax.scan), so it measures device throughput rather than host/tunnel dispatch
+latency. Per-dispatch stepping and bf16 numbers are reported in ``extra``.
 
 Baseline: the reference trains this model EAGERLY in TF-Keras on one GPU
 (main.py:134 run_eagerly=True) while reading 64 x 1.25 MB .npy betas from disk
@@ -29,6 +42,7 @@ driver-defined target is >= 10x (BASELINE.json).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -39,7 +53,7 @@ N_VOXELS = 327_684
 N_GROUPS = 360
 SCAN_K = 128         # steps per device call (headline path; probed
 #                      32->121, 64->132, 128->134-138 steps/s on v5e)
-SCAN_REPS = 2        # measured calls
+SCAN_REPS = 2        # measured calls for the refined headline
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20   # per-dispatch extra measurement
 
@@ -47,13 +61,14 @@ MEASURE_STEPS = 20   # per-dispatch extra measurement
 def main() -> None:
     import os
 
+    fast = os.environ.get("MTT_BENCH_FAST", "") not in ("", "0")
+
     # tunnel watchdog: a down axon tunnel makes jax.devices() block
     # indefinitely INSIDE this process (env-level platform pin). Probe the
     # backend in a child with a generous timeout so a dead tunnel fails
     # fast and loud instead of hanging the whole bench run. Compiles are
     # NOT under this timeout — only backend discovery.
     import subprocess
-    import sys
 
     try:
         probe = subprocess.run(
@@ -85,7 +100,7 @@ def main() -> None:
         jax.config.update("jax_default_prng_impl", "rbg")
 
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("MTT_BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("MTT_BENCH_BUDGET_S", "900"))
 
     def time_left() -> float:
         return budget_s - (time.perf_counter() - t_start)
@@ -123,7 +138,13 @@ def main() -> None:
     rng = np.random.default_rng(0)
     B = cfg.batch_size
     n_store = 1024  # HBM-resident store (1024 x 327k fp32 = 1.34 GB)
-    store = jnp.asarray(rng.standard_normal((n_store, N_VOXELS)), jnp.float32)
+    # generate the store ON DEVICE: uploading 1.34 GB through the axon
+    # tunnel (and round-tripping it again for the packed layout) was the
+    # single largest cold-start cost of the r02 bench
+    store = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (n_store, N_VOXELS), jnp.float32),
+    )()
     betas = store[:B]
     tokens = jnp.asarray(
         rng.integers(1, cfg.vocab_size, (B, cfg.max_length)), jnp.int32
@@ -147,15 +168,25 @@ def main() -> None:
     # production input path: the store is permuted ONCE into the encoder's
     # grouped layout (pregathered encoder skips its 84 MB/step gather) and
     # packed (N, S, 128) so the in-step batch fetch runs through the Pallas
-    # DMA kernel (ops/gather.py)
-    from masters_thesis_tpu.ops.gather import pack_rows
+    # DMA kernel (ops/gather.py). Both transforms run on device.
+    from masters_thesis_tpu.ops.gather import LANES
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        permuted = layout.permute_rows(np.asarray(store))
+        flat_idx = jnp.asarray(layout.flat_indices())  # ~1.5 MB upload
+
+        @jax.jit
+        def _prep(rows):
+            padded = jnp.concatenate(
+                [rows, jnp.zeros((rows.shape[0], 1), rows.dtype)], axis=1)
+            perm = jnp.take(padded, flat_idx, axis=1)
+            w = perm.shape[1]
+            wp = -(-w // LANES) * LANES
+            perm = jnp.pad(perm, ((0, 0), (0, wp - w)))
+            return perm.reshape(rows.shape[0], wp // LANES, LANES)
+
+        packed = _prep(store)
         store_width = None   # pregathered encoder ignores the padded tail
-        packed = pack_rows(permuted)
-        del permuted
         train_model = LcNIC(
             layout=layout, units=cfg.units, group_size=cfg.group_size,
             embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
@@ -171,19 +202,64 @@ def main() -> None:
     tgts = jnp.broadcast_to(target, (SCAN_K, B, cfg.max_length))
     state = fresh_state()
     state, metrics = sstep(state, packed, idx, toks, tgts)  # compile + warm
-    float(np.asarray(metrics["loss"])[-1])
+    final_loss = float(np.asarray(metrics["loss"])[-1])
     # NOTE: timings force a host transfer of the result each call —
     # block_until_ready does not reliably track completion on the remote
     # (axon) runtime and reports dispatch time instead of execution time
+
+    result = {
+        "metric": "train_steps_per_sec_per_chip",
+        "value": None,
+        "unit": "steps/s",
+        "vs_baseline": None,
+        # the reference publishes no throughput; the denominator is a
+        # reasoned ESTIMATE of its eager TF pipeline (module docstring)
+        "vs_baseline_kind": "estimate",
+        "baseline_steps_per_sec_estimate": REFERENCE_STEPS_PER_SEC,
+        # measured eager-TF reproduction on this image's CPU host
+        # (scripts/reference_anchor.py); the 0.75 estimate above is
+        # ~4x this, i.e. generous toward the reference's GPU
+        "baseline_anchor_cpu_measured": 0.176,
+        "extra": {
+            "phase": "quick",
+            "captions_per_sec_greedy": None,
+            "captions_per_sec_xla": None,
+            "captions_per_sec_per_dispatch": None,
+            "dispatch_steps_per_sec": None,
+            "bf16_steps_per_sec": None,
+            "batch_size": B,
+            "scan_steps_per_call": SCAN_K,
+            "device": str(jax.devices()[0]),
+            "loss": final_loss,
+        },
+    }
+
+    def emit(steps_per_sec: float, phase: str) -> None:
+        """Print a COMPLETE headline line now — last line wins downstream,
+        so every later refinement only ever improves on a recorded number."""
+        result["value"] = round(steps_per_sec, 3)
+        result["vs_baseline"] = round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2)
+        result["extra"]["phase"] = phase
+        print(json.dumps(result), flush=True)
+
+    # first timed measurement: ONE scanned call (~0.4 s on v5e) right after
+    # the compile — emitted immediately so a driver kill anywhere past this
+    # point still records the headline
+    t0 = time.perf_counter()
+    state, metrics = sstep(state, packed, idx, toks, tgts)
+    final_loss = float(np.asarray(metrics["loss"])[-1])
+    emit(SCAN_K / (time.perf_counter() - t0), "quick")
+
+    # refined headline: SCAN_REPS more calls
     t0 = time.perf_counter()
     for _ in range(SCAN_REPS):
         state, metrics = sstep(state, packed, idx, toks, tgts)
         final_loss = float(np.asarray(metrics["loss"])[-1])
-    steps_per_sec = SCAN_K * SCAN_REPS / (time.perf_counter() - t0)
+    result["extra"]["loss"] = final_loss
+    emit(SCAN_K * SCAN_REPS / (time.perf_counter() - t0), "full")
 
     # ---- extra: per-dispatch stepping (host-in-the-loop) ----
-    dispatch_steps_per_sec = None
-    if time_left() > 120:
+    if not fast and time_left() > 120:
         try:
             pstate = fresh_state()
             pstep = make_train_step(model, cfg, rules, donate=False)
@@ -194,14 +270,14 @@ def main() -> None:
             for _ in range(MEASURE_STEPS):
                 pstate, pm = pstep(pstate, betas, tokens, target)
             float(np.asarray(pm["loss"]))
-            dispatch_steps_per_sec = MEASURE_STEPS / (time.perf_counter() - t0)
+            result["extra"]["dispatch_steps_per_sec"] = round(
+                MEASURE_STEPS / (time.perf_counter() - t0), 1)
             del pstate
         except Exception:
             pass
 
     # ---- extra: bf16 scanned variant ----
-    bf16_steps_per_sec = None
-    if time_left() > 150:
+    if not fast and time_left() > 150:
         try:
             bcfg = dataclasses.replace(cfg)
             bcfg.tpu = dataclasses.replace(cfg.tpu, compute_dtype="bfloat16")
@@ -214,9 +290,8 @@ def main() -> None:
             for _ in range(SCAN_REPS):
                 bstate, bm = bstep(bstate, packed, idx, toks, tgts)
                 float(np.asarray(bm["loss"])[-1])
-            bf16_steps_per_sec = (
-                SCAN_K * SCAN_REPS / (time.perf_counter() - t0)
-            )
+            result["extra"]["bf16_steps_per_sec"] = round(
+                SCAN_K * SCAN_REPS / (time.perf_counter() - t0), 1)
             del bstate
         except Exception:
             pass
@@ -228,26 +303,30 @@ def main() -> None:
 
     DEC_K = 16
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    captions_per_sec_xla = None
-    if on_tpu:
+    if not fast and on_tpu and time_left() > 180:
         # production serving path: the whole-decode Pallas kernel — all 15
         # steps + vocab head + argmax + re-embed VMEM-resident, one call for
         # the full stacked batch (ops/fused_decode.py)
-        from masters_thesis_tpu.ops.fused_decode import (
-            make_whole_fused_greedy_decoder,
-        )
+        try:
+            from masters_thesis_tpu.ops.fused_decode import (
+                make_whole_fused_greedy_decoder,
+            )
 
-        fdec = make_whole_fused_greedy_decoder(
-            model, cfg.units, cfg.max_length, batch_tile=64)
-        flat = store[: DEC_K * B]
-        words, _ = fdec(variables, flat, 3)
-        np.asarray(words)
-        t0 = time.perf_counter()
-        reps = 4
-        for _ in range(reps):
+            fdec = make_whole_fused_greedy_decoder(
+                model, cfg.units, cfg.max_length, batch_tile=64)
+            flat = store[: DEC_K * B]
             words, _ = fdec(variables, flat, 3)
             np.asarray(words)
-        captions_per_sec = reps * DEC_K * B / (time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            reps = 4
+            for _ in range(reps):
+                words, _ = fdec(variables, flat, 3)
+                np.asarray(words)
+            result["extra"]["captions_per_sec_greedy"] = round(
+                reps * DEC_K * B / (time.perf_counter() - t0), 1)
+            emit(result["value"], "decode-fused")
+        except Exception:
+            pass
         if time_left() > 90:
             try:
                 sdecoder = make_scanned_greedy_decoder(
@@ -256,70 +335,48 @@ def main() -> None:
                 w2 = sdecoder(variables, stacked, 3)
                 np.asarray(w2)
                 t0 = time.perf_counter()
+                reps = 4
                 for _ in range(reps):
                     w2 = sdecoder(variables, stacked, 3)
                     np.asarray(w2)
-                captions_per_sec_xla = (
-                    reps * DEC_K * B / (time.perf_counter() - t0))
+                result["extra"]["captions_per_sec_xla"] = round(
+                    reps * DEC_K * B / (time.perf_counter() - t0), 1)
             except Exception:
                 pass
-    else:
-        sdecoder = make_scanned_greedy_decoder(model, cfg.units, cfg.max_length)
-        stacked = store[: DEC_K * B].reshape(DEC_K, B, N_VOXELS)
-        words = sdecoder(variables, stacked, 3)
-        np.asarray(words)
-        t0 = time.perf_counter()
-        reps = 4
-        for _ in range(reps):
+    elif not fast and not on_tpu and time_left() > 60:
+        try:
+            sdecoder = make_scanned_greedy_decoder(
+                model, cfg.units, cfg.max_length)
+            stacked = store[: DEC_K * B].reshape(DEC_K, B, N_VOXELS)
             words = sdecoder(variables, stacked, 3)
             np.asarray(words)
-        captions_per_sec = reps * DEC_K * B / (time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            reps = 4
+            for _ in range(reps):
+                words = sdecoder(variables, stacked, 3)
+                np.asarray(words)
+            result["extra"]["captions_per_sec_greedy"] = round(
+                reps * DEC_K * B / (time.perf_counter() - t0), 1)
+        except Exception:
+            pass
 
     # per-dispatch decode (host in the loop per batch) for reference
-    decoder = make_greedy_decoder(model, cfg.units, cfg.max_length)
-    words, _, _ = decoder(variables, betas, 3)
-    np.asarray(words)
-    t0 = time.perf_counter()
-    for _ in range(8):
-        words, _, _ = decoder(variables, betas, 3)
-        np.asarray(words)
-    dispatch_captions_per_sec = 8 * B / (time.perf_counter() - t0)
+    if not fast and time_left() > 60:
+        try:
+            decoder = make_greedy_decoder(model, cfg.units, cfg.max_length)
+            words, _, _ = decoder(variables, betas, 3)
+            np.asarray(words)
+            t0 = time.perf_counter()
+            for _ in range(8):
+                words, _, _ = decoder(variables, betas, 3)
+                np.asarray(words)
+            result["extra"]["captions_per_sec_per_dispatch"] = round(
+                8 * B / (time.perf_counter() - t0), 1)
+        except Exception:
+            pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_steps_per_sec_per_chip",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
-                # the reference publishes no throughput; the denominator is a
-                # reasoned ESTIMATE of its eager TF pipeline (module docstring)
-                "vs_baseline_kind": "estimate",
-                "baseline_steps_per_sec_estimate": REFERENCE_STEPS_PER_SEC,
-                # measured eager-TF reproduction on this image's CPU host
-                # (scripts/reference_anchor.py); the 0.75 estimate above is
-                # ~4x this, i.e. generous toward the reference's GPU
-                "baseline_anchor_cpu_measured": 0.176,
-                "extra": {
-                    "captions_per_sec_greedy": round(captions_per_sec, 1),
-                    "captions_per_sec_xla": None
-                    if captions_per_sec_xla is None
-                    else round(captions_per_sec_xla, 1),
-                    "captions_per_sec_per_dispatch": round(
-                        dispatch_captions_per_sec, 1),
-                    "dispatch_steps_per_sec": None
-                    if dispatch_steps_per_sec is None
-                    else round(dispatch_steps_per_sec, 1),
-                    "bf16_steps_per_sec": None if bf16_steps_per_sec is None
-                    else round(bf16_steps_per_sec, 1),
-                    "batch_size": B,
-                    "scan_steps_per_call": SCAN_K,
-                    "device": str(jax.devices()[0]),
-                    "loss": final_loss,
-                },
-            }
-        )
-    )
+    # final complete line (always — even when every extra was skipped)
+    emit(result["value"], "final")
 
 
 if __name__ == "__main__":
