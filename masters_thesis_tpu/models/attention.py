@@ -2,12 +2,18 @@
 
 Parity with the reference (AttemptFour/Model/attention.py:25-44):
 
-    e     = V( dropout( tanh(W1 @ features + W2 @ hidden) ) )   # (B, R, 1)
-    alpha = softmax(e, axis=regions)
+    e     = V( dropout( tanh(act(W1 @ features) + act(W2 @ hidden)) ) )
+    alpha = softmax(e, axis=regions)                             # (B, R, 1)
     ctx   = sum(alpha * features, regions)
 
-W1/W2 use he_normal + L2(attn_reg) in the flagship config (lc_NIC.py:95-102);
-V is a default Dense(1) (glorot_uniform, no regulariser).
+where ``act`` is an INNER activation applied inside W1/W2: every AttemptFour
+model constructs the attention with ``activation=LeakyReLU(0.2)`` forwarded
+into the two Dense layers via **kwargs (lc_NIC.py:95-102, img_NIC.py:92-99,
+ms_NIC/ms2_NIC/glove_NIC/tmp_lc_NIC alike) — verified head-to-head against
+the reference source (scripts/reference_headtohead.py, which caught this).
+The CNN_RNN attention is the plain textbook form (CNN_RNN/model.py:38-61):
+``inner_activation='linear'``. W1/W2 use he_normal + L2(attn_reg) in the
+flagship config; V is a default Dense(1) (glorot_uniform, no regulariser).
 """
 
 from __future__ import annotations
@@ -15,12 +21,13 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from masters_thesis_tpu.models.common import he_normal
+from masters_thesis_tpu.models.common import he_normal, leaky_relu
 
 
 class BahdanauAttention(nn.Module):
     units: int
     dropout: float = 0.0
+    inner_activation: str = "leaky_relu"  # leaky_relu(0.2) | linear
 
     @nn.compact
     def __call__(self, hidden, features, training: bool = False):
@@ -36,7 +43,14 @@ class BahdanauAttention(nn.Module):
         w2 = nn.Dense(self.units, kernel_init=he_normal, name="W2")
         v = nn.Dense(1, name="V")
 
-        scores = jnp.tanh(w1(features) + w2(hidden)[:, None, :])  # (B, R, A)
+        act = (
+            (lambda x: leaky_relu(x, 0.2))
+            if self.inner_activation == "leaky_relu"
+            else (lambda x: x)
+        )
+        scores = jnp.tanh(
+            act(w1(features)) + act(w2(hidden))[:, None, :]
+        )  # (B, R, A)
         scores = nn.Dropout(self.dropout, deterministic=not training)(scores)
         e = v(scores)                                             # (B, R, 1)
         alpha = nn.softmax(e, axis=1)

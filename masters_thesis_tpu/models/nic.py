@@ -51,7 +51,13 @@ class NIC(nn.Module):
     max_length: int = 15
     cell_type: str = "lstm"          # lstm | gru
     head_dim: int = 256              # dense_inter width (CNN_RNN: units)
-    head_activation: str = "leaky_relu"  # leaky_relu | relu
+    head_activation: str = "leaky_relu"  # leaky_relu | linear (CNN_RNN fc1
+    #                                      has NO activation, model.py:77)
+    attn_inner_activation: str = "leaky_relu"  # every AttemptFour model
+    #                                  passes LeakyReLU(0.2) INTO the
+    #                                  attention W1/W2 Dense layers
+    #                                  (lc_NIC.py:95-102); CNN_RNN's plain
+    #                                  attention is 'linear'
     pretrained_embedding: Any = None  # (V, E) array — glove_NIC.py variant
     embedding_trainable: bool = True
     learned_init_state: bool = False  # Xu et al. h0,c0 = MLP(mean(features))
@@ -69,7 +75,8 @@ class NIC(nn.Module):
 
     def setup(self):
         self.attention = BahdanauAttention(
-            self.attn_units, dropout=self.dropout_attn, name="attention"
+            self.attn_units, dropout=self.dropout_attn,
+            inner_activation=self.attn_inner_activation, name="attention"
         )
         if self.cell_type == "lstm":
             self.cell = KerasLSTMCell(self.units, name="lstm")
@@ -116,7 +123,11 @@ class NIC(nn.Module):
 
     def head(self, h, training: bool = False):
         x = self.dense_inter(h)
-        x = leaky_relu(x) if self.head_activation == "leaky_relu" else nn.relu(x)
+        if self.head_activation == "leaky_relu":
+            x = leaky_relu(x)
+        elif self.head_activation == "relu":
+            x = nn.relu(x)
+        # 'linear': CNN_RNN's fc1 is a plain Dense (model.py:77-78)
         x = self.drop_out(x, deterministic=not training)
         return self.dense_out(x)
 
@@ -292,9 +303,11 @@ def CnnRnnNIC(
     **kw: Any,
 ) -> NIC:
     """The CNN_RNN GRU captioner (CNN_RNN/model.py): relu patch encoder,
-    GRU cell, relu Dense(units) head."""
+    GRU cell, plain (no-activation, no-dropout) textbook attention
+    (model.py:38-61) and a linear fc1 Dense(units) head (model.py:77-78)."""
     from masters_thesis_tpu.models.encoders import PatchDense
 
+    kw.setdefault("dropout_attn", 0.0)
     return NIC(
         encoder=PatchDense(out_dim=embed_dim, activation="relu", name="encoder"),
         units=units,
@@ -304,6 +317,7 @@ def CnnRnnNIC(
         max_length=max_length,
         cell_type="gru",
         head_dim=units,
-        head_activation="relu",
+        head_activation="linear",
+        attn_inner_activation="linear",
         **kw,
     )

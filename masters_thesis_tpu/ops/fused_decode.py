@@ -7,7 +7,9 @@ than plain XLA (round 1; that kernel has been removed). This kernel instead
 runs all ``max_length`` steps for a batch tile with everything resident in
 VMEM:
 
-    per step:  alpha   = softmax(vᵀ tanh(pre + h W2 + b2))   # attention
+    per step:  alpha   = softmax(vᵀ tanh(pre + act(h W2 + b2)))  # attention
+               (pre = act(features W1 + b1); act = the reference's inner
+                LeakyReLU(0.2) on W1/W2, identity for CNN_RNN)
                ctx     = Σ alpha · features
                h, c    = LSTM([ctx ; emb], h, c)
                logits  = ([h W_i + b_i]⁺) W_o + b_o          # vocab head
@@ -58,7 +60,7 @@ def _decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
                    wx_ref, wh_ref, b_ref, wi_ref, bi_ref, wo_ref, bo_ref,
                    emb_ref, emb0_ref, words_out, alpha_out,
                    *, n_regions: int, units: int, max_length: int,
-                   slope: float):
+                   slope: float, attn_slope: float):
     bt = pre_ref.shape[0]
     h = jnp.zeros((bt, units), jnp.float32)
     c = jnp.zeros((bt, units), jnp.float32)
@@ -67,9 +69,13 @@ def _decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
 
     words, alphas = [], []
     for _ in range(max_length):
-        # --- Bahdanau attention (pre = features @ W1 + b1, computed once) ---
+        # --- Bahdanau attention (pre = act(features @ W1 + b1), computed
+        # once; act = the W1/W2 inner activation — LeakyReLU(0.2) in the
+        # AttemptFour family, identity (attn_slope=1) otherwise) ---
         hw = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-        s = jnp.tanh(pre_ref[:] + (hw + b2_ref[0])[:, None, :])  # (Bt, Rp, A)
+        hw = hw + b2_ref[0]
+        hw = jnp.where(hw >= 0, hw, attn_slope * hw)
+        s = jnp.tanh(pre_ref[:] + hw[:, None, :])                # (Bt, Rp, A)
         e = jnp.sum(s * v_ref[0][None, None, :], axis=-1) + bv_ref[0, 0]
         rid = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
         e = jnp.where(rid < n_regions, e, -1e30)
@@ -118,7 +124,8 @@ def _decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
 def fused_greedy_decode(pre, features, w2, b2, v, bv, wx, wh, b,
                         wi, bi, wo, bo, emb_table, emb0,
                         n_regions: int, units: int, max_length: int,
-                        slope: float = 0.2, batch_tile: int = 8,
+                        slope: float = 0.2, attn_slope: float = 0.2,
+                        batch_tile: int = 8,
                         feat_bf16: bool = False):
     """Run the whole greedy decode for (B, Rp, ·) padded inputs.
 
@@ -158,7 +165,7 @@ def fused_greedy_decode(pre, features, w2, b2, v, bv, wx, wh, b,
 
     kernel = functools.partial(
         _decode_kernel, n_regions=n_regions, units=units,
-        max_length=max_length, slope=slope,
+        max_length=max_length, slope=slope, attn_slope=attn_slope,
     )
     return pl.pallas_call(
         kernel,
@@ -222,7 +229,11 @@ def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
         "params['embedding'] — use decode.greedy for "
         "GloveNIC(trainable=False) models"
     )
-    slope = 0.2 if model.head_activation == "leaky_relu" else 0.0
+    # leaky_relu -> negative slope .2; relu -> 0; linear -> 1 (identity)
+    slope = {"leaky_relu": 0.2, "relu": 0.0, "linear": 1.0}[
+        model.head_activation]
+    attn_slope = (
+        0.2 if model.attn_inner_activation == "leaky_relu" else 1.0)
 
     def decode(variables, betas, start_id):
         params = variables["params"]
@@ -231,6 +242,7 @@ def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
         B, R, D = features.shape
 
         pre = features @ sp["w1"] + sp["b1"]
+        pre = jnp.where(pre >= 0, pre, attn_slope * pre)
         pre_p, _ = pad_regions(pre)
         feat_p, _ = pad_regions(features)
 
@@ -247,7 +259,8 @@ def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
             sp["wx"], sp["wh"], sp["b"], sp["wi"], sp["bi"], wo, bo,
             emb_table, emb0,
             n_regions=R, units=units, max_length=max_length,
-            slope=slope, batch_tile=batch_tile, feat_bf16=feat_bf16,
+            slope=slope, attn_slope=attn_slope, batch_tile=batch_tile,
+            feat_bf16=feat_bf16,
         )
         return words, alphas[:, :, :R]
 
