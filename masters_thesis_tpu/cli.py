@@ -826,6 +826,11 @@ def main(argv=None) -> int:
         "(virtual CPU devices when no TPU slice is attached)",
     )
     dr.add_argument("--devices", type=int, default=8)
+    dr.add_argument("--flagship", action="store_true",
+                    help="also lower+compile the sharded scanned step at "
+                    "reference dims (327,684 voxels / 360 groups / vocab "
+                    "5001 padded / units 512) and print the sharding census "
+                    "— compile-only, no flagship-sized arrays materialise")
 
     cp = sub.add_parser(
         "caption",
@@ -1049,7 +1054,7 @@ def main(argv=None) -> int:
     if args.cmd == "dryrun":
         from masters_thesis_tpu.parallel.dryrun import dryrun_multichip
 
-        dryrun_multichip(args.devices)
+        dryrun_multichip(args.devices, flagship_only=args.flagship)
         return 0
     if args.cmd == "caption":
         import numpy as np

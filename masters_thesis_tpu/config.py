@@ -91,6 +91,17 @@ class TPUConfig:
     #                                  the per-step gather bytes (the probed
     #                                  bottleneck) at ~3 decimal digits of
     #                                  input precision
+    vocab_pad_multiple: int = 0      # >1: round the model's vocab axis
+    #                                  (embedding rows, dense_out cols) up to
+    #                                  a multiple of this so tensor-parallel
+    #                                  meshes can shard it — the reference
+    #                                  vocab 5001 divides no power-of-two
+    #                                  model axis. Padded rows/cols are
+    #                                  zero-init, get zero gradient (logits
+    #                                  masked to -1e9), and stay zero, so
+    #                                  loss/decode numerics match unpadded
+    #                                  exactly. Checkpoints record the padded
+    #                                  shape: resume with the same multiple.
 
 
 @dataclass
@@ -179,6 +190,14 @@ class Config:
     def vocab_size(self) -> int:
         """top_k + 1, matching the reference (main.py: vocab_size = top_k + 1)."""
         return self.top_k + 1
+
+    @property
+    def padded_vocab_size(self) -> int:
+        """vocab_size rounded up to tpu.vocab_pad_multiple (model axis size
+        for TP sharding); == vocab_size when padding is off."""
+        m = self.tpu.vocab_pad_multiple
+        v = self.vocab_size
+        return -(-v // m) * m if m and m > 1 else v
 
     def input_dim(self) -> int:
         return getattr(self.input, self.input_kind)

@@ -257,6 +257,11 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
     (lc_nic/ms_nic only) is a resolved (vocab, E) GloVe table — the
     glove_NIC variant."""
     name = cfg.model.lower()
+    # tpu.vocab_pad_multiple: build the vocab axis padded so TP meshes can
+    # shard embedding/dense_out; true_vocab keeps numerics unpadded-exact
+    # (models/common.py). tv=0 means "no padding" for every model class.
+    V = cfg.padded_vocab_size
+    tv = cfg.vocab_size if V != cfg.vocab_size else 0
     if embedding_table is not None and name not in ("lc_nic", "ms_nic"):
         raise ValueError(
             f"glove_path is only supported for lc_nic/ms_nic (the glove_NIC "
@@ -290,7 +295,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
                             if embedding_table is not None
                             else cfg.embedding_text),
             attn_units=cfg.attn_units,
-            vocab_size=cfg.vocab_size,
+            vocab_size=V, true_vocab=tv,
             max_length=cfg.max_length,
             dropout_input=cfg.dropout_input,
             dropout_features=cfg.dropout_features,
@@ -337,7 +342,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
             units=cfg.units,
             embedding_text=cfg.embedding_text,
             attn_units=cfg.attn_units,
-            vocab_size=cfg.vocab_size,
+            vocab_size=V, true_vocab=tv,
             max_length=cfg.max_length,
             dropout_input=cfg.dropout_input,
             dropout_text=cfg.dropout_text,
@@ -356,7 +361,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
             layout, layout,
             units=cfg.units, group_size=cfg.group_size,
             embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
-            vocab_size=cfg.vocab_size, max_length=cfg.max_length,
+            vocab_size=V, true_vocab=tv, max_length=cfg.max_length,
             dropout_features=cfg.dropout_features, **_nic_dropouts(cfg),
         )
         return model, lc_nic_l2_rules(cfg), False
@@ -365,7 +370,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
 
         model = ImgNIC(
             embed_dim=cfg.embedding_features, units=cfg.units,
-            attn_units=cfg.attn_units, vocab_size=cfg.vocab_size,
+            attn_units=cfg.attn_units, vocab_size=V, true_vocab=tv,
             max_length=cfg.max_length, embedding_text=cfg.embedding_text,
             dropout_features=cfg.dropout_features, remat=cfg.tpu.remat,
             learned_init_state=cfg.learned_init_state,
@@ -376,7 +381,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
         from masters_thesis_tpu.models.nic import CnnRnnNIC
 
         model = CnnRnnNIC(
-            embed_dim=256, units=cfg.units, vocab_size=cfg.vocab_size,
+            embed_dim=256, units=cfg.units, vocab_size=V, true_vocab=tv,
             max_length=cfg.max_length, remat=cfg.tpu.remat,
             learned_init_state=cfg.learned_init_state,
             **_nic_dropouts(cfg),
@@ -389,7 +394,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
             units=cfg.units,
             embed_dim=cfg.embedding_features,
             embedding_text=cfg.embedding_features,
-            vocab_size=cfg.vocab_size,
+            vocab_size=V, true_vocab=tv,
             max_length=cfg.max_length,
             head_activation="relu" if name == "thinkandtell" else "linear",
             dropout=cfg.dropout_features,
@@ -399,7 +404,7 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
         from masters_thesis_tpu.models.showtell import GuseNIC, showtell_l2_rules
 
         model = GuseNIC(
-            units=cfg.units, vocab_size=cfg.vocab_size,
+            units=cfg.units, vocab_size=V, true_vocab=tv,
             max_length=cfg.max_length, dropout=cfg.dropout_features,
         )
         return model, showtell_l2_rules(cfg), True

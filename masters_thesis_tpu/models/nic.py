@@ -36,6 +36,9 @@ from masters_thesis_tpu.models.common import (
     embedding_init,
     glorot_normal,
     leaky_relu,
+    mask_padded_vocab,
+    pad_zero_cols,
+    pad_zero_rows,
 )
 from masters_thesis_tpu.models.locally_dense import LocallyDense
 from masters_thesis_tpu.models.lstm import KerasGRUCell, KerasLSTMCell
@@ -48,6 +51,12 @@ class NIC(nn.Module):
     embedding_text: int = 512
     attn_units: int = 32
     vocab_size: int = 5001
+    true_vocab: int = 0              # >0 and < vocab_size: the vocab axis was
+    #                                  padded (cfg.tpu.vocab_pad_multiple) so
+    #                                  TP meshes can shard embedding/dense_out
+    #                                  — pad rows/cols zero-init, pad logits
+    #                                  masked to -1e9 (models/common.py);
+    #                                  numerics match unpadded exactly
     max_length: int = 15
     cell_type: str = "lstm"          # lstm | gru
     head_dim: int = 256              # dense_inter width (CNN_RNN: units)
@@ -82,9 +91,13 @@ class NIC(nn.Module):
             self.cell = KerasLSTMCell(self.units, name="lstm")
         else:
             self.cell = KerasGRUCell(self.units, name="gru")
+        tv = self.true_vocab or self.vocab_size
         if self.pretrained_embedding is not None:
             table = jnp.asarray(self.pretrained_embedding)
-            assert table.shape == (self.vocab_size, self.embedding_text)
+            # tables are built at the tokenizer's TRUE vocab; pad rows here
+            assert table.shape == (tv, self.embedding_text)
+            if tv < self.vocab_size:
+                table = jnp.pad(table, ((0, self.vocab_size - tv), (0, 0)))
             if self.embedding_trainable:
                 self.embedding = self.param(
                     "embedding", lambda key, shape: table, table.shape
@@ -93,7 +106,7 @@ class NIC(nn.Module):
                 self.embedding = table
         else:
             self.embedding = self.param(
-                "embedding", embedding_init,
+                "embedding", pad_zero_rows(embedding_init, tv),
                 (self.vocab_size, self.embedding_text),
             )
         if self.learned_init_state:
@@ -103,7 +116,8 @@ class NIC(nn.Module):
             self.head_dim, kernel_init=glorot_normal, name="dense_inter"
         )
         self.dense_out = nn.Dense(
-            self.vocab_size, kernel_init=glorot_normal, name="dense_out"
+            self.vocab_size, kernel_init=pad_zero_cols(glorot_normal, tv),
+            name="dense_out"
         )
         self.drop_input = nn.Dropout(self.dropout_input)
         self.drop_text = nn.Dropout(self.dropout_text)
@@ -129,7 +143,7 @@ class NIC(nn.Module):
             x = nn.relu(x)
         # 'linear': CNN_RNN's fc1 is a plain Dense (model.py:77-78)
         x = self.drop_out(x, deterministic=not training)
-        return self.dense_out(x)
+        return mask_padded_vocab(self.dense_out(x), self.true_vocab)
 
     # ---- training forward (teacher forcing; lc_NIC.call_attention) ----
     def __call__(self, inputs, tokens, a0, c0, training: bool = False):

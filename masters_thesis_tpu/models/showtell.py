@@ -28,7 +28,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from masters_thesis_tpu.models.common import glorot_uniform
+from masters_thesis_tpu.models.common import (
+    glorot_uniform,
+    mask_padded_vocab,
+    pad_zero_cols,
+    pad_zero_rows,
+)
 from masters_thesis_tpu.models.lstm import KerasLSTMCell
 
 
@@ -37,6 +42,8 @@ class ShowTell(nn.Module):
     embed_dim: int = 512             # feature-embedding width
     embedding_text: int = 512
     vocab_size: int = 5001
+    true_vocab: int = 0              # >0: vocab axis padded for TP sharding
+    #                                  (see models/nic.py / common.py)
     max_length: int = 15
     input_dense: bool = True         # False: inputs are already embed_dim wide
     encoder_activation: str = "tanh"  # ThinkAndTell Encoder (model.py:23)
@@ -54,14 +61,17 @@ class ShowTell(nn.Module):
             self.fc_embedding = nn.Dense(
                 self.embed_dim, kernel_init=glorot_uniform, name="fc_embedding"
             )
+        tv = self.true_vocab or self.vocab_size
         self.embedding = self.param(
             "embedding",
-            nn.initializers.uniform(scale=0.05),  # Keras Embedding 'uniform'
+            # Keras Embedding 'uniform'; pad rows zero for TP vocab padding
+            pad_zero_rows(nn.initializers.uniform(scale=0.05), tv),
             (self.vocab_size, self.embedding_text),
         )
         self.cell = KerasLSTMCell(self.units, name="lstm")
         self.fc_vocab = nn.Dense(
-            self.vocab_size, kernel_init=glorot_uniform, name="fc_vocab"
+            self.vocab_size, kernel_init=pad_zero_cols(glorot_uniform, tv),
+            name="fc_vocab"
         )
         self.drop = nn.Dropout(self.dropout)
 
@@ -81,7 +91,9 @@ class ShowTell(nn.Module):
         logits = self.fc_vocab(x)
         if self.head_activation == "relu":
             logits = nn.relu(logits)
-        return logits
+        # mask AFTER the activation: relu(-1e9) would be 0 and pad slots
+        # would each add exp(0) to the softmax denominator
+        return mask_padded_vocab(logits, self.true_vocab)
 
     # ---- training forward ----
     def __call__(self, inputs, tokens, a0, c0, training: bool = False):

@@ -249,8 +249,12 @@ def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
         vocab, E = sp["embedding"].shape
         vp = _round_up(vocab, 128)
         wo = jnp.pad(sp["wo"], ((0, 0), (0, vp - vocab)))
-        # padded vocab ids must never win the argmax
-        bo = jnp.pad(sp["bo"], (0, vp - vocab), constant_values=-1e30)
+        # padded vocab ids must never win the argmax — including the MODEL's
+        # own TP vocab padding (true_vocab < vocab: those cols have zero
+        # kernel/bias, so their logits would be 0 and could beat real
+        # all-negative logits)
+        tv = model.true_vocab or vocab
+        bo = jnp.pad(sp["bo"][:tv], (0, vp - tv), constant_values=-1e30)
         emb_table = jnp.pad(sp["embedding"], ((0, vp - vocab), (0, 0)))
         emb0 = jnp.take(sp["embedding"], start_id, axis=0)
 

@@ -109,6 +109,7 @@ _SLOW_TESTS = {
     "test_fused_whole_decode_ragged_regions",
     "test_learned_init_state_changes_initial_logits",
     "test_headtohead_vs_reference_source",
+    "test_flagship_census_shards_model_params",
 }
 
 

@@ -83,3 +83,22 @@ def test_global_batch_from_host_local():
     np.testing.assert_array_equal(np.asarray(g["betas"]), batch["betas"])
     np.testing.assert_array_equal(np.asarray(g["tokens"]), batch["tokens"])
     assert g["valid"] is batch["valid"]
+
+
+def test_flagship_census_shards_model_params():
+    """Flagship-shape sharding proof (VERDICT r2): at reference dims
+    (327,684 voxels / 360 groups / vocab 5001->5008 / units 512) the
+    encoder kernels, embedding and head actually shard over the mesh and
+    the K-step sharded program compiles (compile-only; no flagship-sized
+    array materialises)."""
+    from masters_thesis_tpu.parallel.dryrun import flagship_dryrun
+
+    census = flagship_dryrun()
+    assert census["embedding_sharded"] and census["dense_out_sharded"]
+    assert census["encoder_kernels_sharded"] >= 1
+    # every sharded tensor is accounted for: bucket kernels + embedding +
+    # dense_out kernel (nothing silently dropped to replication)
+    assert census["sharded"] == census["encoder_kernels_sharded"] + 2
+    assert census["vocab_padded"] == "5001->5008"
+    # fits a v4 chip (~32 GB HBM) with generous headroom
+    assert census["hbm_gb_per_dev"] < 16

@@ -1,0 +1,211 @@
+"""TP vocab padding (cfg.tpu.vocab_pad_multiple) — numerics must match the
+unpadded model exactly and the padded weights must stay zero through training.
+
+The reference vocab is top_k+1 = 5001 (AttemptFour/main.py:44), indivisible by
+any power-of-two mesh axis; padding the model's vocab axis (embedding rows,
+head cols) is what lets tensor-parallel meshes shard it (parallel/sharding.py).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masters_thesis_tpu.config import Config, TPUConfig
+from masters_thesis_tpu.data.pairs import encode_pairs
+from masters_thesis_tpu.data.pipeline import BatchPipeline
+from masters_thesis_tpu.data.synthetic import synthetic_dataset
+from masters_thesis_tpu.experiment import build_model
+from masters_thesis_tpu.train.losses import l2_loss
+from masters_thesis_tpu.train.optim import make_optimizer
+from masters_thesis_tpu.train.state import TrainState, init_model
+from masters_thesis_tpu.train.steps import make_train_step
+
+
+def _cfg(pad_multiple: int = 0, **kw) -> Config:
+    base = dict(
+        run="test", top_k=60, batch_size=8, max_length=8, units=32,
+        attn_units=8, group_size=4, embedding_text=16, epochs=1,
+        tpu=TPUConfig(vocab_pad_multiple=pad_multiple),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _transplant(src_params, dst_params):
+    """Copy src leaves into dst's (possibly larger) shapes, zero-padding the
+    extra vocab rows/cols — the contract the padding design promises."""
+    def one(s, d):
+        s, d = np.asarray(s), np.asarray(d)
+        if s.shape == d.shape:
+            return jnp.asarray(s)
+        pad = [(0, dd - ss) for ss, dd in zip(s.shape, d.shape)]
+        return jnp.asarray(np.pad(s, pad))
+    return jax.tree_util.tree_map(one, src_params, dst_params)
+
+
+@pytest.fixture(scope="module")
+def padded_setup():
+    cfg = _cfg(0)
+    cfg_p = _cfg(8)
+    assert cfg.vocab_size == 61 and cfg_p.padded_vocab_size == 64
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=24, n_voxels=256, n_groups=6, top_k=cfg.top_k
+    )
+    model, rules, masked = build_model(cfg, groups, 256)
+    model_p, rules_p, _ = build_model(cfg_p, groups, 256)
+    assert model_p.vocab_size == 64 and model_p.true_vocab == 61
+
+    enc = encode_pairs(pairs["train"], tok, max_len=cfg.max_length)
+    pipe = BatchPipeline(enc, store, batch_size=cfg.batch_size, seed=0,
+                         prefetch=0)
+    batch = next(iter(pipe.epoch()))
+    params, bstats, rng = init_model(model, cfg, batch["betas"],
+                                     batch["tokens"])
+    params_p, bstats_p, rng_p = init_model(model_p, cfg_p, batch["betas"],
+                                           batch["tokens"])
+    params_p = _transplant(params, params_p)
+    return (cfg, cfg_p, model, model_p, rules, params, bstats, params_p,
+            bstats_p, rng, batch)
+
+
+def test_forward_loss_l2_match_exactly(padded_setup):
+    (cfg, cfg_p, model, model_p, rules, params, bstats, params_p, bstats_p,
+     rng, batch) = padded_setup
+    a0 = jnp.zeros((cfg.batch_size, cfg.units))
+    betas = jnp.asarray(batch["betas"])
+    tokens = jnp.asarray(batch["tokens"])
+    logits, _ = model.apply({"params": params, "batch_stats": bstats},
+                            betas, tokens, a0, a0, training=False)
+    logits_p, _ = model_p.apply({"params": params_p, "batch_stats": bstats_p},
+                                betas, tokens, a0, a0, training=False)
+    assert logits_p.shape[-1] == 64
+    np.testing.assert_allclose(np.asarray(logits_p[..., :61]),
+                               np.asarray(logits), rtol=1e-6, atol=1e-6)
+    # pad slots masked hard
+    assert np.all(np.asarray(logits_p[..., 61:]) == -1e9)
+
+    from masters_thesis_tpu.train.losses import caption_loss
+
+    target = jnp.asarray(batch["target"])
+    np.testing.assert_allclose(
+        float(caption_loss(logits_p, target)),
+        float(caption_loss(logits, target)), rtol=1e-6)
+    # zero pads contribute zero L2 — regularised loss identical
+    np.testing.assert_allclose(float(l2_loss(params_p, rules)),
+                               float(l2_loss(params, rules)), rtol=1e-6)
+
+
+def test_training_trajectory_matches_and_pads_stay_zero(padded_setup):
+    (cfg, cfg_p, model, model_p, rules, params, bstats, params_p, bstats_p,
+     rng, batch) = padded_setup
+    tx = make_optimizer(cfg)
+    st = TrainState.create(params=params, batch_stats=bstats, tx=tx, rng=rng)
+    st_p = TrainState.create(params=params_p, batch_stats=bstats_p,
+                             tx=make_optimizer(cfg_p), rng=rng)
+    step = make_train_step(model, cfg, rules, donate=False)
+    step_p = make_train_step(model_p, cfg_p, rules, donate=False)
+    betas = jnp.asarray(batch["betas"])
+    tokens = jnp.asarray(batch["tokens"])
+    target = jnp.asarray(batch["target"])
+    for _ in range(5):
+        st, m = step(st, betas, tokens, target)
+        st_p, m_p = step_p(st_p, betas, tokens, target)
+        np.testing.assert_allclose(float(m_p["loss"]), float(m["loss"]),
+                                   rtol=1e-6)
+    # padded regions exactly zero after 5 Adam+clipnorm steps
+    emb_p = np.asarray(st_p.params["embedding"])
+    assert np.all(emb_p[61:] == 0.0)
+    wo_p = np.asarray(st_p.params["dense_out"]["kernel"])
+    bo_p = np.asarray(st_p.params["dense_out"]["bias"])
+    assert np.all(wo_p[:, 61:] == 0.0) and np.all(bo_p[61:] == 0.0)
+    # real-region weights track the unpadded trajectory
+    np.testing.assert_allclose(emb_p[:61],
+                               np.asarray(st.params["embedding"]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        wo_p[:, :61], np.asarray(st.params["dense_out"]["kernel"]),
+        rtol=1e-5, atol=1e-7)
+
+
+def test_greedy_decode_token_identical(padded_setup):
+    (cfg, cfg_p, model, model_p, rules, params, bstats, params_p, bstats_p,
+     rng, batch) = padded_setup
+    from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+
+    dec = make_greedy_decoder(model, cfg.units, cfg.max_length)
+    dec_p = make_greedy_decoder(model_p, cfg_p.units, cfg_p.max_length)
+    betas = jnp.asarray(batch["betas"])
+    out = dec({"params": params, "batch_stats": bstats}, betas, 1)
+    out_p = dec_p({"params": params_p, "batch_stats": bstats_p}, betas, 1)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out_p[0]))
+
+
+def test_fused_decoder_handles_model_pad(padded_setup):
+    (cfg, cfg_p, model, model_p, rules, params, bstats, params_p, bstats_p,
+     rng, batch) = padded_setup
+    from masters_thesis_tpu.decode.greedy import make_greedy_decoder
+    from masters_thesis_tpu.ops.fused_decode import (
+        make_whole_fused_greedy_decoder,
+    )
+
+    betas = jnp.asarray(batch["betas"])
+    variables = {"params": params_p, "batch_stats": bstats_p}
+    fused = make_whole_fused_greedy_decoder(model_p, cfg_p.units,
+                                            cfg_p.max_length)
+    words_f, _ = fused(variables, betas, 1)
+    dec_p = make_greedy_decoder(model_p, cfg_p.units, cfg_p.max_length)
+    words_x = dec_p(variables, betas, 1)[0]
+    np.testing.assert_array_equal(np.asarray(words_f), np.asarray(words_x))
+
+
+def test_sharding_engages_on_padded_vocab():
+    from jax.sharding import PartitionSpec as P
+
+    from masters_thesis_tpu.parallel.sharding import param_pspec
+
+    emb_p = jnp.zeros((5008, 512))
+    emb = jnp.zeros((5001, 512))
+    wo_p = jnp.zeros((256, 5008))
+    assert param_pspec(["embedding"], emb_p, 8) == P("model", None)
+    assert param_pspec(["embedding"], emb, 8) == P()          # 5001 % 8 != 0
+    assert param_pspec(["dense_out", "kernel"], wo_p, 8) == P(None, "model")
+
+
+def test_showtell_padded_parity():
+    cfg = _cfg(0, model="thinkandtell")
+    cfg_p = _cfg(8, model="thinkandtell")
+    model, rules, masked = build_model(cfg, None, 0)
+    model_p, _, _ = build_model(cfg_p, None, 0)
+    assert masked and model_p.true_vocab == 61
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    tokens = jnp.asarray(
+        rng.integers(1, 61, (4, cfg.max_length)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, tokens,
+                        jnp.zeros((4, cfg.units)), jnp.zeros((4, cfg.units)),
+                        training=False)["params"]
+    params_p = model_p.init(jax.random.PRNGKey(0), feats, tokens,
+                            jnp.zeros((4, cfg.units)),
+                            jnp.zeros((4, cfg.units)),
+                            training=False)["params"]
+    params_p = _transplant(params, params_p)
+    a0 = jnp.zeros((4, cfg.units))
+    logits, _ = model.apply({"params": params}, feats, tokens, a0, a0,
+                            training=False)
+    logits_p, _ = model_p.apply({"params": params_p}, feats, tokens, a0, a0,
+                                training=False)
+    np.testing.assert_allclose(np.asarray(logits_p[..., :61]),
+                               np.asarray(logits), rtol=1e-6, atol=1e-6)
+    # relu head: mask must survive the activation (applied after it)
+    assert np.all(np.asarray(logits_p[..., 61:]) == -1e9)
+
+    from masters_thesis_tpu.train.losses import caption_loss
+
+    target = jnp.asarray(rng.integers(0, 61, (4, cfg.max_length)), jnp.int32)
+    mask = (target > 0)
+    np.testing.assert_allclose(
+        float(caption_loss(logits_p, target, mask)),
+        float(caption_loss(logits, target, mask)), rtol=1e-6)
