@@ -27,10 +27,22 @@ parameters. This module implements:
   at the JSON). Unmatched word spans match when the table holds the phrase
   pair in either direction, weighted 0.6 like the jar.
 
-The jar's function-word list is corpus-derived; ``FUNCTION_WORDS`` here is a
-standard closed-class English list, and the aligner is greedy-in-order
-rather than the jar's beam search over total-coverage/chunk-count — both
-documented deviations.
+Alignment search matches each parameterisation's published system:
+
+- ``params="2005"`` aligns greedy-in-order (first available reference
+  occurrence per hypothesis word, stage by stage) — this reproduces the
+  Banerjee & Lavie 2005 worked examples exactly (pinned in
+  tests/test_meteor_goldens.py against the published numbers and the
+  independent NLTK implementation);
+- ``params="1.5"`` uses the jar's alignment search: collect ALL candidate
+  matches across stages, then beam-search (width 40, the jar's default) for
+  the one-to-one alignment that maximises total matched words, breaking
+  ties by fewest chunks, then smallest total start-position distance
+  (Aligner.resolve in the Meteor 1.5 source; Denkowski & Lavie 2014 §2).
+
+Remaining documented deviation: the jar's function-word list is
+corpus-derived; ``FUNCTION_WORDS`` here is the standard closed-class
+English inventory.
 """
 
 from __future__ import annotations
@@ -214,6 +226,106 @@ def _align_paraphrase_stage(ref, hyp, table: ParaphraseTable,
     return hyp_idxs, ref_idxs, anchors
 
 
+# ---- the jar's alignment search (params="1.5") ----
+
+_BEAM_WIDTH = 40  # Meteor 1.5 Aligner default
+
+
+def _candidate_matches(ref, hyp, stemmer, synonyms, paraphrases):
+    """Every possible match across the four stages, as the jar's matchers
+    produce them before resolution: (j, i, nh, nr, stage) with hyp span
+    [j, j+nh) and ref span [i, i+nr). A word pair matching at several
+    stages keeps the highest-precedence (lowest-index) stage."""
+    best: dict = {}
+    ref_stems = [stemmer(w) for w in ref] if stemmer else None
+    hyp_stems = [stemmer(w) for w in hyp] if stemmer else None
+    for j, hw in enumerate(hyp):
+        h_syn = synonyms.synsets(hw) if synonyms else None
+        for i, rw in enumerate(ref):
+            if hw == rw:
+                stage = 0
+            elif ref_stems is not None and hyp_stems[j] == ref_stems[i]:
+                stage = 1
+            elif h_syn and (h_syn & synonyms.synsets(rw)):
+                stage = 2
+            else:
+                continue
+            key = (j, i, 1, 1)
+            if key not in best or stage < best[key]:
+                best[key] = stage
+    if paraphrases is not None:
+        H, R = len(hyp), len(ref)
+        max_n = paraphrases.max_words
+        ref_spans = [
+            [" ".join(ref[i:i + k]) for k in range(min(max_n, R - i) + 1)]
+            for i in range(R)
+        ]
+        for j in range(H):
+            for n in range(1, min(max_n, H - j) + 1):
+                h_phrase = " ".join(hyp[j:j + n])
+                for i in range(R):
+                    for k in range(1, min(max_n, R - i) + 1):
+                        if paraphrases.matches(h_phrase, ref_spans[i][k]):
+                            best.setdefault((j, i, n, k), 3)
+    return [(j, i, nh, nr, st) for (j, i, nh, nr), st in best.items()]
+
+
+def _beam_align(cands, n_hyp: int, beam: int = _BEAM_WIDTH):
+    """Resolve candidate matches to a one-to-one alignment the jar's way
+    (Aligner.resolve, Denkowski & Lavie 2014 §2): walk hypothesis positions
+    left to right, at each either take one candidate match starting there or
+    leave the word unmatched; prune partials to the beam by (total matched
+    words DESC, chunks ASC, sum |j - i| ASC). Returns the winning matches."""
+    from collections import defaultdict
+
+    by_start = defaultdict(list)
+    for c in cands:
+        by_start[c[0]].append(c)
+    # state: (covered, chunks, dist, hyp_mask, ref_mask, chunk_end, matches)
+    states = [(0, 0, 0, 0, 0, None, ())]
+    for j in range(n_hyp):
+        nxt = list(states)  # every partial may leave position j unmatched
+        for covered, chunks, dist, hmask, rmask, last, ms in states:
+            if (hmask >> j) & 1:
+                continue  # consumed by a span started earlier
+            for (_, i, nh, nr, stage) in by_start.get(j, ()):
+                hbits = ((1 << nh) - 1) << j
+                rbits = ((1 << nr) - 1) << i
+                if (hmask & hbits) or (rmask & rbits):
+                    continue
+                adjacent = last == (j, i)  # contiguous on BOTH sides
+                nxt.append((
+                    covered + nh + nr,
+                    chunks + (0 if adjacent else 1),
+                    dist + abs(j - i),
+                    hmask | hbits, rmask | rbits,
+                    (j + nh, i + nr),
+                    ms + ((j, i, nh, nr, stage),),
+                ))
+        nxt.sort(key=lambda s: (-s[0], s[1], s[2]))
+        states = nxt[:beam]
+    return list(states[0][6])
+
+
+def _align_beam(ref, hyp, stemmer=porter_stem,
+                synonyms: SynonymTable | None = None,
+                paraphrases: ParaphraseTable | None = None):
+    """Jar-search alignment with the same return contract as ``_align``."""
+    cands = _candidate_matches(ref, hyp, stemmer, synonyms, paraphrases)
+    matches = sorted(_beam_align(cands, len(hyp)))
+    stage_sides = [([], []) for _ in range(4)]
+    chunks, last = 0, None
+    for (j, i, nh, nr, stage) in matches:
+        stage_sides[stage][0].extend(range(j, j + nh))
+        stage_sides[stage][1].extend(range(i, i + nr))
+        if last != (j, i):
+            chunks += 1
+        last = (j + nh, i + nr)
+    m_h = sum(len(h) for h, _ in stage_sides)
+    m_r = sum(len(r) for _, r in stage_sides)
+    return stage_sides, chunks, (m_h + m_r) / 2.0
+
+
 def _align(ref, hyp, stemmer=porter_stem, synonyms: SynonymTable | None = None,
            paraphrases: ParaphraseTable | None = None):
     """Staged alignment. Returns (stage_sides, chunks, m): stage_sides is a
@@ -254,12 +366,13 @@ def _align(ref, hyp, stemmer=porter_stem, synonyms: SynonymTable | None = None,
 
 
 # stage weights: exact, stem, synonym, paraphrase (meteor-1.5 English
-# defaults; 2005 predates staged weighting — equal weights)
+# defaults; 2005 predates staged weighting — equal weights). ``search``
+# selects each system's published alignment procedure (module docstring).
 _PARAMS = {
     "2005": dict(alpha=0.9, beta=3.0, gamma=0.5, delta=None,
-                 weights=(1.0, 1.0, 1.0, 1.0)),
+                 weights=(1.0, 1.0, 1.0, 1.0), search="greedy"),
     "1.5": dict(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
-                weights=(1.0, 0.6, 0.8, 0.6)),
+                weights=(1.0, 0.6, 0.8, 0.6), search="beam"),
 }
 
 
@@ -276,7 +389,8 @@ def _segment_stats(ref, hyp, stemmer, synonyms, p, paraphrases=None):
     """METEOR sufficient statistics for one (ref, hyp) pair:
     (weighted hyp matches, weighted ref matches, weighted |hyp|,
     weighted |ref|, chunks, raw matches)."""
-    stage_sides, chunks, m = _align(ref, hyp, stemmer, synonyms, paraphrases)
+    align = _align_beam if p.get("search") == "beam" else _align
+    stage_sides, chunks, m = align(ref, hyp, stemmer, synonyms, paraphrases)
     delta = p["delta"]
     wm_h = wm_r = 0.0
     for w, (h_idxs, r_idxs) in zip(p["weights"], stage_sides):
