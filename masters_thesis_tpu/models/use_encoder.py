@@ -13,6 +13,12 @@ CNN backbones (models/backbones.py:64).
 Weight bundle format (``.npz``):
   __vocab__        (V,) unicode array — token strings, row i = embedding row i
   __oov_buckets__  ()   int — number of hash buckets appended after the vocab
+  __golden_sentences__ (N,) unicode — self-verification probes (optional):
+  __golden_vectors__   (N, out) f32   the ORIGINAL model's embeddings of the
+                                      probes, captured at conversion time;
+                                      ``from_npz`` replays the sentences
+                                      through this graph and refuses a bundle
+                                      that can't reproduce its own goldens
   embedding        (V + oov, E) float32
   dan_layer_{i}/kernel, dan_layer_{i}/bias      hidden layers (relu)
   dan_out/kernel, dan_out/bias                  final projection to 512
@@ -142,7 +148,15 @@ class USEEncoder:
 
     # ---- persistence ----
     @classmethod
-    def from_npz(cls, path: str, max_tokens: int = 64) -> "USEEncoder":
+    def from_npz(cls, path: str, max_tokens: int = 64, verify: bool = True,
+                 golden_atol: float = 1e-3) -> "USEEncoder":
+        """Load a weight bundle; when it carries conversion-time goldens
+        (``__golden_sentences__``/``__golden_vectors__``), re-embed them and
+        refuse the bundle unless this graph reproduces the original model's
+        vectors to ``golden_atol`` (both sides are unit-norm, so max-abs is
+        a scale-free check). Catches corrupted weights, scrambled embedding
+        shards, and graph-topology drift — a wrong GUSE encoder would
+        silently mis-score every caption (VERDICT r2 missing #3)."""
         blob = np.load(path, allow_pickle=False)
         vocab = [str(w) for w in blob["__vocab__"]]
         oov = int(blob["__oov_buckets__"])
@@ -166,15 +180,40 @@ class USEEncoder:
             f"embedding rows {table.shape[0]} != vocab {len(vocab)} + "
             f"oov {oov}"
         )
-        return cls(
+        enc = cls(
             vocab, params, oov, tuple(hidden), table.shape[1], out_dim,
             max_tokens=max_tokens,
         )
+        if verify and "__golden_sentences__" in blob.files:
+            sentences = [str(s) for s in blob["__golden_sentences__"]]
+            want = np.asarray(blob["__golden_vectors__"], np.float32)
+            got = enc.embed(sentences)
+            if got.shape != want.shape:
+                raise ValueError(
+                    f"USE bundle {path}: golden vectors are {want.shape} but "
+                    f"this graph emits {got.shape}")
+            diff = float(np.max(np.abs(got - want))) if len(sentences) else 0.0
+            if diff > golden_atol:
+                worst = int(np.argmax(np.max(np.abs(got - want), axis=1)))
+                raise ValueError(
+                    f"USE bundle {path} failed self-verification: max |Δ| = "
+                    f"{diff:.2e} > {golden_atol:.0e} (worst sentence: "
+                    f"{sentences[worst]!r}). The bundle's weights do not "
+                    f"reproduce the embeddings captured from the original "
+                    f"model at conversion time — corrupted file, scrambled "
+                    f"shard order, or a graph mismatch. Re-run "
+                    f"scripts/convert_tfhub_use.py.")
+        return enc
 
 
 def save_use_bundle(path: str, vocab: list[str], params: dict,
-                    oov_buckets: int) -> None:
-    """Write a USEEncoder weight bundle ('/'-joined flax paths + vocab)."""
+                    oov_buckets: int,
+                    goldens: tuple[list[str], np.ndarray] | None = None
+                    ) -> None:
+    """Write a USEEncoder weight bundle ('/'-joined flax paths + vocab).
+
+    ``goldens``: (sentences, vectors) — the ORIGINAL model's embeddings of
+    the sentences, stored for load-time self-verification (from_npz)."""
     flat: dict[str, np.ndarray] = {
         # numpy sizes the unicode width to the longest token — a fixed U64
         # would silently truncate longer tokens, orphaning their trained
@@ -182,6 +221,13 @@ def save_use_bundle(path: str, vocab: list[str], params: dict,
         "__vocab__": np.asarray(vocab),
         "__oov_buckets__": np.asarray(oov_buckets),
     }
+    if goldens is not None:
+        sentences, vectors = goldens
+        vectors = np.asarray(vectors, np.float32)
+        assert len(sentences) == vectors.shape[0], (len(sentences),
+                                                    vectors.shape)
+        flat["__golden_sentences__"] = np.asarray(sentences)
+        flat["__golden_vectors__"] = vectors
 
     def walk(tree, prefix):
         for k, v in tree.items():
