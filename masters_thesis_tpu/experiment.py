@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import time
 
 import numpy as np
 
@@ -53,7 +54,12 @@ def build_data(cfg: Config, smoke_keys: int = 48):
     n_voxels = min(cfg.input_dim(), 2048) if smoke_keys <= 64 else cfg.input_dim()
     if cfg.model.lower() == "guse_nic":
         n_voxels = 512  # GUSE sentence-embedding width (get_guse.py)
-    n_groups = min(16, max(4, n_voxels // 128))
+    # flagship-scale synthetic runs (smoke_keys > 64 at full voxel width)
+    # get the real Glasser group count so the encoder matches the reference
+    # model byte-for-byte in shape — the integrated-trainer throughput
+    # contract (PERF.md) is only comparable to bench.py at 360 groups
+    n_groups = (360 if n_voxels >= 65536
+                else min(16, max(4, n_voxels // 128)))
     out = synthetic_dataset(
         n_keys=smoke_keys,
         n_voxels=n_voxels,
@@ -691,7 +697,25 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
                                      store_width=store_width,
                                      store_packed=store.packed)
         )
+    t_fit = time.perf_counter()
     logs = trainer.fit(epochs=epochs, start_epoch=start_epoch)
+    # append the measured throughput to run_meta.json so every run carries
+    # its own perf record (the integrated-trainer contract, PERF.md): final
+    # epoch's train-phase steps/s + total fit wall time
+    try:
+        meta_path = os.path.join(run_path, "run_meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["train_wall_s"] = round(
+            time.perf_counter() - t_fit, 2)
+        meta["steps_per_sec_final_epoch"] = round(
+            float(logs.get("steps_per_sec", 0.0)), 2)
+        meta["epochs_ran"] = epochs if epochs is not None else cfg.epochs
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+    except Exception:  # pragma: no cover — perf record must never kill a run
+        logger.warning("could not append throughput to run_meta.json",
+                       exc_info=True)
     bundle = {
         "model": model, "state": trainer.state, "tokenizer": tok,
         "store": store, "split": split, "pairs": pairs, "cfg": cfg,

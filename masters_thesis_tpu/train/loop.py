@@ -234,6 +234,15 @@ class Trainer:
         logs = _mean_metrics(
             [{k: v for k, v in m.items()} for m in jax.device_get(train_metrics)]
         )
+        # the device_get above forces every queued train step to finish, so
+        # this clock closes the TRAIN PHASE exactly: steps_per_sec is the
+        # integrated trainer's throughput (pipeline + host stacking +
+        # dispatch + compute), not polluted by the val pass / epoch-end
+        # callbacks the old cross-tick timer attributed to train intervals
+        # (dispatch is async on tunneled runtimes, so per-tick deltas never
+        # measured compute anyway). Epoch 0 includes compile.
+        t_train = time.perf_counter() - t0
+        n_train = len(train_metrics)
         if self.val_pipe is not None:
             val_metrics = []
             for batch in self.val_pipe.epoch():
@@ -248,7 +257,8 @@ class Trainer:
             logs.update({f"val_{k}": v for k, v in vlogs.items()})
 
         logs["epoch_time"] = time.perf_counter() - t0
-        logs["steps_per_sec"] = self.timer.steps_per_sec
+        logs["steps_per_sec"] = (n_train / t_train if n_train and t_train > 0
+                                 else self.timer.steps_per_sec)
         if self.metric_logger is not None:
             self.metric_logger.log("epoch", epoch=epoch, **logs)
         logger.info(
