@@ -117,3 +117,40 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.name.split("[")[0] in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+
+
+# ---- shared trained runs (slow-tier dedup) -------------------------------
+# Many slow tests need "some 1-epoch smoke run of family X" purely as a
+# READ-ONLY artifact (serve/export/eval restore). Each file re-training its
+# own identical run was the slow tier's dominant cost (VERDICT r2 #8); this
+# session-scoped factory memoises one run per unique config. Rules for
+# users: treat the run dir as immutable (eval artifacts appended by run_eval
+# are fine — restores only read model/ + config + tokenizer/layout); any
+# test that mutates global jax config (prng_impl) or resumes/retrains must
+# train its own run.
+
+@pytest.fixture(scope="session")
+def shared_run(tmp_path_factory):
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.experiment import run_training
+
+    cache: dict = {}
+
+    def factory(smoke_keys: int = 12, epochs: int = 1, **overrides):
+        import json
+
+        key = json.dumps(
+            {"smoke_keys": smoke_keys, "epochs": epochs, **overrides},
+            sort_keys=True)
+        if key not in cache:
+            base = dict(run="shared", model="lc_nic", epochs=epochs,
+                        batch_size=4, max_length=6, top_k=40, units=16,
+                        attn_units=8, group_size=4, embedding_text=8)
+            base.update(overrides)
+            tmp = tmp_path_factory.mktemp("shared_run")
+            cfg = Config(log=str(tmp), **base)
+            cache[key] = run_training(cfg, epochs=epochs,
+                                      smoke_keys=smoke_keys) + (cfg,)
+        return cache[key]
+
+    return factory

@@ -17,8 +17,12 @@ def _train(tmp_path, tag):
     return logs, bundle, out
 
 
-def test_same_seed_same_everything(tmp_path):
-    logs1, b1, out1 = _train(tmp_path, "a")
+def test_same_seed_same_everything(shared_run, tmp_path):
+    # side 1 is the session-shared run: identical cfg numerics (run name and
+    # log dir differ, which MUST NOT affect training) — so this now also
+    # pins that run/dir naming never leaks into the trajectory
+    run_path1, logs1, b1, _cfg = shared_run()
+    out1 = run_eval(b1, run_path1)
     logs2, b2, out2 = _train(tmp_path, "b")
     assert logs1["loss"] == logs2["loss"]
     np.testing.assert_array_equal(out1["words"], out2["words"])
@@ -28,8 +32,8 @@ def test_same_seed_same_everything(tmp_path):
     np.testing.assert_array_equal(k1, k2)
 
 
-def test_different_seed_differs(tmp_path):
-    logs1, b1, out1 = _train(tmp_path, "c")
+def test_different_seed_differs(shared_run, tmp_path):
+    _rp, logs1, b1, _cfg = shared_run()
     cfg = Config(run="det_d", model="lc_nic", epochs=1, batch_size=4,
                  max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
                  embedding_text=8, log=str(tmp_path / "d"), seed=7)

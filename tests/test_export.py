@@ -16,13 +16,9 @@ from masters_thesis_tpu.export import (
 )
 
 
-@pytest.fixture(scope="module")
-def trained_run(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("export_run")
-    cfg = Config(run="export_t", model="lc_nic", epochs=1, batch_size=4,
-                 max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
-                 embedding_text=8, log=str(tmp))
-    run_path, logs, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+@pytest.fixture()
+def trained_run(shared_run):
+    run_path, logs, bundle, _cfg = shared_run()  # session-scoped lc_nic run
     return run_path, bundle
 
 
@@ -142,16 +138,13 @@ def test_http_serves_from_exported_artifact(trained_run, tmp_path):
         server.shutdown()
 
 
-def test_export_ms2_freezes_one_subject_encoder(tmp_path):
+def test_export_ms2_freezes_one_subject_encoder(shared_run, tmp_path):
     """ms2 artifacts freeze ONE per-subject encoder (export --subject),
     matching eval/serving semantics — per-subject tokens must match the
     live per-subject Captioner."""
     from masters_thesis_tpu.serve import Captioner
 
-    cfg = Config(run="export_ms2", model="ms2_nic", epochs=1, batch_size=4,
-                 max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
-                 embedding_text=8, log=str(tmp_path))
-    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    run_path, _, bundle, _cfg = shared_run(model="ms2_nic")
     betas = np.asarray(bundle["store"].data[:2], np.float32)
     ids = {}
     for subject in ("a", "b"):
@@ -192,15 +185,13 @@ def test_exported_empty_input_returns_empty_ids(trained_run, tmp_path):
     assert ids.shape == (0, exp.meta["max_length"])
 
 
-def test_export_showtell_run(tmp_path):
+def test_export_showtell_run(shared_run, tmp_path):
     """Non-layout families export too: the artifact's input spec comes
     from the recorded trained row shape."""
     from masters_thesis_tpu.serve import Captioner
 
-    cfg = Config(run="export_st", model="showtell", epochs=1, batch_size=4,
-                 max_length=6, top_k=40, units=16, embedding_features=16,
-                 log=str(tmp_path))
-    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    run_path, _, bundle, cfg = shared_run(
+        model="showtell", units=16, embedding_features=16)
     out = str(tmp_path / "st.mttx")
     meta = export_run(run_path, out, decoder="greedy", batch_size=4)
     width = bundle["store"].row_shape[0]

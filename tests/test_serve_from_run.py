@@ -17,11 +17,8 @@ def test_group_layout_save_load(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
-def test_captioner_from_run_dir(tmp_path):
-    cfg = Config(run="serve_t", model="lc_nic", epochs=1, batch_size=4,
-                 max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
-                 embedding_text=8, log=str(tmp_path))
-    run_path, logs, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+def test_captioner_from_run_dir(shared_run):
+    run_path, logs, bundle, cfg = shared_run()  # session-scoped lc_nic run
 
     cap = Captioner.from_run_dir(run_path, batch_size=4)
     n_voxels = bundle["store"].row_shape[0]
@@ -66,16 +63,13 @@ def test_captioner_serves_rbg_trained_run(tmp_path):
         jax.config.update("jax_default_prng_impl", "threefry2x32")
 
 
-def test_captioner_from_ms2_run_routes_one_encoder(tmp_path):
+def test_captioner_from_ms2_run_routes_one_encoder(shared_run):
     """ms2 runs serve through ONE subject's encoder (the split layout is a
     training batch contract): subject='a' and 'b' restore the split-trained
     checkpoint and produce per-encoder decodes."""
     from masters_thesis_tpu.models.multisubject import DualSubjectEncoder
 
-    cfg = Config(run="serve_ms2", model="ms2_nic", epochs=1, batch_size=4,
-                 max_length=6, top_k=40, units=16, attn_units=8, group_size=4,
-                 embedding_text=8, log=str(tmp_path))
-    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    run_path, _, bundle, _cfg = shared_run(model="ms2_nic")
     betas = np.asarray(bundle["store"].data[:2], np.float32)
     for subject in ("a", "b"):
         cap = Captioner.from_run_dir(run_path, batch_size=4, subject=subject)
@@ -85,16 +79,14 @@ def test_captioner_from_ms2_run_routes_one_encoder(tmp_path):
         assert len(texts) == 2
 
 
-def test_from_run_dir_restores_showtell_run(tmp_path):
+def test_from_run_dir_restores_showtell_run(shared_run):
     """Non-layout families (ShowTell/ThinkAndTell/guse) restore against the
     TRAINED input width recorded in run_meta.json — cfg.input_dim() is a
     config constant the data can deviate from (synthetic smoke runs train
     2048-wide while input.full says 327,684; the old guess failed the orbax
     restore with a shape mismatch)."""
-    cfg = Config(run="serve_st", model="showtell", epochs=1, batch_size=4,
-                 max_length=6, top_k=40, units=16, embedding_features=16,
-                 log=str(tmp_path))
-    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    run_path, _, bundle, cfg = shared_run(
+        model="showtell", units=16, embedding_features=16)
     width = bundle["store"].row_shape[0]
     assert width != cfg.input_dim()  # the very case that used to fail
     cap = Captioner.from_run_dir(run_path, batch_size=4)
@@ -103,14 +95,12 @@ def test_from_run_dir_restores_showtell_run(tmp_path):
     assert len(texts) == 2
 
 
-def test_from_run_dir_restores_img_patch_run(tmp_path):
+def test_from_run_dir_restores_img_patch_run(shared_run):
     """Image models serve (N, patches, channels) requests: the recorded
     row shape drives the restore template and the width guard checks the
     channel dim."""
-    cfg = Config(run="serve_img", model="img_nic", epochs=1, batch_size=4,
-                 max_length=6, top_k=40, units=16, attn_units=8,
-                 embedding_features=32, embedding_text=8, log=str(tmp_path))
-    run_path, _, bundle = run_training(cfg, epochs=1, smoke_keys=12)
+    run_path, _, bundle, _cfg = shared_run(
+        model="img_nic", embedding_features=32)
     row_shape = tuple(bundle["store"].row_shape)
     assert len(row_shape) == 2  # (patches, channels)
     cap = Captioner.from_run_dir(run_path, batch_size=4)
