@@ -97,6 +97,9 @@ class BatchPipeline:
 
     def _make_batch(self, sel: np.ndarray) -> dict:
         batch = {
+            # pair indices into this pipeline's pair tables — the
+            # table-resident scanned trainer ships ONLY these per epoch
+            "sel": sel.astype(np.int32),
             "idx": self.store_idx[sel],
             "tokens": self.pairs.tokens[sel],
             "target": self.targets[sel],

@@ -690,12 +690,25 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         metric_logger=MetricLogger(os.path.join(run_path, "metrics.jsonl")),
     )
     if cfg.tpu.scan_steps > 0:
-        from masters_thesis_tpu.train.steps import make_scanned_train_steps
+        from masters_thesis_tpu.train.steps import (
+            make_scanned_eval_steps_from_tables,
+            make_scanned_train_steps_from_tables,
+        )
 
+        # tables variant: tokens/targets/store-ids upload once; each device
+        # call ships only the (K, B) pair permutation (~KB/epoch instead of
+        # ~MB of stacked tokens — the measured integrated-trainer gap vs
+        # bench on tunneled runtimes)
         trainer.use_scanned_steps(
-            make_scanned_train_steps(model, cfg, l2_rules, masked=masked,
-                                     store_width=store_width,
-                                     store_packed=store.packed)
+            make_scanned_train_steps_from_tables(
+                model, cfg, l2_rules, masked=masked,
+                store_width=store_width, store_packed=store.packed),
+            tables=True,
+        )
+        trainer.use_scanned_eval(
+            make_scanned_eval_steps_from_tables(
+                model, cfg, l2_rules, masked=masked,
+                store_width=store_width, store_packed=store.packed)
         )
     t_fit = time.perf_counter()
     logs = trainer.fit(epochs=epochs, start_epoch=start_epoch)

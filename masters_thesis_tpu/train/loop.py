@@ -53,6 +53,10 @@ class Trainer:
         self.stop_training = False
         self.timer = StepTimer(warmup=2)
         self.scanned_step = None  # set via use_scanned_steps()
+        self._scan_from_tables = False
+        self._scan_tables = None
+        self.scanned_eval = None  # set via use_scanned_eval()
+        self._val_scan_args = None
         # host-side step counter: advances by exactly 1 (per-step) or K
         # (scanned) per device call, so batch bookkeeping never has to read
         # state.step (which would block on the in-flight device call and
@@ -60,21 +64,53 @@ class Trainer:
         self._host_step = int(state.step)
         self._epoch = 0
 
-    def use_scanned_steps(self, scanned_step) -> None:
+    def use_scanned_steps(self, scanned_step, tables: bool = False) -> None:
         """Enable K-steps-per-device-call training (see
         train.steps.make_scanned_train_steps); requires a device-resident
-        store. Activated when cfg.tpu.scan_steps > 0."""
+        store. Activated when cfg.tpu.scan_steps > 0.
+
+        ``tables=True`` expects the from-tables signature
+        (make_scanned_train_steps_from_tables): the pipeline's token/target/
+        store-index tables are uploaded ONCE and each flush ships only the
+        (K, B) pair permutation."""
         self.scanned_step = scanned_step
+        self._scan_from_tables = tables
+        self._scan_tables = None
+
+    def use_scanned_eval(self, scanned_eval) -> None:
+        """Enable the one-call validation pass (see
+        train.steps.make_scanned_eval_steps_from_tables); requires a
+        device-resident store shared with the val pipeline."""
+        self.scanned_eval = scanned_eval
 
     def _run_epoch_scanned(self, scan_k: int) -> list[dict]:
         assert self.store is not None and self.store.device_resident
         data = self.store.device_array()
+        if getattr(self, "_scan_from_tables", False) and self._scan_tables is None:
+            p = self.train_pipe
+            self._scan_tables = (
+                jnp.asarray(p.store_idx.astype(np.int32)),
+                jnp.asarray(p.pairs.tokens),
+                jnp.asarray(p.targets),
+            )
         train_metrics = []
         chunk: list[dict] = []
         pending: list[tuple[int, int, dict]] = []  # (k, last_step, metrics)
 
         def flush(chunk):
             k = len(chunk)
+            if getattr(self, "_scan_from_tables", False):
+                # tables live on device: the chunk is (K, B) int32 pair ids
+                sel = jnp.asarray(
+                    np.stack([np.asarray(b["sel"]) for b in chunk]))
+                self.state, metrics = self.scanned_step(
+                    self.state, data, *self._scan_tables, sel
+                )
+                for _ in range(k):
+                    self.timer.tick()
+                self._host_step += k
+                pending.append((k, self._host_step, metrics))
+                return
             # stack on host, one transfer per array: stacking jnp.asarray
             # pieces issued 3K tiny host->device copies plus device concats
             # per call — the very per-dispatch overhead the scanned trainer
@@ -209,6 +245,42 @@ class Trainer:
             self._preempted = False
             raise KeyboardInterrupt("SIGTERM (preemption)")
 
+    def _run_validation(self) -> dict:
+        """One validation pass -> mean metrics. With a scanned eval and a
+        device-resident store shared with the val pipe, the WHOLE pass is one
+        device call over the (cached) unshuffled pair permutation; otherwise
+        the per-batch loop."""
+        p = self.val_pipe
+        if (self.scanned_eval is not None
+                and self.store is not None and self.store.device_resident
+                and p.store is self.store and p.steps_per_epoch > 0
+                and not p.shuffle):
+            if self._val_scan_args is None:
+                order = p._order()
+                n = p.steps_per_epoch * p.batch_size
+                sel = order[:n].reshape(
+                    p.steps_per_epoch, p.batch_size).astype(np.int32)
+                self._val_scan_args = (
+                    jnp.asarray(p.store_idx.astype(np.int32)),
+                    jnp.asarray(p.pairs.tokens),
+                    jnp.asarray(p.targets),
+                    jnp.asarray(sel),
+                )
+            stacked = jax.device_get(self.scanned_eval(
+                self.state, self.store.device_array(), *self._val_scan_args))
+            self._check_preempted()
+            return {k: float(np.mean(v)) for k, v in stacked.items()}
+        val_metrics = []
+        for batch in p.epoch():
+            betas, tokens, target = self._batch_arrays(batch)
+            val_metrics.append(
+                self.eval_step(self.state, betas, tokens, target)
+            )
+            # preemption during validation must not defer the partial
+            # save past the SIGTERM grace window
+            self._check_preempted()
+        return _mean_metrics(jax.device_get(val_metrics))
+
     def _run_epoch(self, epoch: int) -> dict:
         t0 = time.perf_counter()
         scan_k = getattr(getattr(self.cfg, "tpu", None), "scan_steps", 0)
@@ -244,16 +316,7 @@ class Trainer:
         t_train = time.perf_counter() - t0
         n_train = len(train_metrics)
         if self.val_pipe is not None:
-            val_metrics = []
-            for batch in self.val_pipe.epoch():
-                betas, tokens, target = self._batch_arrays(batch)
-                val_metrics.append(
-                    self.eval_step(self.state, betas, tokens, target)
-                )
-                # preemption during validation must not defer the partial
-                # save past the SIGTERM grace window
-                self._check_preempted()
-            vlogs = _mean_metrics(jax.device_get(val_metrics))
+            vlogs = self._run_validation()
             logs.update({f"val_{k}": v for k, v in vlogs.items()})
 
         logs["epoch_time"] = time.perf_counter() - t0

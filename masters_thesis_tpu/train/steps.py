@@ -148,6 +148,44 @@ def make_eval_step(model, cfg, l2_rules, masked: bool = False):
     return jax.jit(step)
 
 
+def make_scanned_eval_steps_from_tables(model, cfg, l2_rules,
+                                        masked: bool = False,
+                                        store_width: int | None = None,
+                                        store_packed: bool | None = None):
+    """Whole-validation-pass-in-one-call eval: ``lax.scan`` over the val
+    epoch's (K, B) pair permutation with the token/target/store-index tables
+    device-resident, mirroring make_scanned_train_steps_from_tables. The
+    per-batch val loop issued ~2 dispatches per batch (store gather + eval
+    step) plus token transfers — seconds per epoch of pure host latency on a
+    tunneled runtime. Returns stacked metrics (K, ...) — same values as
+    make_eval_step on each batch."""
+
+    def steps(state, store, store_idx, tokens, target, pair_idx):
+        def body(carry, pidx):
+            idx_ = jnp.take(store_idx, pidx, axis=0)
+            tok_ = jnp.take(tokens, pidx, axis=0)
+            tgt_ = jnp.take(target, pidx, axis=0)
+            betas = gather_rows(store, idx_, width=store_width,
+                                packed=store_packed)
+            mask = (tgt_ != 0) if masked else None
+            a0 = jnp.zeros((betas.shape[0], cfg.units), betas.dtype)
+            logits, alphas = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                betas, tok_, a0, a0, training=False,
+            )
+            m = {
+                "loss": caption_loss(logits, tgt_, mask),
+                "L2": l2_loss(state.params, l2_rules),
+                "attention": attention_loss(alphas),
+                "accuracy": accuracy(logits, tgt_, mask),
+            }
+            return carry, m
+
+        return jax.lax.scan(body, 0, pair_idx)[1]
+
+    return jax.jit(steps)
+
+
 def make_grad_stats_fn(model, cfg, l2_rules, masked: bool = False):
     """Per-parameter gradient statistics on one batch — the reference dumps
     these to ``df_grads.csv`` at train end (AttemptFour/main.py:359-361).
@@ -190,6 +228,53 @@ def make_grad_stats_fn(model, cfg, l2_rules, masked: bool = False):
     return fn
 
 
+def _scan_step_body(model, cfg, l2_rules, masked, store_width, store_packed):
+    """One optimisation step as used inside the scanned trainers:
+    ``one(state, store, idx_, tok_, tgt_) -> (new_state, metrics)`` with the
+    beta gather from the HBM store inside."""
+
+    def one(state, store, idx_, tok_, tgt_):
+        # honours both store layouts: 2D jnp.take or the packed
+        # (N, S, 128) Pallas DMA gather (ops/gather.py — the probed
+        # 5.8x row-fetch win that dominated the step)
+        betas = gather_rows(store, idx_, width=store_width,
+                            packed=store_packed)
+        mask = (tgt_ != 0) if masked else None
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            return _forward_loss(
+                model, cfg, l2_rules, params, state.batch_stats, rng,
+                betas, tok_, tgt_, mask
+            )
+
+        if cfg.sam_rho > 0:
+            # SAM two-pass (model.py:167-233 semantics), same as the
+            # per-dispatch step
+            _, g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            scale = cfg.sam_rho / (optax.global_norm(g1) + 1e-12)
+            perturbed = jax.tree_util.tree_map(
+                lambda p, g: p + g * scale, state.params, g1
+            )
+            (total, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(perturbed)
+        else:
+            (total, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=new_stats
+        )
+        metrics["total"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return one
+
+
 def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
                              store_width: int | None = None,
                              jit: bool = True,
@@ -207,48 +292,49 @@ def make_scanned_train_steps(model, cfg, l2_rules, masked: bool = False,
     ``jit=False`` returns the raw python body (the sharded wrapper in
     parallel/sharding.py jits it with explicit in/out shardings)."""
 
+    one = _scan_step_body(model, cfg, l2_rules, masked, store_width,
+                          store_packed)
+
     def steps(state, store, idx, tokens, target):
         def body(state, batch):
             idx_, tok_, tgt_ = batch
-            # honours both store layouts: 2D jnp.take or the packed
-            # (N, S, 128) Pallas DMA gather (ops/gather.py — the probed
-            # 5.8x row-fetch win that dominated the step)
-            betas = gather_rows(store, idx_, width=store_width,
-                                packed=store_packed)
-            mask = (tgt_ != 0) if masked else None
-            rng = jax.random.fold_in(state.rng, state.step)
-
-            def loss_fn(params):
-                return _forward_loss(
-                    model, cfg, l2_rules, params, state.batch_stats, rng,
-                    betas, tok_, tgt_, mask
-                )
-
-            if cfg.sam_rho > 0:
-                # SAM two-pass (model.py:167-233 semantics), same as the
-                # per-dispatch step
-                _, g1 = jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params
-                )
-                scale = cfg.sam_rho / (optax.global_norm(g1) + 1e-12)
-                perturbed = jax.tree_util.tree_map(
-                    lambda p, g: p + g * scale, state.params, g1
-                )
-                (total, (metrics, new_stats)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(perturbed)
-            else:
-                (total, (metrics, new_stats)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state.params)
-            new_state = state.apply_gradients(grads).replace(
-                batch_stats=new_stats
-            )
-            metrics["total"] = total
-            metrics["grad_norm"] = optax.global_norm(grads)
-            return new_state, metrics
+            return one(state, store, idx_, tok_, tgt_)
 
         return jax.lax.scan(body, state, (idx, tokens, target))
+
+    if not jit:
+        return steps
+    return jax.jit(steps, donate_argnums=(0,))
+
+
+def make_scanned_train_steps_from_tables(model, cfg, l2_rules,
+                                         masked: bool = False,
+                                         store_width: int | None = None,
+                                         jit: bool = True,
+                                         store_packed: bool | None = None):
+    """Scanned trainer whose token/target/store-index TABLES are
+    device-resident: the host ships only the epoch's (K, B) pair permutation
+    (int32, ~KB) per device call instead of stacked token/target tensors
+    (~MB/epoch at flagship shape — measurably the whole integrated-trainer
+    gap vs bench over a tunneled runtime, and pure overhead everywhere).
+    The per-step batch (store row ids, input tokens, shifted targets) is
+    gathered from the tables INSIDE the scan.
+
+    ``steps(state, store, store_idx (N,), tokens (N,T), target (N,T),
+    pair_idx (K,B))`` — tables indexed by pair id; numerics identical to
+    :func:`make_scanned_train_steps` on the equivalent stacked batches."""
+
+    one = _scan_step_body(model, cfg, l2_rules, masked, store_width,
+                          store_packed)
+
+    def steps(state, store, store_idx, tokens, target, pair_idx):
+        def body(state, pidx):
+            idx_ = jnp.take(store_idx, pidx, axis=0)
+            tok_ = jnp.take(tokens, pidx, axis=0)
+            tgt_ = jnp.take(target, pidx, axis=0)
+            return one(state, store, idx_, tok_, tgt_)
+
+        return jax.lax.scan(body, state, pair_idx)
 
     if not jit:
         return steps

@@ -149,3 +149,66 @@ def test_scanned_steps_sam_matches_per_step():
         # and straight-line programs; a real SAM logic divergence would show
         # up at ~lr*steps = 3e-4 across many elements
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tables_scanned_matches_stacked_scanned():
+    """The from-tables scanned trainer (device-resident token/target/store-id
+    tables + (K,B) pair permutation) is bit-identical to the stacked-batch
+    scanned trainer on the batches the permutation selects — the production
+    trainer ships only the permutation per epoch."""
+    import jax
+
+    from masters_thesis_tpu.train.steps import (
+        make_scanned_train_steps_from_tables,
+    )
+
+    cfg = Config(top_k=30, batch_size=4, max_length=5, units=12, attn_units=6,
+                 group_size=4, embedding_text=8)
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=12, n_voxels=64, n_groups=3, top_k=cfg.top_k,
+        device_resident=True,
+    )
+    model = LcNIC(layout=GroupLayout(groups, 64), units=cfg.units,
+                  group_size=cfg.group_size, embedding_text=cfg.embedding_text,
+                  attn_units=cfg.attn_units, vocab_size=cfg.vocab_size,
+                  max_length=cfg.max_length)
+    rng = np.random.default_rng(7)
+    N, T = 20, cfg.max_length
+    store_idx = rng.integers(0, 12, N).astype(np.int32)
+    tokens = rng.integers(1, cfg.vocab_size, (N, T)).astype(np.int32)
+    target = np.concatenate(
+        [tokens[:, 1:], np.zeros((N, 1), np.int32)], axis=1)
+    K, B = 3, cfg.batch_size
+    pair_idx = rng.permutation(N)[: K * B].reshape(K, B).astype(np.int32)
+
+    data = store.device_array()
+    params, bstats, prng = init_model(
+        model, cfg, np.asarray(data)[store_idx[pair_idx[0]]],
+        tokens[pair_idx[0]])
+    tx = make_optimizer(cfg)
+    rules = lc_nic_l2_rules(cfg)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    s1 = TrainState.create(params=copy(params), batch_stats=copy(bstats),
+                           tx=tx, rng=jnp.copy(prng))
+    stacked = make_scanned_train_steps(model, cfg, rules)
+    s1, m1 = stacked(
+        s1, data,
+        jnp.asarray(store_idx[pair_idx]),
+        jnp.asarray(tokens[pair_idx]),
+        jnp.asarray(target[pair_idx]),
+    )
+
+    s2 = TrainState.create(params=copy(params), batch_stats=copy(bstats),
+                           tx=tx, rng=jnp.copy(prng))
+    tabled = make_scanned_train_steps_from_tables(model, cfg, rules)
+    s2, m2 = tabled(
+        s2, data, jnp.asarray(store_idx), jnp.asarray(tokens),
+        jnp.asarray(target), jnp.asarray(pair_idx),
+    )
+
+    np.testing.assert_array_equal(np.asarray(m1["loss"]),
+                                  np.asarray(m2["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -167,3 +167,53 @@ def test_scanned_interrupt_delivers_pending_metrics():
     assert rec.interrupted
     # two completed chunks of 3 steps each: all 6 rows delivered, in order
     assert rec.steps == list(range(1, 7))
+
+
+def test_scanned_validation_matches_per_batch():
+    """The one-call scanned validation pass returns the same mean metrics as
+    the per-batch eval loop."""
+    from masters_thesis_tpu.train.steps import (
+        make_scanned_eval_steps_from_tables,
+    )
+
+    cfg = Config(top_k=30, batch_size=4, max_length=5, units=12, attn_units=6,
+                 group_size=4, embedding_text=8, epochs=1)
+    cfg.tpu.scan_steps = 3
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=16, n_voxels=64, n_groups=3, top_k=cfg.top_k,
+        device_resident=True,
+    )
+    layout = GroupLayout(groups, 64)
+    model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
+                  embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+                  vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    enc = encode_pairs(pairs["train"], tok, cfg.max_length)
+    val_enc = encode_pairs(pairs["val"], tok, cfg.max_length)
+    pipe = BatchPipeline(enc, store, cfg.batch_size, seed=0, prefetch=0)
+    vpipe = BatchPipeline(val_enc, store, cfg.batch_size, seed=0,
+                          shuffle=False, prefetch=0)
+    assert vpipe.steps_per_epoch > 1
+    batch = next(iter(pipe.epoch()))
+    betas0 = np.asarray(store.device_array())[batch["idx"]]
+    params, bstats, rng = init_model(model, cfg, betas0, batch["tokens"])
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params=params, batch_stats=bstats, tx=tx,
+                              rng=rng)
+    rules = lc_nic_l2_rules(cfg)
+    trainer = Trainer(
+        cfg,
+        make_train_step(model, cfg, rules, donate=False),
+        make_eval_step(model, cfg, rules),
+        state,
+        pipe,
+        val_pipe=vpipe,
+        store=store,
+    )
+    loop_logs = trainer._run_validation()
+    trainer.use_scanned_eval(
+        make_scanned_eval_steps_from_tables(model, cfg, rules))
+    scan_logs = trainer._run_validation()
+    assert set(scan_logs) == set(loop_logs)
+    for k in loop_logs:
+        np.testing.assert_allclose(scan_logs[k], loop_logs[k], rtol=1e-5,
+                                   atol=1e-7, err_msg=k)
