@@ -91,6 +91,18 @@ class TPUConfig:
     #                                  the per-step gather bytes (the probed
     #                                  bottleneck) at ~3 decimal digits of
     #                                  input precision
+    ckpt_every: int = 1              # checkpoint cadence in epochs. 1 = the
+    #                                  reference's per-epoch latest+best saves
+    #                                  (main.py:167-190). N>1 saves every N
+    #                                  epochs plus the final epoch; best-by-
+    #                                  val-loss is then tracked among SAVED
+    #                                  epochs only (Keras save_freq
+    #                                  semantics). Useful when checkpoint
+    #                                  host transfer contends with training
+    #                                  (each flagship save ships ~140 MB of
+    #                                  params+opt state to the host; on a
+    #                                  tunneled runtime that saturates the
+    #                                  link across the next epoch's steps).
     vocab_pad_multiple: int = 0      # >1: round the model's vocab axis
     #                                  (embedding rows, dense_out cols) up to
     #                                  a multiple of this so tensor-parallel

@@ -650,7 +650,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             ErrorLog(run_path),
             LossHistory(run_path),
             BatchLoss(run_path),
-            Checkpointing(mgr),
+            Checkpointing(mgr, every=getattr(cfg.tpu, "ckpt_every", 1)),
             TensorBoardScalars(os.path.join(run_path, "tb")),
             PredictPreview(
                 run_path,
@@ -723,6 +723,12 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             time.perf_counter() - t_fit, 2)
         meta["steps_per_sec_final_epoch"] = round(
             float(logs.get("steps_per_sec", 0.0)), 2)
+        sps = trainer.epoch_steps_per_sec
+        if len(sps) > 1:
+            # epoch 0 carries the compile; median over the rest is the
+            # steady-state number (single epochs jitter under link noise)
+            meta["steps_per_sec_median"] = round(
+                float(np.median(sps[1:])), 2)
         meta["epochs_ran"] = epochs if epochs is not None else cfg.epochs
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=1)

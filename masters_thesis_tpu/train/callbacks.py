@@ -229,12 +229,24 @@ class Checkpointing(Callback):
     next epoch's training — CheckpointManager stages to host inside save);
     train end / error / interrupt flush the in-flight write."""
 
-    def __init__(self, manager):
+    def __init__(self, manager, every: int = 1):
         self.manager = manager
         self._saved_step = None
+        # cadence (cfg.tpu.ckpt_every): save every N epochs plus the run's
+        # final epoch. With N>1, best-by-val-loss is tracked among SAVED
+        # epochs only (Keras save_freq semantics) — an improvement save on
+        # every epoch would defeat the knob exactly when training descends
+        # monotonically, the common case the contention relief targets.
+        self.every = max(1, int(every))
 
     def on_epoch_end(self, trainer, epoch, logs):
-        self.manager.save(trainer.state, epoch, val_loss=logs.get("val_loss"))
+        target = getattr(trainer, "_target_epochs", None)
+        is_last = target is not None and epoch >= target - 1
+        if not ((epoch + 1) % self.every == 0 or is_last
+                or trainer.stop_training):
+            return
+        self.manager.save(trainer.state, epoch,
+                          val_loss=logs.get("val_loss"))
         self._saved_step = int(trainer.state.step)
 
     def on_interrupt(self, trainer, epoch):

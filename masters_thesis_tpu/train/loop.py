@@ -63,6 +63,9 @@ class Trainer:
         # serialize the next chunk behind this one's compute)
         self._host_step = int(state.step)
         self._epoch = 0
+        # per-epoch train-phase throughput history (run_meta records the
+        # median — single-epoch numbers are noisy under host-link jitter)
+        self.epoch_steps_per_sec: list[float] = []
 
     def use_scanned_steps(self, scanned_step, tables: bool = False) -> None:
         """Enable K-steps-per-device-call training (see
@@ -177,6 +180,7 @@ class Trainer:
 
     def fit(self, epochs: int | None = None, start_epoch: int = 0) -> dict:
         epochs = epochs if epochs is not None else self.cfg.epochs
+        self._target_epochs = epochs  # Checkpointing's final-epoch guarantee
         for cb in self.callbacks:
             cb.on_train_begin(self)
         logs: dict = {}
@@ -322,6 +326,7 @@ class Trainer:
         logs["epoch_time"] = time.perf_counter() - t0
         logs["steps_per_sec"] = (n_train / t_train if n_train and t_train > 0
                                  else self.timer.steps_per_sec)
+        self.epoch_steps_per_sec.append(logs["steps_per_sec"])
         if self.metric_logger is not None:
             self.metric_logger.log("epoch", epoch=epoch, **logs)
         logger.info(

@@ -541,3 +541,67 @@ def test_batchloss_buffers_until_epoch_end(tmp_path):
     bl.on_epoch_end(None, 0, {})
     rows = csv_path.read_text().splitlines()
     assert len(rows) == 3 and rows[1].startswith("1,")
+
+
+def test_checkpoint_cadence_every():
+    """tpu.ckpt_every=N saves every N epochs plus the final epoch; best is
+    tracked among saved epochs only (save_freq semantics — per-improvement
+    saves would defeat the knob under monotonic descent)."""
+
+    class FakeManager:
+        def __init__(self):
+            self.saved = []  # (epoch, val_loss)
+
+        def save(self, state, epoch, val_loss=None):
+            self.saved.append((epoch, val_loss))
+
+        def close(self):
+            pass
+
+    class FakeState:
+        step = 0
+
+    class FakeTrainer:
+        state = FakeState()
+        stop_training = False
+        _target_epochs = 8
+
+    mgr = FakeManager()
+    cb = Checkpointing(mgr, every=3)
+    t = FakeTrainer()
+    vals = [5.0, 6.0, 6.0, 6.0, 4.0, 6.0, 6.0, 6.0]
+    for epoch, v in enumerate(vals):
+        cb.on_epoch_end(t, epoch, {"val_loss": v})
+    saved_epochs = [e for e, _ in mgr.saved]
+    # 2, 5: cadence ((e+1)%3==0); 7: final epoch — improvements alone
+    # (epochs 0, 4) do NOT save
+    assert saved_epochs == [2, 5, 7]
+    # the saved val losses carry through, so best-among-saved still works
+    assert dict(mgr.saved)[5] == 6.0
+
+
+def test_checkpoint_cadence_default_is_every_epoch():
+    class FakeManager:
+        def __init__(self):
+            self.saved = []
+
+        def save(self, state, epoch, val_loss=None):
+            self.saved.append(epoch)
+
+        def close(self):
+            pass
+
+    class FakeState:
+        step = 0
+
+    class FakeTrainer:
+        state = FakeState()
+        stop_training = False
+        _target_epochs = 4
+
+    mgr = FakeManager()
+    cb = Checkpointing(mgr)
+    t = FakeTrainer()
+    for epoch in range(4):
+        cb.on_epoch_end(t, epoch, {"val_loss": 9.0})
+    assert mgr.saved == [0, 1, 2, 3]
