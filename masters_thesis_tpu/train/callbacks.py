@@ -262,12 +262,24 @@ class Checkpointing(Callback):
         self.manager.close()
 
     def on_train_end(self, trainer):
+        # cadence safety net: an early-stop callback ordered AFTER this one
+        # can set stop_training in the same on_epoch_end where the cadence
+        # already skipped — never end training with unsaved steps. Not on
+        # the error path (on_error ran): a crash keeps the reference's
+        # no-save-on-failure semantics.
+        if (not getattr(self, "_errored", False)
+                and self._saved_step is not None
+                and self._saved_step != int(trainer.state.step)):
+            self.manager.save(trainer.state, getattr(trainer, "_epoch", 0),
+                              val_loss=None)
+            self._saved_step = int(trainer.state.step)
         self.manager.close()
 
     def on_error(self, trainer, exc):
         # commit whatever save was in flight before the process unwinds;
         # never let a failing background write mask the training exception
         # (or starve later callbacks' on_error)
+        self._errored = True
         try:
             self.manager.close()
         except Exception:

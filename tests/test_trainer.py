@@ -605,3 +605,61 @@ def test_checkpoint_cadence_default_is_every_epoch():
     for epoch in range(4):
         cb.on_epoch_end(t, epoch, {"val_loss": 9.0})
     assert mgr.saved == [0, 1, 2, 3]
+
+
+def test_checkpoint_cadence_safety_save_at_train_end():
+    """Steps that ran after the last cadence save are persisted by
+    on_train_end (covers early-stop set AFTER Checkpointing in the same
+    epoch) — but never on the error path."""
+
+    class FakeManager:
+        def __init__(self):
+            self.saved = []
+            self.closed = 0
+
+        def save(self, state, epoch, val_loss=None):
+            self.saved.append(epoch)
+
+        def close(self):
+            self.closed += 1
+
+    class FakeState:
+        step = 0
+
+    class FakeTrainer:
+        state = FakeState()
+        stop_training = False
+        _target_epochs = 10
+        _epoch = 0
+
+    mgr = FakeManager()
+    cb = Checkpointing(mgr, every=5)
+    t = FakeTrainer()
+    t.state.step = 20
+    cb.on_epoch_end(t, 0, {"val_loss": 1.0})  # skipped (cadence)
+    t.state.step = 40
+    cb.on_epoch_end(t, 1, {"val_loss": 1.0})  # skipped; early stop follows
+    t._epoch = 1
+    cb.on_train_end(t)
+    # nothing had saved, so _saved_step is None -> no phantom save of a
+    # never-checkpointed run... but then epoch 4 cadence save + later steps:
+    assert mgr.saved == []
+    t.state.step = 100
+    cb.on_epoch_end(t, 4, {"val_loss": 1.0})  # cadence save
+    t.state.step = 120
+    cb.on_epoch_end(t, 5, {"val_loss": 1.0})  # skipped
+    t._epoch = 5
+    cb.on_train_end(t)
+    assert mgr.saved == [4, 5]  # safety save picked up the post-save steps
+
+    # error path: no safety save
+    mgr2 = FakeManager()
+    cb2 = Checkpointing(mgr2, every=5)
+    t2 = FakeTrainer()
+    t2.state = FakeState()
+    t2.state.step = 100
+    cb2.on_epoch_end(t2, 4, {"val_loss": 1.0})
+    t2.state.step = 120
+    cb2.on_error(t2, RuntimeError("boom"))
+    cb2.on_train_end(t2)
+    assert mgr2.saved == [4]
