@@ -20,6 +20,21 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 
+# Persistent XLA compile cache for the suite: pytest runs in one process,
+# but every test builds fresh jitted closures, so the in-process jit cache
+# never hits across tests — the disk cache keys on HLO and dedupes the
+# MANY identical tiny-shape train/eval/decode compiles both within a run
+# and across runs (this single-core image spends most of the suite's wall
+# time in XLA CPU compiles). Override path with MTT_TEST_XLA_CACHE="" to
+# disable (e.g. when diagnosing a suspected stale-cache miscompile).
+_cache = os.environ.get(
+    "MTT_TEST_XLA_CACHE",
+    os.path.expanduser("~/.cache/masters_thesis_tpu/xla_tests"))
+if _cache:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 # ---- fast/slow tiering -------------------------------------------------
 # Tests measured >=15s on the virtual-CPU mesh (dominated by end-to-end
 # run_training compiles and full-resolution backbone graph builds) are
