@@ -275,16 +275,16 @@ def main() -> None:
         # persist for the carried-forward guard (fresh measurements only)
         try:
             rev = ""
-            git_head = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    ".git", "HEAD")
-            with open(git_head) as f:
-                ref = f.read().strip()
-            if ref.startswith("ref: "):
-                with open(os.path.join(os.path.dirname(git_head),
-                                       ref[5:])) as f:
-                    rev = f.read().strip()
-            else:
-                rev = ref
+            try:
+                # rev-parse handles packed refs / worktrees; a rev failure
+                # must never abort the result write itself
+                rev = subprocess.run(
+                    ["git", "rev-parse", "HEAD"],
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    capture_output=True, text=True, timeout=10,
+                ).stdout.strip()
+            except Exception:
+                pass
             saved = json.loads(json.dumps(result))
             saved["extra"]["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
             saved["extra"]["git_revision"] = rev

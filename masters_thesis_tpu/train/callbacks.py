@@ -238,8 +238,18 @@ class Checkpointing(Callback):
         # every epoch would defeat the knob exactly when training descends
         # monotonically, the common case the contention relief targets.
         self.every = max(1, int(every))
+        self._last_val = None
+
+    def on_train_begin(self, trainer):
+        # seed the saved-step watermark so the train-end safety net also
+        # covers an early stop BEFORE the first cadence save (with
+        # _saved_step=None it would end a ckpt_every>1 run checkpoint-less)
+        self._saved_step = int(trainer.state.step)
 
     def on_epoch_end(self, trainer, epoch, logs):
+        # remember the epoch's val loss even when the cadence skips, so a
+        # train-end safety save still participates in best-by-val-loss
+        self._last_val = logs.get("val_loss")
         target = getattr(trainer, "_target_epochs", None)
         is_last = target is not None and epoch >= target - 1
         if not ((epoch + 1) % self.every == 0 or is_last
@@ -271,7 +281,7 @@ class Checkpointing(Callback):
                 and self._saved_step is not None
                 and self._saved_step != int(trainer.state.step)):
             self.manager.save(trainer.state, getattr(trainer, "_epoch", 0),
-                              val_loss=None)
+                              val_loss=self._last_val)
             self._saved_step = int(trainer.state.step)
         self.manager.close()
 

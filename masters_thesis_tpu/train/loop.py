@@ -258,7 +258,11 @@ class Trainer:
         if (self.scanned_eval is not None
                 and self.store is not None and self.store.device_resident
                 and p.store is self.store and p.steps_per_epoch > 0
-                and not p.shuffle):
+                and not p.shuffle
+                # ceil-batched pipes (EvalPipeline pads its ragged tail)
+                # have fewer pairs than steps*bs: the reshape below would
+                # fail, and padded rows must not be averaged unmasked
+                and len(p.pairs) >= p.steps_per_epoch * p.batch_size):
             if self._val_scan_args is None:
                 order = p._order()
                 n = p.steps_per_epoch * p.batch_size

@@ -123,11 +123,12 @@ def make_train_step(model, cfg, l2_rules, masked: bool = False,
     return jax.jit(step, donate_argnums=donate_args)
 
 
-def make_eval_step(model, cfg, l2_rules, masked: bool = False):
-    """Validation step (lc_NIC.test_step :410-459): forward in inference mode,
-    same loss composition, no update."""
+def _eval_body(model, cfg, l2_rules, masked):
+    """Inference-mode forward + the reference's val metric set
+    (lc_NIC.test_step :410-459) — shared by the per-batch eval step and the
+    scanned one-call validation pass so their numerics cannot drift."""
 
-    def step(state, betas, tokens, target):
+    def body(state, betas, tokens, target):
         mask = (target != 0) if masked else None
         a0 = jnp.zeros((betas.shape[0], cfg.units), betas.dtype)
         logits, alphas = model.apply(
@@ -145,7 +146,13 @@ def make_eval_step(model, cfg, l2_rules, masked: bool = False):
             "accuracy": accuracy(logits, target, mask),
         }
 
-    return jax.jit(step)
+    return body
+
+
+def make_eval_step(model, cfg, l2_rules, masked: bool = False):
+    """Validation step: forward in inference mode, same loss composition,
+    no update."""
+    return jax.jit(_eval_body(model, cfg, l2_rules, masked))
 
 
 def make_scanned_eval_steps_from_tables(model, cfg, l2_rules,
@@ -160,6 +167,8 @@ def make_scanned_eval_steps_from_tables(model, cfg, l2_rules,
     tunneled runtime. Returns stacked metrics (K, ...) — same values as
     make_eval_step on each batch."""
 
+    eval_body = _eval_body(model, cfg, l2_rules, masked)
+
     def steps(state, store, store_idx, tokens, target, pair_idx):
         def body(carry, pidx):
             idx_ = jnp.take(store_idx, pidx, axis=0)
@@ -167,19 +176,7 @@ def make_scanned_eval_steps_from_tables(model, cfg, l2_rules,
             tgt_ = jnp.take(target, pidx, axis=0)
             betas = gather_rows(store, idx_, width=store_width,
                                 packed=store_packed)
-            mask = (tgt_ != 0) if masked else None
-            a0 = jnp.zeros((betas.shape[0], cfg.units), betas.dtype)
-            logits, alphas = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                betas, tok_, a0, a0, training=False,
-            )
-            m = {
-                "loss": caption_loss(logits, tgt_, mask),
-                "L2": l2_loss(state.params, l2_rules),
-                "attention": attention_loss(alphas),
-                "accuracy": accuracy(logits, tgt_, mask),
-            }
-            return carry, m
+            return carry, eval_body(state, betas, tok_, tgt_)
 
         return jax.lax.scan(body, 0, pair_idx)[1]
 

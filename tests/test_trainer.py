@@ -615,10 +615,12 @@ def test_checkpoint_cadence_safety_save_at_train_end():
     class FakeManager:
         def __init__(self):
             self.saved = []
+            self.saved_vals = []
             self.closed = 0
 
         def save(self, state, epoch, val_loss=None):
             self.saved.append(epoch)
+            self.saved_vals.append((epoch, val_loss))
 
         def close(self):
             self.closed += 1
@@ -632,31 +634,37 @@ def test_checkpoint_cadence_safety_save_at_train_end():
         _target_epochs = 10
         _epoch = 0
 
+    # early stop BEFORE any cadence save: the run must not end
+    # checkpoint-less (review finding: _saved_step=None skipped the net)
     mgr = FakeManager()
     cb = Checkpointing(mgr, every=5)
     t = FakeTrainer()
+    t.state.step = 0
+    cb.on_train_begin(t)
     t.state.step = 20
     cb.on_epoch_end(t, 0, {"val_loss": 1.0})  # skipped (cadence)
     t.state.step = 40
-    cb.on_epoch_end(t, 1, {"val_loss": 1.0})  # skipped; early stop follows
+    cb.on_epoch_end(t, 1, {"val_loss": 0.8})  # skipped; early stop follows
     t._epoch = 1
     cb.on_train_end(t)
-    # nothing had saved, so _saved_step is None -> no phantom save of a
-    # never-checkpointed run... but then epoch 4 cadence save + later steps:
-    assert mgr.saved == []
+    assert mgr.saved == [1]  # safety save, with the stashed val_loss
+    assert dict([(e, v) for e, v in [mgr.saved_vals[-1]]])[1] == 0.8
+
+    # post-cadence steps saved at train end
     t.state.step = 100
     cb.on_epoch_end(t, 4, {"val_loss": 1.0})  # cadence save
     t.state.step = 120
-    cb.on_epoch_end(t, 5, {"val_loss": 1.0})  # skipped
+    cb.on_epoch_end(t, 5, {"val_loss": 0.9})  # skipped
     t._epoch = 5
     cb.on_train_end(t)
-    assert mgr.saved == [4, 5]  # safety save picked up the post-save steps
+    assert mgr.saved == [1, 4, 5]
 
     # error path: no safety save
     mgr2 = FakeManager()
     cb2 = Checkpointing(mgr2, every=5)
     t2 = FakeTrainer()
     t2.state = FakeState()
+    cb2.on_train_begin(t2)
     t2.state.step = 100
     cb2.on_epoch_end(t2, 4, {"val_loss": 1.0})
     t2.state.step = 120
