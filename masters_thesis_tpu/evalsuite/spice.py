@@ -9,13 +9,33 @@ with a lightweight caption-grammar chunker in place of the dependency
 parser. COCO-style captions are syntactically simple ("a man riding a bike
 down the street"), which is what makes the rule-based extraction workable.
 
+The tuple semantics follow the SPICE scene-graph construction (Anderson et
+al. 2016, building on the Schuster et al. 2015 rules) rather than a naive
+chunking:
+
+- every noun-phrase modifier — adjective, compound-noun modifier, or count
+  word — becomes an attribute of the NP head ("a tennis court" →
+  (court, tennis), "two women" → (women, two));
+- a verb that links two NPs directly is the relation ("man riding bike" →
+  (man, riding, bike)); when the relation rides a preposition, the verb
+  becomes an attribute of its subject and the preposition is the relation
+  ("girl standing on top of court" → (girl, standing) +
+  (girl, on top of, court) — multiword prepositions are collapsed first);
+- a trailing verb with no object is an attribute ("a dog running" →
+  (dog, running));
+- coordinated NPs share their links ("a man and a woman sitting on a
+  bench" relates both subjects to the bench);
+- a bare copula links its predicate head as an attribute
+  ("the table is white" → (table, white)).
+
 Tuple matching uses exact-or-Porter-stem equality, upgraded to the Java
 pipeline's WordNet-synset semantics (two slot words match when their synset
 id sets intersect) when an offline synonym table is available — the same
 table (and ``MTT_METEOR_SYNONYMS`` discovery) the METEOR synonym stage uses
 (``scripts/convert_wordnet_synonyms.py``). Scores correlate with but are not
-numerically identical to Java SPICE (the parser differs) — reported as
-"SPICE_lite" either way.
+numerically identical to Java SPICE (the parser differs: a POS tagger and
+full dependency rules vs this chunker + a caption-verb lexicon) — reported
+as "SPICE_lite" either way.
 """
 
 from __future__ import annotations
@@ -26,16 +46,27 @@ from masters_thesis_tpu.evalsuite.stem import porter_stem
 _DETERMINERS = frozenset(
     "a an the this that these those his her its their some any each no "
     "every another".split())
-_NUMBERS = frozenset(
-    "one two three four five six seven eight nine ten several few many "
-    "couple group bunch".split())
 _PREPOSITIONS = frozenset(
     "in on at by with near under over above behind beside between through "
     "across around against along inside outside onto into up down off "
     "of from to atop beneath below next".split())
 _COPULAS = frozenset("is are was were be being been".split())
 _CONJ = frozenset("and or while as".split())
-# frequent caption adjectives that don't match the suffix heuristics
+
+# multiword prepositions collapsed to one link token before chunking (the
+# dependency pipeline's case-marker collapsing produces the same single
+# relation label, e.g. (girl, on top of, court))
+_MULTIWORD_PREPS = (
+    ("on", "top", "of"),
+    ("in", "front", "of"),
+    ("next", "to"),
+    ("close", "to"),
+    ("on", "side", "of"),
+)
+
+# adjective lexicon — no longer needed to decide attribute attachment
+# (every NP modifier is an attribute, as in the scene-graph rules) but
+# still the word-class tagger for the POS analysis (analysis.pos_tag_word)
 _COMMON_ADJ = frozenset(
     "red blue green yellow black white brown orange purple pink gray grey "
     "small large big little young old tall short long wide high low open "
@@ -61,12 +92,32 @@ _ING_NOUNS = frozenset(
     "king thing something nothing anything everything duckling "
     "sibling dumpling lining netting paneling plumbing roofing".split())
 
+# frequent caption verbs whose simple forms ("rides", "sit", "stood") the
+# -ing heuristic can't see; kept to words that are rarely caption nouns —
+# stand-ins for the Java pipeline's POS tagger. Stored stemmed so "rides",
+# "ride" and "riding" all resolve through one entry.
+_VERB_STEMS = frozenset(
+    porter_stem(w) for w in
+    "sit stand ride hold walk look play eat fly jump lay lie hang "
+    "park wear carry drive sleep swim surf throw catch kick pull push "
+    "reach climb lean graze perch stroll gallop soar kneel crouch pose "
+    "smile wave feed cross travel".split())
+_IRREGULAR_VERBS = frozenset(
+    "sat stood rode held ran lay hung wore ate flew threw caught slept "
+    "drove knelt".split())
+
 
 def _is_verb(word: str) -> bool:
-    # caption relations are overwhelmingly present participles
-    # ("riding", "sitting on") or simple 3rd-person forms ("rides")
-    return (len(word) > 4 and word.endswith("ing")
-            and word not in _ING_NOUNS)
+    # caption relations are present participles ("riding", "sitting on"),
+    # simple forms ("rides", "sit"), or common irregular pasts ("sat")
+    if len(word) > 4 and word.endswith("ing") and word not in _ING_NOUNS:
+        return True
+    return word in _IRREGULAR_VERBS or porter_stem(word) in _VERB_STEMS
+
+
+def _is_link(word: str) -> bool:
+    return (word in _PREPOSITIONS or word in _COPULAS or " " in word
+            or _is_verb(word))
 
 
 class SceneTuples:
@@ -78,10 +129,15 @@ class SceneTuples:
         self.relations: set = set()
 
     def all_tuples(self) -> set:
+        # multiword relation labels stem word-wise ("on top of" →
+        # "on top of", "standing near" → "stand near")
+        def stem_words(s):
+            return " ".join(porter_stem(w) for w in s.split())
+
         return ({("o", porter_stem(o)) for o in self.objects}
                 | {("a", porter_stem(n), porter_stem(a))
                    for n, a in self.attributes}
-                | {("r", porter_stem(s), porter_stem(r), porter_stem(o))
+                | {("r", porter_stem(s), stem_words(r), porter_stem(o))
                    for s, r, o in self.relations})
 
     def raw_map(self) -> dict:
@@ -94,59 +150,117 @@ class SceneTuples:
             out.setdefault(porter_stem(n), n)
             out.setdefault(porter_stem(a), a)
         for s, r, o in self.relations:
-            for w in (s, r, o):
+            for w in (s, o, *r.split()):
                 out.setdefault(porter_stem(w), w)
         return out
 
 
-def parse_caption(tokens) -> SceneTuples:
-    """Chunk a caption into noun phrases linked by verbs/prepositions.
+def _collapse_multiword_preps(toks: list) -> list:
+    out: list = []
+    i = 0
+    while i < len(toks):
+        for seq in _MULTIWORD_PREPS:
+            if tuple(toks[i:i + len(seq)]) == seq:
+                out.append(" ".join(seq))
+                i += len(seq)
+                break
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
 
-    Grammar: NP = det? (num|adj)* noun+ ; REL = verb prep? | copula? prep.
-    The last word of an NP is its head; preceding adjectives attach as
-    attribute tuples.
+
+def parse_caption(tokens) -> SceneTuples:
+    """Chunk a caption into coordinated noun-phrase groups linked by
+    verb/preposition spans, then emit SPICE-style tuples (module
+    docstring). The last word of an NP is its head; every preceding
+    modifier attaches as an attribute tuple.
     """
     out = SceneTuples()
     toks = [t.lower() for t in tokens
             if t and t not in ("<start>", "<end>", "<pad>", "<unk>")]
+    toks = _collapse_multiword_preps(toks)
 
-    # segment into (np_words, link_words, np_words, ...)
-    nps: list[list[str]] = []
-    links: list[list[str]] = []  # link[i] connects nps[i] -> nps[i+1]
-    cur_np: list[str] = []
-    cur_link: list[str] = []
+    # segment into NP groups (coordinated NPs share a group) and the link
+    # spans between consecutive groups; links[i] connects groups[i] ->
+    # groups[i+1]; a trailing span (len(links) == len(groups)) has no object
+    groups: list = []   # list[list[list[str]]]
+    links: list = []    # list[list[str]]
+    cur_np: list = []
+    cur_group: list = []
+    cur_link: list = []
     for w in toks:
-        if w in _DETERMINERS or w in _CONJ:
+        if w in _DETERMINERS:
             continue
-        if w in _PREPOSITIONS or w in _COPULAS or _is_verb(w):
+        if w in _CONJ:
             if cur_np:
-                nps.append(cur_np)
+                cur_group.append(cur_np)
                 cur_np = []
+            continue
+        if _is_link(w):
+            if cur_np:
+                cur_group.append(cur_np)
+                cur_np = []
+            if cur_group:
+                groups.append(cur_group)
+                cur_group = []
                 cur_link = []
                 links.append(cur_link)
+            if not groups:
+                continue  # leading link words have no subject
             if w not in _COPULAS:
                 cur_link.append(w)
         else:
             cur_np.append(w)
     if cur_np:
-        nps.append(cur_np)
+        cur_group.append(cur_np)
+    if cur_group:
+        groups.append(cur_group)
 
-    heads = []
-    for np_words in nps:
-        head = np_words[-1]
-        out.objects.add(head)
-        for w in np_words[:-1]:
-            if w in _NUMBERS:
-                continue
-            if _is_adjective(w):
+    # per-NP objects and modifier attributes
+    heads: list = []  # list[list[str]] — the head nouns of each group
+    for group in groups:
+        group_heads = []
+        for np_words in group:
+            head = np_words[-1]
+            out.objects.add(head)
+            for w in np_words[:-1]:
                 out.attributes.add((head, w))
-            else:
-                out.objects.add(w)  # compound noun ("baseball bat")
-        heads.append(head)
+            group_heads.append(head)
+        heads.append(group_heads)
 
+    # relations between consecutive groups
     for i, link in enumerate(links):
-        if i + 1 < len(heads) and link:
-            out.relations.add((heads[i], " ".join(link), heads[i + 1]))
+        if i + 1 >= len(heads):
+            # trailing span: verbs become subject attributes
+            for v in link:
+                if _is_verb(v):
+                    for s in heads[i]:
+                        out.attributes.add((s, v))
+            continue
+        verbs = [w for w in link if _is_verb(w)]
+        preps = [w for w in link
+                 if w in _PREPOSITIONS or " " in w]
+        if preps:
+            # "standing on top of court": verb -> subject attribute,
+            # preposition chain -> the relation
+            rel = " ".join(preps)
+            for s in heads[i]:
+                for v in verbs:
+                    out.attributes.add((s, v))
+                for o in heads[i + 1]:
+                    out.relations.add((s, rel, o))
+        elif verbs:
+            rel = " ".join(verbs)
+            for s in heads[i]:
+                for o in heads[i + 1]:
+                    out.relations.add((s, rel, o))
+        else:
+            # bare copula: predicate heads attach as attributes
+            # ("the table is white")
+            for s in heads[i]:
+                for o in heads[i + 1]:
+                    out.attributes.add((s, o))
     return out
 
 
@@ -154,9 +268,12 @@ def _slot_match(hs: str, rs: str, synonyms, hyp_raw: dict,
                 ref_raw: dict) -> bool:
     """SPICE's per-word match on STEM slots: stem equality OR WordNet
     synset overlap of the underlying surface forms (SpiceScorer's
-    similarTo — lemma match via intersecting synsets)."""
+    similarTo — lemma match via intersecting synsets). Multiword relation
+    labels match exactly only."""
     if hs == rs:
         return True
+    if " " in hs or " " in rs:
+        return False
     sa = synonyms.synsets(hyp_raw.get(hs, hs))
     return bool(sa) and not sa.isdisjoint(
         synonyms.synsets(ref_raw.get(rs, rs)))

@@ -220,6 +220,66 @@ def test_spice_lite_parses_caption_grammar():
     assert spice_lite([["a", "building"]], ["the", "large", "building"]) > 0.0
 
 
+def test_spice_scene_graph_semantics():
+    """The extraction follows the SPICE scene-graph construction (Anderson
+    et al. 2016): NP modifiers (adjective / compound noun / count) are
+    attributes; a verb riding a preposition becomes a subject attribute
+    with the (multiword) preposition as the relation — the paper's running
+    example 'a young girl standing on top of a tennis court' yields exactly
+    {girl, court, (girl,young), (girl,standing), (court,tennis),
+    (girl,on-top-of,court)}."""
+    from masters_thesis_tpu.evalsuite.spice import parse_caption
+
+    t = parse_caption(
+        "a young girl standing on top of a tennis court".split())
+    assert t.objects == {"girl", "court"}
+    assert t.attributes == {("girl", "young"), ("girl", "standing"),
+                            ("court", "tennis")}
+    assert t.relations == {("girl", "on top of", "court")}
+
+    # counts are attributes
+    t2 = parse_caption("two women sitting at a table".split())
+    assert ("women", "two") in t2.attributes
+    assert ("women", "sitting") in t2.attributes
+    assert ("women", "at", "table") in t2.relations
+
+    # a direct verb (no preposition) IS the relation
+    t3 = parse_caption("a man riding a horse".split())
+    assert t3.relations == {("man", "riding", "horse")}
+    assert not t3.attributes
+
+    # simple-form verbs resolve through the caption-verb lexicon
+    t4 = parse_caption("a man rides a horse".split())
+    assert t4.relations == {("man", "rides", "horse")}
+    from masters_thesis_tpu.evalsuite.spice import SceneTuples  # noqa: F401
+    assert t3.all_tuples() == t4.all_tuples()  # stems unify ride/rides
+
+
+def test_spice_coordination_trailing_and_copula():
+    from masters_thesis_tpu.evalsuite.spice import parse_caption
+
+    # coordinated subjects share the link
+    t = parse_caption("a man and a woman sitting on a bench".split())
+    assert {("man", "on", "bench"), ("woman", "on", "bench")} <= t.relations
+    assert {("man", "sitting"), ("woman", "sitting")} <= t.attributes
+
+    # trailing verb with no object is a subject attribute
+    t2 = parse_caption("a dog running".split())
+    assert t2.objects == {"dog"}
+    assert t2.attributes == {("dog", "running")}
+    assert not t2.relations
+
+    # bare copula attaches the predicate head as an attribute
+    t3 = parse_caption("the table is white".split())
+    assert ("table", "white") in t3.attributes
+    assert not t3.relations
+
+    # irregular past forms are verbs too
+    t4 = parse_caption("a bird sat on the fence".split())
+    assert ("bird", "sat") in t4.attributes
+    assert ("bird", "on", "fence") in t4.relations
+
+
 def test_spice_synonym_matching():
     """With a WordNet table, tuple slots match on synset overlap (Java
     SPICE's similarTo); without it, couch/sofa is a miss."""
