@@ -93,15 +93,22 @@ _ING_NOUNS = frozenset(
     "sibling dumpling lining netting paneling plumbing roofing".split())
 
 # frequent caption verbs whose simple forms ("rides", "sit", "stood") the
-# -ing heuristic can't see; kept to words that are rarely caption nouns —
-# stand-ins for the Java pipeline's POS tagger. Stored stemmed so "rides",
-# "ride" and "riding" all resolve through one entry.
+# -ing heuristic can't see — stand-ins for the Java pipeline's POS tagger.
+# Stored stemmed so "rides", "ride" and "riding" all resolve through one
+# entry.
 _VERB_STEMS = frozenset(
     porter_stem(w) for w in
     "sit stand ride hold walk look play eat fly jump lay lie hang "
     "park wear carry drive sleep swim surf throw catch kick pull push "
     "reach climb lean graze perch stroll gallop soar kneel crouch pose "
     "smile wave feed cross travel".split())
+# lexicon entries that are also frequent caption NOUNS ("the park", "a
+# wave", "a smile"): a determiner immediately before one marks it as a
+# noun, so "sitting on a bench in the park" keeps park as an object
+# instead of silently dropping it as a link verb (advisor round-3 finding)
+_NOUN_WHEN_DETERMINED = frozenset(
+    porter_stem(w) for w in
+    "park wave smile walk play cross catch look surf feed pose".split())
 _IRREGULAR_VERBS = frozenset(
     "sat stood rode held ran lay hung wore ate flew threw caught slept "
     "drove knelt".split())
@@ -155,19 +162,26 @@ class SceneTuples:
         return out
 
 
-def _collapse_multiword_preps(toks: list) -> list:
+def _collapse_multiword_preps(toks: list, flags: list) -> tuple:
+    """Collapse multiword prepositions to one link token. Runs on
+    determiner-stripped tokens (so "on the side of" matches "on side of");
+    ``flags`` is the parallel after-determiner list, carried from the first
+    word of a collapsed sequence."""
     out: list = []
+    out_flags: list = []
     i = 0
     while i < len(toks):
         for seq in _MULTIWORD_PREPS:
             if tuple(toks[i:i + len(seq)]) == seq:
                 out.append(" ".join(seq))
+                out_flags.append(flags[i])
                 i += len(seq)
                 break
         else:
             out.append(toks[i])
+            out_flags.append(flags[i])
             i += 1
-    return out
+    return out, out_flags
 
 
 def parse_caption(tokens) -> SceneTuples:
@@ -177,9 +191,22 @@ def parse_caption(tokens) -> SceneTuples:
     modifier attaches as an attribute tuple.
     """
     out = SceneTuples()
-    toks = [t.lower() for t in tokens
-            if t and t not in ("<start>", "<end>", "<pad>", "<unk>")]
-    toks = _collapse_multiword_preps(toks)
+    raw = [t.lower() for t in tokens
+           if t and t not in ("<start>", "<end>", "<pad>", "<unk>")]
+    # drop determiners BEFORE collapsing multiword preps (so "on the side
+    # of" collapses like "on side of") but keep the determiner context as a
+    # per-token flag: a determiner-preceded lexicon verb is a noun
+    toks: list = []
+    after_det: list = []
+    prev_det = False
+    for w in raw:
+        if w in _DETERMINERS:
+            prev_det = True
+            continue
+        toks.append(w)
+        after_det.append(prev_det)
+        prev_det = False
+    toks, after_det = _collapse_multiword_preps(toks, after_det)
 
     # segment into NP groups (coordinated NPs share a group) and the link
     # spans between consecutive groups; links[i] connects groups[i] ->
@@ -189,15 +216,19 @@ def parse_caption(tokens) -> SceneTuples:
     cur_np: list = []
     cur_group: list = []
     cur_link: list = []
-    for w in toks:
-        if w in _DETERMINERS:
-            continue
+    for w, det in zip(toks, after_det):
         if w in _CONJ:
             if cur_np:
                 cur_group.append(cur_np)
                 cur_np = []
             continue
-        if _is_link(w):
+        # "the park" / "a wave" / "a smile": determiner context overrides
+        # the verb lexicon (but never -ing participles or true preps)
+        forced_noun = (det and " " not in w
+                       and w not in _PREPOSITIONS and w not in _COPULAS
+                       and not (len(w) > 4 and w.endswith("ing"))
+                       and porter_stem(w) in _NOUN_WHEN_DETERMINED)
+        if not forced_noun and _is_link(w):
             if cur_np:
                 cur_group.append(cur_np)
                 cur_np = []
@@ -217,13 +248,19 @@ def parse_caption(tokens) -> SceneTuples:
     if cur_group:
         groups.append(cur_group)
 
-    # per-NP objects and modifier attributes
+    # per-NP objects and modifier attributes. A group reached only through
+    # a bare copula (empty link span) is an adjectival predicate when its
+    # head is an adjective — "the table is white" attaches (table, white)
+    # below but must NOT also emit object 'white' (Java SPICE creates no
+    # object node for an adjectival predicate).
     heads: list = []  # list[list[str]] — the head nouns of each group
-    for group in groups:
+    for gi, group in enumerate(groups):
+        copula_pred = gi >= 1 and gi - 1 < len(links) and not links[gi - 1]
         group_heads = []
         for np_words in group:
             head = np_words[-1]
-            out.objects.add(head)
+            if not (copula_pred and _is_adjective(head)):
+                out.objects.add(head)
             for w in np_words[:-1]:
                 out.attributes.add((head, w))
             group_heads.append(head)

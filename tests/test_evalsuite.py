@@ -280,6 +280,69 @@ def test_spice_coordination_trailing_and_copula():
     assert ("bird", "on", "fence") in t4.relations
 
 
+def test_spice_determiner_context_disambiguates_noun_verbs():
+    """Lexicon verbs that are frequent caption NOUNS (park, wave, smile...)
+    are nouns when determiner-preceded (advisor round-3 medium finding):
+    'the park' keeps its object and relation instead of being dropped as a
+    link verb."""
+    from masters_thesis_tpu.evalsuite.spice import parse_caption
+
+    t = parse_caption("a man sitting on a bench in the park".split())
+    assert "park" in t.objects
+    assert ("bench", "in", "park") in t.relations
+    assert ("bench", "park") not in t.attributes
+
+    # 'riding a wave' keeps the relation (wave = noun object)
+    t2 = parse_caption("a surfer riding a wave".split())
+    assert t2.relations == {("surfer", "riding", "wave")}
+    assert "wave" in t2.objects
+
+    # compound NP at caption start: 'a park bench' -> (bench, park)
+    t3 = parse_caption("a park bench near a tree".split())
+    assert ("bench", "park") in t3.attributes
+    assert "bench" in t3.objects
+
+    # WITHOUT a determiner the lexicon still wins: 'a man walks' is a verb
+    t4 = parse_caption("a man walks a dog".split())
+    assert t4.relations == {("man", "walks", "dog")}
+
+    # -ing participles stay verbs even after a determiner ('the smiling...'
+    # never becomes a noun via this rule)
+    t5 = parse_caption("a man waving".split())
+    assert ("man", "waving") in t5.attributes
+
+
+def test_spice_copula_predicate_not_an_object():
+    """'the table is white' emits (table, white) but NO object node for the
+    adjectival predicate (advisor round-3 low finding)."""
+    from masters_thesis_tpu.evalsuite.spice import parse_caption
+
+    t = parse_caption("the table is white".split())
+    assert ("table", "white") in t.attributes
+    assert "white" not in t.objects
+    assert t.objects == {"table"}
+
+    # nominal predicates keep their object ('the animal is a dog')
+    t2 = parse_caption("the animal is a dog".split())
+    assert ("animal", "dog") in t2.attributes
+    assert "dog" in t2.objects
+
+
+def test_spice_multiword_preps_collapse_through_determiners():
+    """'on the side of' collapses like 'on side of' (advisor round-3 low
+    finding: determiner-bearing variants previously never collapsed, making
+    'side'/'top' spurious NP heads)."""
+    from masters_thesis_tpu.evalsuite.spice import parse_caption
+
+    t = parse_caption("a dog on the side of the road".split())
+    assert ("dog", "on side of", "road") in t.relations
+    assert "side" not in t.objects
+
+    t2 = parse_caption("a clock on the top of the tower".split())
+    assert ("clock", "on top of", "tower") in t2.relations
+    assert "top" not in t2.objects
+
+
 def test_spice_synonym_matching():
     """With a WordNet table, tuple slots match on synset overlap (Java
     SPICE's similarTo); without it, couch/sofa is a miss."""
