@@ -44,6 +44,7 @@ class BatchPipeline:
         prefetch: int = 2,
         drop_remainder: bool = True,
         subject_split: bool = False,
+        self_target: bool = False,
     ):
         self.pairs = pairs
         self.store = store
@@ -71,7 +72,11 @@ class BatchPipeline:
             self._sub_idx = [np.nonzero(pairs.subjects == s)[0] for s in subs]
             half = batch_size // 2
             self.steps_per_epoch = min(len(i) for i in self._sub_idx) // half
-        self.targets = shift_target(pairs.tokens)
+        # self_target: UNSHIFTED targets for the ThinkAndTell loss window
+        # (model.py:271 supervises target[:, i] = tokens[:, i] against the
+        # output that consumed [feat, w_0..w_{i-1}] — ShowTell align="self")
+        self.targets = (pairs.tokens.copy() if self_target
+                        else shift_target(pairs.tokens))
         if store is not None:
             self.store_idx = store.indices_for(pairs.keys)
         else:

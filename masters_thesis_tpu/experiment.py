@@ -375,7 +375,9 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
         from masters_thesis_tpu.models.nic import ImgNIC
 
         model = ImgNIC(
-            embed_dim=cfg.embedding_features, units=cfg.units,
+            # reference: patches project to group_size, not
+            # embedding_features (img_NIC.py:60-62, config_img.yaml:59)
+            embed_dim=cfg.group_size, units=cfg.units,
             attn_units=cfg.attn_units, vocab_size=V, true_vocab=tv,
             max_length=cfg.max_length, embedding_text=cfg.embedding_text,
             dropout_features=cfg.dropout_features, remat=cfg.tpu.remat,
@@ -403,6 +405,17 @@ def build_model(cfg: Config, groups, n_voxels: int, pregathered: bool = False,
             vocab_size=V, true_vocab=tv,
             max_length=cfg.max_length,
             head_activation="relu" if name == "thinkandtell" else "linear",
+            # ThinkAndTell supervises slots 0..T-1 incl. the feat-slot->
+            # <start> term against UNSHIFTED targets (model.py:271);
+            # ShowAndTell skips i=0 — shifted-target alignment
+            # (model.py:154). Round-4 head-to-head fix.
+            align="self" if name == "thinkandtell" else "next",
+            # ShowAndTell primes with relu(fc(x)) (model.py:19),
+            # ThinkAndTell with tanh (model.py:21-28)
+            encoder_activation=("tanh" if name == "thinkandtell"
+                                else "relu"),
+            # ShowAndTell's linear fc1 head stage (model.py:37,60-63)
+            head_inter=(name == "showtell"),
             dropout=cfg.dropout_features,
         )
         return model, showtell_l2_rules(cfg), True
@@ -564,10 +577,13 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
                 enc.subjects = np.arange(len(enc), dtype=np.int32) % 2
     if subject_split and bs % 2:
         bs -= 1  # the [A-half ; B-half] layout needs an even batch
+    self_target = cfg.model.lower() == "thinkandtell"  # ShowTell align="self"
     train_pipe = BatchPipeline(train_enc, store, bs, seed=cfg.seed,
-                               subject_split=subject_split)
+                               subject_split=subject_split,
+                               self_target=self_target)
     val_pipe = BatchPipeline(val_enc, store, bs, seed=cfg.seed, shuffle=False,
-                             subject_split=subject_split)
+                             subject_split=subject_split,
+                             self_target=self_target)
 
     batch = next(iter(BatchPipeline(train_enc, store, bs, seed=0, prefetch=0).epoch()))
     betas0 = (np.asarray(batch["betas"]) if "betas" in batch

@@ -32,16 +32,53 @@ from masters_thesis_tpu.ops.group_layout import GroupLayout
 
 
 class PatchDense(nn.Module):
-    """(B, P, C) -> (B, P, D): shared Dense over patches."""
+    """(B, P, C) -> (B, P, D) patch projection, two reference flavours:
+
+    - shared (``per_patch=False``): ONE Dense over the channel dim — the
+      CNN_RNN CNN_Encoder (CNN_RNN/model.py:23-36).
+    - per-patch (``per_patch=True``): a SEPARATE Dense per patch + BatchNorm
+      over the stacked output + dropout — img_localDense.LocallyDense
+      (AttemptFour/Model/img_localDense.py:20-38 builds n_features distinct
+      Dense layers and applies BN after stacking). Implemented as one
+      (P, C, D) einsum so the P independent matmuls batch onto the MXU.
+    """
 
     out_dim: int
     dropout: float = 0.0
     activation: str = "relu"  # CNN_RNN uses relu (model.py:33); img uses leaky
+    per_patch: bool = False
+    use_bn: bool = False      # img_localDense.py:24: BN after the stack
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        y = nn.Dense(self.out_dim, kernel_init=he_normal, name="proj")(x)
+        if self.per_patch:
+            # per-patch kernels: init must see fan_in = C per patch
+            # (batch_axis=0), like the reference's P separate
+            # Dense(he_normal) layers
+            w = self.param(
+                "kernel",
+                jinit.variance_scaling(
+                    2.0, "fan_in", "truncated_normal",
+                    in_axis=-2, out_axis=-1, batch_axis=0,
+                ),
+                (x.shape[1], x.shape[2], self.out_dim),
+            )
+            b = self.param(
+                "bias", nn.initializers.zeros, (x.shape[1], self.out_dim)
+            )
+            y = jnp.einsum("bpc,pcd->bpd", x, w,
+                           preferred_element_type=jnp.float32) + b
+            y = y.astype(x.dtype)
+        else:
+            y = nn.Dense(self.out_dim, kernel_init=he_normal, name="proj")(x)
         y = leaky_relu(y) if self.activation == "leaky_relu" else nn.relu(y)
+        if self.use_bn:
+            y = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON,
+                name="bn",
+            )(y)
         return nn.Dropout(self.dropout, deterministic=not training)(y)
 
 

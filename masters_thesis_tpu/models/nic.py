@@ -59,6 +59,14 @@ class NIC(nn.Module):
     #                                  numerics match unpadded exactly
     max_length: int = 15
     cell_type: str = "lstm"          # lstm | gru
+    gru_zero_state: bool = False     # CNN_RNN quirk (round-4 head-to-head):
+    #                                  the reference decoder calls
+    #                                  self.gru(x) WITHOUT initial_state
+    #                                  (CNN_RNN/model.py:103), so the GRU
+    #                                  recurrence restarts from zeros every
+    #                                  timestep — the previous state feeds
+    #                                  ONLY the attention query. True
+    #                                  replicates that exactly.
     head_dim: int = 256              # dense_inter width (CNN_RNN: units)
     head_activation: str = "leaky_relu"  # leaky_relu | linear (CNN_RNN fc1
     #                                      has NO activation, model.py:77)
@@ -174,7 +182,10 @@ class NIC(nn.Module):
             h = carry[0] if mod.cell_type == "lstm" else carry
             context, alpha = mod.attention(h, features, training=training)
             x = jnp.concatenate([context, emb_t], axis=-1)
-            carry, out = mod.cell(carry, x)
+            cell_in = (jnp.zeros_like(carry)
+                       if mod.gru_zero_state and mod.cell_type == "gru"
+                       else carry)
+            carry, out = mod.cell(cell_in, x)
             carry = jax.tree_util.tree_map(
                 lambda s: s.astype(jnp.float32), carry)
             out = mod.drop_lstm(out, deterministic=not training)
@@ -218,7 +229,8 @@ class NIC(nn.Module):
         if self.cell_type == "lstm":
             (h, c), _ = self.cell((h, c), x)
         else:
-            h, _ = self.cell(h, x)
+            h, _ = self.cell(
+                jnp.zeros_like(h) if self.gru_zero_state else h, x)
         logits = self.head(h, training=False)
         return h, c, logits, alpha[..., 0]
 
@@ -283,7 +295,7 @@ def GloveNIC(layout: GroupLayout, embedding_table, trainable: bool = True,
 
 
 def ImgNIC(
-    embed_dim: int = 512,
+    embed_dim: int = 32,
     units: int = 512,
     attn_units: int = 32,
     vocab_size: int = 5001,
@@ -292,13 +304,18 @@ def ImgNIC(
     dropout_features: float = 0.2,
     **kw: Any,
 ) -> NIC:
-    """Show-Attend-Tell on conv-feature patches (img_NIC.py path)."""
+    """Show-Attend-Tell on conv-feature patches (img_NIC.py path): a
+    SEPARATE Dense per patch projecting each 512-d conv column to
+    ``embed_dim`` (= config group_size 32, config_img.yaml:59) with
+    LeakyReLU + BatchNorm over the stack (img_localDense.py:20-38) —
+    round-4 head-to-head fix; previously a shared projection to 512."""
     from masters_thesis_tpu.models.encoders import PatchDense
 
     return NIC(
         encoder=PatchDense(
             out_dim=embed_dim, dropout=dropout_features,
-            activation="leaky_relu", name="encoder",
+            activation="leaky_relu", per_patch=True, use_bn=True,
+            name="encoder",
         ),
         units=units,
         embedding_text=embedding_text,
@@ -318,10 +335,13 @@ def CnnRnnNIC(
 ) -> NIC:
     """The CNN_RNN GRU captioner (CNN_RNN/model.py): relu patch encoder,
     GRU cell, plain (no-activation, no-dropout) textbook attention
-    (model.py:38-61) and a linear fc1 Dense(units) head (model.py:77-78)."""
+    (model.py:38-61), a linear fc1 Dense(units) head (model.py:77-78), and
+    the zero-initial-state GRU recurrence (model.py:103 — see
+    NIC.gru_zero_state)."""
     from masters_thesis_tpu.models.encoders import PatchDense
 
     kw.setdefault("dropout_attn", 0.0)
+    kw.setdefault("gru_zero_state", True)
     return NIC(
         encoder=PatchDense(out_dim=embed_dim, activation="relu", name="encoder"),
         units=units,

@@ -46,8 +46,17 @@ class ShowTell(nn.Module):
     #                                  (see models/nic.py / common.py)
     max_length: int = 15
     input_dense: bool = True         # False: inputs are already embed_dim wide
-    encoder_activation: str = "tanh"  # ThinkAndTell Encoder (model.py:23)
+    encoder_activation: str = "tanh"  # ThinkAndTell Encoder (model.py:23);
+    #   "relu" for ShowAndTell (ShowAndTell/model.py:19 — round-4
+    #   head-to-head fix: relu, not tanh, on that family's feature prime)
     head_activation: str = "linear"  # 'relu' for exact ThinkAndTell parity
+    head_inter: bool = False         # ShowAndTell's linear fc1 (see setup)
+    align: str = "next"              # which T of the T+1 LSTM outputs carry
+    #   the loss. "next" (ShowAndTell/model.py:154: i = 1..T-1): drop the
+    #   feat slot; logits[:, t] predicts SHIFTED target w_{t+1}. "self"
+    #   (ThinkAndTell/model.py:271: i = 0..T-1): drop the LAST slot;
+    #   logits[:, t] predicts UNSHIFTED target w_t — includes the
+    #   reference's feat-slot-predicts-<start> term (round-4 head-to-head).
     dropout: float = 0.2
 
     def setup(self):
@@ -69,6 +78,14 @@ class ShowTell(nn.Module):
             (self.vocab_size, self.embedding_text),
         )
         self.cell = KerasLSTMCell(self.units, name="lstm")
+        if self.head_inter:
+            # ShowAndTell's linear fc1 Dense(units) between the LSTM and
+            # the vocab head (ShowAndTell/model.py:37,60-63) — round-4
+            # head-to-head fix; ThinkAndTell comments fc1 out
+            # (model.py:77,105-109), so it stays off for that family
+            self.fc1 = nn.Dense(
+                self.units, kernel_init=glorot_uniform, name="fc1"
+            )
         self.fc_vocab = nn.Dense(
             self.vocab_size, kernel_init=pad_zero_cols(glorot_uniform, tv),
             name="fc_vocab"
@@ -81,6 +98,8 @@ class ShowTell(nn.Module):
             y = self.fc_embedding(x)
             if self.encoder_activation == "tanh":
                 y = jnp.tanh(y)
+            elif self.encoder_activation == "relu":
+                y = nn.relu(y)
             y = self.drop(y, deterministic=not training)
         else:
             y = x
@@ -88,6 +107,8 @@ class ShowTell(nn.Module):
 
     def head(self, h, training: bool = False):
         x = self.drop(h, deterministic=not training)
+        if self.head_inter:
+            x = self.fc1(x)
         logits = self.fc_vocab(x)
         if self.head_activation == "relu":
             logits = nn.relu(logits)
@@ -125,7 +146,8 @@ class ShowTell(nn.Module):
             in_axes=1, out_axes=1,
         )
         _, hseq = scan(self, (a0, c0), xs)                   # (B, T+1, U)
-        logits = self.head(hseq[:, 1:], training=training)   # drop feat slot
+        kept = hseq[:, :-1] if self.align == "self" else hseq[:, 1:]
+        logits = self.head(kept, training=training)          # (B, T, V)
         bs = inputs.shape[0]
         attn = jnp.zeros((bs, self.max_length, 1), logits.dtype)
         return logits, attn

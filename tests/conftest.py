@@ -124,6 +124,14 @@ _SLOW_TESTS = {
     "test_fused_whole_decode_ragged_regions",
     "test_learned_init_state_changes_initial_logits",
     "test_headtohead_vs_reference_source",
+    "test_headtohead_ms2",
+    "test_headtohead_img",
+    "test_headtohead_cnn_rnn",
+    "test_headtohead_showtell",
+    "test_headtohead_thinkandtell",
+    "test_headtohead_beam",
+    "test_ms_nic_source_is_dead_code",
+    "test_multiprocess_drive_matches_single_process",
     "test_flagship_census_shards_model_params",
 }
 

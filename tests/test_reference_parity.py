@@ -50,3 +50,149 @@ def test_headtohead_vs_reference_source():
     assert report["greedy_fresh_mismatches"] == 0
     assert report["greedy_trained_mismatches"] == 0
     assert report["greedy_fresh_mismatches_tokens"] > 0
+
+
+# ---- round-4: every remaining model family, same method ----------------
+# (scripts/reference_headtohead_families.py transplants our params into
+# the family's own committed source under legacy Keras and measures
+# forward / trajectory / greedy deviations; source defects are verified
+# empirically and recorded, not silently patched over)
+
+FAMILIES_SCRIPT = os.path.join(
+    os.path.dirname(SCRIPT), "reference_headtohead_families.py")
+
+
+def _run_family(family: str) -> dict:
+    env = dict(os.environ)
+    env["TF_USE_LEGACY_KERAS"] = "1"
+    env["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    proc = subprocess.run(
+        [sys.executable, FAMILIES_SCRIPT, "--family", family],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not present")
+def test_headtohead_ms2():
+    """ms2_NIC (ms2_NIC.py:88-364): two-encoder split-batch family."""
+    r = _run_family("ms2")
+    assert r["fwd_probs_max_diff"] < 1e-6
+    assert r["fwd_attn_max_diff"] < 1e-6
+    assert r["traj_loss_max_diff"] < 1e-5
+    assert r["traj_l2_max_diff"] < 1e-5
+    for k in ("traj_w_lstm_kernel", "traj_w_dense_out", "traj_w_embedding",
+              "traj_w_encoder_a_g0", "traj_w_encoder_b_g0",
+              "traj_bn_a_mean", "traj_bn_b_mean"):
+        assert r[k] < 2e-4, (k, r[k])
+    # greedy is DEAD source (self.dense_in, ms2_NIC.py:555) — the defect
+    # must reproduce; silently passing would mean the source changed
+    assert "dense_in" in (r["greedy_dead_error"] or "")
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not present")
+def test_headtohead_img():
+    """img_NIC (img_NIC.py + img_localDense.py): 196 per-patch encoders."""
+    r = _run_family("img")
+    # the committed call_attention crashes on the stale 2-value attention
+    # unpack (img_NIC.py:183 vs attention.py:44)
+    assert r["stale_attention_unpack_error"] is not None
+    assert r["fwd_probs_max_diff"] < 1e-6
+    assert r["fwd_attn_max_diff"] < 1e-6
+    assert r["traj_loss_max_diff"] < 1e-5
+    assert r["traj_l2_max_diff"] < 1e-4
+    for k in ("traj_w_enc_p0", "traj_w_lstm_kernel", "traj_w_dense_out",
+              "traj_bn_mean"):
+        assert r[k] < 2e-4, (k, r[k])
+    assert r["greedy_fresh_mismatches"] == 0
+    assert r["greedy_trained_mismatches"] == 0
+    assert r["greedy_tokens"] > 0
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not present")
+def test_headtohead_cnn_rnn():
+    """CNN_RNN (CNN_RNN/model.py): zero-initial-state GRU + plain
+    attention + linear fc1 — the recurrence quirk this test exists for."""
+    r = _run_family("cnn_rnn")
+    assert r["fwd_logits_max_diff"] < 1e-6
+    assert r["traj_loss_max_diff"] < 1e-5
+    for k in ("traj_w_gru_kernel", "traj_w_fc2", "traj_w_embedding",
+              "traj_w_enc"):
+        assert r[k] < 2e-5, (k, r[k])
+    assert r["greedy_fresh_mismatches"] == 0
+    assert r["greedy_trained_mismatches"] == 0
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not present")
+def test_headtohead_showtell():
+    """ShowAndTell (ShowAndTell/model.py): relu prime, fc1 head stage,
+    masked summed loss skipping i=0."""
+    r = _run_family("showtell")
+    # committed mask defect (length-T mask, T+1 inputs) must reproduce
+    assert r["mask_defect_error"] is not None
+    assert r["fwd_logits_max_diff"] < 1e-6
+    assert r["traj_loss_max_diff"] < 1e-5
+    for k in ("traj_w_lstm_kernel", "traj_w_fc2", "traj_w_embedding",
+              "traj_w_enc"):
+        assert r[k] < 2e-5, (k, r[k])
+    assert r["greedy_fresh_mismatches"] == 0
+    assert r["greedy_trained_mismatches"] == 0
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not present")
+def test_headtohead_thinkandtell():
+    """ThinkAndTell (ThinkAndTell/model.py): align='self' loss window
+    (supervises i=0..T-1 incl. the feat-slot-><start> term), SGD+momentum+
+    cosine — EXACT against our production masked step — plus the proof
+    that the reference's SAM step degenerates to the plain update."""
+    r = _run_family("thinkandtell")
+    assert r["fwd_logits_max_diff"] < 1e-6
+    assert r["eval_argmax_mismatches"] == 0
+    assert r["traj_loss_max_diff"] < 1e-5
+    assert r["traj_l2_max_diff"] < 1e-5
+    for k in ("traj_w_lstm_kernel", "traj_w_fc2", "traj_w_embedding",
+              "traj_w_enc"):
+        assert r[k] < 2e-5, (k, r[k])
+    # model.py:210-225 records the second tape BEFORE perturbing: SAM ==
+    # plain step (measured, not inferred)
+    assert r["sam_vs_plain_weight_max_diff"] < 1e-6
+
+
+BEAM_SCRIPT = os.path.join(
+    os.path.dirname(SCRIPT), "reference_headtohead_beam.py")
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not present")
+def test_headtohead_beam():
+    """Our lattice beam vs the reference's shrinking-frontier beam_search
+    (soloist/Modified-Show-And-Tell-Keras/evaluate.py:103-189), both driven
+    by bit-identical step distributions: the selected hypothesis (tokens +
+    normalised score) must match, including the frontier edge cases —
+    shrinking on early <end>, first-loop-iteration finishes scored -inf
+    (evaluate.py:163-166), the unchecked <end>-as-seed step
+    (evaluate.py:114-127), and all-beams-dead termination."""
+    proc = subprocess.run(
+        [sys.executable, BEAM_SCRIPT],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    r = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert r["token_mismatches"] == 0
+    assert r["score_mismatches"] == 0
+    assert r["max_score_diff"] < 1e-4
+    # the harness must actually exercise the edge semantics, not dodge them
+    assert r["early_finish_cases"] > 20
+    assert r["deadend_cases"] > 5
+    assert r["seed_end_cases"] > 5
+    assert r["all_deadend_cases"] >= 1
+    assert r["samples"] >= 100
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not present")
+def test_ms_nic_source_is_dead_code():
+    """ms_NIC.py cannot be constructed (NameError on the module global
+    'groups', ms_NIC.py:85): the executed shared-encoder path is
+    main_ms_single_enc.py -> lc_NIC, covered by the flagship test above."""
+    r = _run_family("ms_dead")
+    assert "NameError" in (r["ms_nic_construct_error"] or "")
