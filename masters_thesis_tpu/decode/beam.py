@@ -12,6 +12,29 @@ fixed (B, W) lattice scanned for ``max_len`` steps — finished beams are frozen
 by forcing a zero-cost ``<pad>`` continuation — so the whole search is one XLA
 program batched over the eval set. Token histories are carried with the beams
 (re-gathered on every reorder), avoiding host-side back-pointer chasing.
+
+Reference-exact frontier semantics (round-4 head-to-head vs the soloist
+source algorithm, scripts/reference_headtohead_beam.py):
+
+- **Shrinking frontier.** Once a route emits ``<end>`` the reference stores
+  it in ``res`` forever and the live beam narrows (``beam_width -= 1``,
+  evaluate.py:167); a finished hypothesis can never be displaced by live
+  candidates. The lattice reproduces that by boosting each frozen beam's
+  zero-cost ``<pad>`` continuation with a rank-only bonus before ``top_k``
+  (subtracted from the selected score afterwards), so frozen beams always
+  keep their slot and the live expansion fills exactly the remaining
+  ``W - n_finished`` slots — the shrinking frontier, without dynamic shapes.
+- **Seed step is unchecked.** The reference's first step seeds the routes
+  with the top-W tokens *without* testing for ``<end>`` (evaluate.py:114-127);
+  an ``<end>`` seed continues decoding as an ordinary token. The lattice
+  matches: ``is_end`` only engages for ``t > 0``.
+- **First-iteration finish is discarded.** A route whose very first loop
+  expansion is ``<end>`` (our ``t == 1``) is recorded with score ``-inf``
+  (evaluate.py:163-166) — kept in the lattice as a frozen ``dead-end`` beam
+  whose final normalised score is forced to ``NEG_INF``.
+- **Length counting** (evaluate.py:164,186): ``len(route)`` counts emitted
+  non-``<end>`` tokens including the seed; the terminal ``<end>``'s log-prob
+  IS in the raw score but ``<end>`` is not in the route/length.
 """
 
 from __future__ import annotations
@@ -61,6 +84,7 @@ def make_beam_decoder(
             jnp.asarray([0.0] + [NEG_INF] * (W - 1), features.dtype), (B, 1)
         )
         finished = jnp.zeros((B, W), bool)
+        deadend = jnp.zeros((B, W), bool)  # finished on first loop iteration
         lengths = jnp.zeros((B, W), jnp.int32)
         hist = jnp.full((B, W, max_length), pad_id, jnp.int32)
         # attention width from the step signature (trace-only, no FLOPs);
@@ -76,8 +100,14 @@ def make_beam_decoder(
         # eval saves real attention maps, AttemptFour/eval.py:181-190)
         ahist = jnp.zeros((B, W, max_length, R), features.dtype)
 
+        # rank-only bonus that pins finished beams' frozen <pad> continuation
+        # above every live candidate in top_k (shrinking frontier,
+        # evaluate.py:167); must dominate |NEG_INF| so no live or dead-slot
+        # candidate (>= NEG_INF + min logp) can outrank a frozen beam
+        BONUS = -2.0 * NEG_INF
+
         def scan_step(carry, t):
-            h, c, tok, scores, finished, lengths, hist, ahist = carry
+            h, c, tok, scores, finished, deadend, lengths, hist, ahist = carry
             # NOTE: named attn, not alpha — the length-norm exponent in the
             # enclosing scope is also called alpha
             h2, c2, logits, attn = model.apply(
@@ -91,7 +121,17 @@ def make_beam_decoder(
             logp = jnp.where(finished[..., None], pad_row[None, None, :], logp)
 
             cand = scores[..., None] + logp                   # (B, W, V)
-            top_scores, top_idx = jax.lax.top_k(cand.reshape(B, W * V), W)
+            # selection keys: frozen beams' <pad> entry boosted so finished
+            # hypotheses always keep their slot (reference stores them in
+            # `res` forever); true scores recovered after selection
+            bonus_row = jnp.zeros((V,), cand.dtype).at[pad_id].set(BONUS)
+            keys = cand + finished[..., None] * bonus_row[None, None, :]
+            _, top_idx = jax.lax.top_k(keys.reshape(B, W * V), W)
+            # exact scores come from cand, NOT keys - BONUS: float32 ulp at
+            # |BONUS| ~ 2e9 is 256, which would wipe out the real log-probs
+            top_scores = jnp.take_along_axis(
+                cand.reshape(B, W * V), top_idx, axis=1
+            )
             beam_src = top_idx // V                           # (B, W)
             new_tok = (top_idx % V).astype(jnp.int32)
 
@@ -102,9 +142,15 @@ def make_beam_decoder(
             h3 = pick(h2).reshape(B * W, units)
             c3 = pick(c2).reshape(B * W, units)
             fin_src = jnp.take_along_axis(finished, beam_src, axis=1)
+            dead_src = jnp.take_along_axis(deadend, beam_src, axis=1)
             len_src = jnp.take_along_axis(lengths, beam_src, axis=1)
-            is_end = new_tok == end_id
+            # the reference's seed step never tests for <end>
+            # (evaluate.py:114-127): an <end> seed continues as a normal token
+            is_end = (new_tok == end_id) & (t > 0)
             new_finished = fin_src | is_end
+            # a first-loop-iteration finish is recorded with score -inf
+            # (evaluate.py:163-166): seed + immediate <end> at our t == 1
+            new_deadend = dead_src | (is_end & ~fin_src & (t == 1))
             # route length counts emitted non-<end> tokens (evaluate.py:164)
             new_lengths = len_src + (~fin_src & ~is_end).astype(jnp.int32)
             hist = jnp.take_along_axis(hist, beam_src[..., None], axis=1)
@@ -122,18 +168,20 @@ def make_beam_decoder(
             )
             return (
                 h3, c3, new_tok.reshape(-1), top_scores, new_finished,
-                new_lengths, hist, ahist,
+                new_deadend, new_lengths, hist, ahist,
             ), None
 
-        carry = (h, c, tok, scores, finished, lengths, hist, ahist)
-        (_, _, _, scores, finished, lengths, hist, ahist), _ = jax.lax.scan(
-            scan_step, carry, jnp.arange(max_length)
+        carry = (h, c, tok, scores, finished, deadend, lengths, hist, ahist)
+        (_, _, _, scores, finished, deadend, lengths, hist, ahist), _ = (
+            jax.lax.scan(scan_step, carry, jnp.arange(max_length))
         )
 
-        # length-normalised ranking: score / len^alpha (evaluate.py:164,186)
+        # length-normalised ranking: score / len^alpha (evaluate.py:164,186);
+        # dead-end beams (finished on the first loop iteration) rank -inf
         norm = scores / jnp.power(
             jnp.maximum(lengths, 1).astype(scores.dtype), alpha
         )
+        norm = jnp.where(deadend, NEG_INF, norm)
         best = jnp.argmax(norm, axis=1)
         best_tokens = jnp.take_along_axis(hist, best[:, None, None], axis=1)[:, 0, :]
         best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
