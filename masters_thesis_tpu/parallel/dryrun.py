@@ -276,6 +276,38 @@ def _dryrun_impl(n_devices: int) -> None:
         f"shardings={realized} ok"
     )
 
+    # real multi-PROCESS drive (round 4): 2 OS processes x n/2 virtual CPU
+    # devices each, jax.distributed.initialize + Gloo collectives, per-host
+    # input through global_batch_from_host_local — trajectory-matched here
+    # against the identical single-process program so the MULTICHIP artifact
+    # records a *cross-process* proof, not just a virtual-mesh one.
+    # (Opt out with MTT_DRYRUN_MULTIPROCESS=0, e.g. port-less sandboxes.)
+    if (
+        os.environ.get("MTT_DRYRUN_MULTIPROCESS", "1") != "0"
+        and n_devices >= 4 and n_devices % 2 == 0
+    ):
+        from masters_thesis_tpu.parallel.multiprocess import (
+            run_multiprocess_drive,
+            single_process_reference,
+        )
+
+        mp = run_multiprocess_drive(
+            n_processes=2, devices_per_process=n_devices // 2)
+        sp = single_process_reference()
+        dloss = max(
+            abs(a - b) for a, b in zip(mp["losses"], sp["losses"]))
+        dnorm = abs(mp["param_norm"] - sp["param_norm"])
+        assert dloss < 1e-5 and dnorm < 1e-4, (
+            f"multi-process drive diverged: dloss={dloss} dnorm={dnorm}")
+        print(
+            f"multiprocess_drive: procs={mp['process_count']} "
+            f"local_devs={mp['n_local_devices']} "
+            f"global_devs={mp['n_global_devices']} "
+            f"steps={len(mp['losses'])} "
+            f"max_loss_diff_vs_single_process={dloss:.2e} "
+            f"param_norm_diff={dnorm:.2e} ok"
+        )
+
     # flagship-shape sharding proof: compile-only at reference dims so the
     # census reflects the REAL model (the toy dims above prove execution,
     # not that 327k-voxel kernels / vocab-5001 embedding shard sensibly)

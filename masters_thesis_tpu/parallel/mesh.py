@@ -32,8 +32,34 @@ def make_mesh(data: int = 0, model: int = 1, devices=None) -> Mesh:
 
 
 def maybe_distributed_init() -> None:
-    """Multi-host bootstrap (jax.distributed). No-op on a single host."""
+    """Multi-host bootstrap (jax.distributed). No-op on a single host.
+
+    Opt-in via env: ``JAX_COORDINATOR_ADDRESS`` (host:port) plus, when the
+    launcher is not a recognised cluster (TPU pod / SLURM / MPI auto-detect),
+    explicit ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``. On the CPU backend
+    cross-process collectives need the Gloo transport
+    (jax_cpu_collectives_implementation) — selected here before the backend
+    initialises. Exercised for real by parallel/multiprocess.py (round 4):
+    N OS processes, per-host input via global_batch_from_host_local,
+    trajectory-matched against the single-process run.
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    try:
+        # only affects the CPU client; harmless on TPU backends
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # older jax: flag absent; initialize() may still work
+        pass
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    else:
         jax.distributed.initialize()

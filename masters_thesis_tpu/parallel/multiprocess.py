@@ -1,0 +1,247 @@
+"""Real multi-PROCESS distributed drive (round 4).
+
+Everything multi-device before this module ran in ONE process on a virtual
+mesh; the four lines of ``maybe_distributed_init`` (mesh.py) and the
+per-host input assembly ``global_batch_from_host_local`` (sharding.py:221)
+had never crossed an OS process boundary. This module launches N real
+processes — ``jax.distributed.initialize`` over a local coordinator, K
+virtual CPU devices per process, XLA collectives over the Gloo transport —
+and trains the SAME sharded step the single-process path uses, each process
+feeding only its host-local slice of every batch. The parent (or the test)
+then asserts the multi-process loss trajectory and final parameter norm
+match the single-process run of the identical program.
+
+This is the TPU-native counterpart of SURVEY.md §2.7's "communication
+backend" row: the reference has no distributed execution at all; here the
+multi-host path is the production train step + GSPMD shardings, with
+``jax.distributed`` as the only process-level bootstrap (no hand-written
+comm layer — collectives are inserted by XLA exactly as on a TPU pod).
+
+Entry points:
+  run_multiprocess_drive(n_processes, devices_per_process, steps)
+      parent-side launcher; returns the drive report dict.
+  single_process_reference(...)
+      the same program in-process (requires >= n_processes*K devices).
+  python -m masters_thesis_tpu.parallel.multiprocess --child ...
+      child-side main (used by the launcher; not for direct use).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+# drive dimensions: mesh (data=NK/2, model=2); every dim divides the mesh
+DRIVE = dict(
+    n_voxels=256, n_groups=8, batch=8, steps=6, top_k=63,
+    units=16, attn_units=8, group_size=4, embedding_text=8, max_length=6,
+)
+
+
+def _drive_batches(cfg, n_voxels: int, steps: int, seed: int = 7):
+    """Deterministic global batches, identical in every process."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(steps):
+        betas = rng.standard_normal(
+            (cfg.batch_size, n_voxels)).astype(np.float32)
+        tokens = rng.integers(
+            1, cfg.vocab_size, (cfg.batch_size, cfg.max_length)
+        ).astype(np.int32)
+        target = np.concatenate(
+            [tokens[:, 1:], np.zeros((cfg.batch_size, 1), np.int32)], axis=1)
+        out.append({"betas": betas, "tokens": tokens, "target": target})
+    return out
+
+
+def _drive_model(cfg, n_voxels: int, n_groups: int):
+    from masters_thesis_tpu.data.synthetic import synthetic_groups
+    from masters_thesis_tpu.models.nic import LcNIC
+    from masters_thesis_tpu.ops.group_layout import GroupLayout
+
+    groups = synthetic_groups(n_voxels=n_voxels, n_groups=n_groups, seed=0)
+    return LcNIC(
+        layout=GroupLayout(groups, n_voxels=n_voxels),
+        units=cfg.units, group_size=cfg.group_size,
+        embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+        vocab_size=cfg.vocab_size, max_length=cfg.max_length,
+    )
+
+
+def _drive_once(mesh, local_slice=None) -> dict:
+    """Run the drive on an existing mesh.
+
+    ``local_slice``: (row0, row1) of each global batch this process feeds
+    through ``global_batch_from_host_local``; None = single process feeds
+    everything (the function degrades to a sharded device_put there, so the
+    SAME input path runs in both configurations).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from masters_thesis_tpu.config import Config
+    from masters_thesis_tpu.parallel.sharding import (
+        global_batch_from_host_local,
+        make_sharded_train_step,
+        shard_params,
+    )
+    from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+    from masters_thesis_tpu.train.optim import make_optimizer
+    from masters_thesis_tpu.train.state import TrainState, init_model
+
+    d = DRIVE
+    cfg = Config(
+        batch_size=d["batch"], max_length=d["max_length"], top_k=d["top_k"],
+        units=d["units"], attn_units=d["attn_units"],
+        group_size=d["group_size"], embedding_text=d["embedding_text"],
+    )
+    model = _drive_model(cfg, d["n_voxels"], d["n_groups"])
+    batches = _drive_batches(cfg, d["n_voxels"], d["steps"])
+
+    # identical seeded init in every process (single-controller SPMD style:
+    # same program, same seeds -> same initial params everywhere)
+    b0 = batches[0]
+    params, bstats, rng = init_model(
+        model, cfg, jnp.asarray(b0["betas"]), jnp.asarray(b0["tokens"]))
+    state = TrainState.create(
+        params=params, batch_stats=bstats, tx=make_optimizer(cfg), rng=rng)
+    state = shard_params(state, mesh)
+    step = make_sharded_train_step(
+        model, cfg, lc_nic_l2_rules(cfg), mesh, state)
+
+    losses = []
+    for b in batches:
+        local = (
+            {k: v[local_slice[0]: local_slice[1]] for k, v in b.items()}
+            if local_slice is not None else b
+        )
+        g = global_batch_from_host_local(local, mesh, with_voxel_axis=True)
+        state, metrics = step(state, g["betas"], g["tokens"], g["target"])
+        losses.append(
+            float(np.asarray(metrics["loss"].addressable_data(0))))
+
+    # final parameter norm: a single replicated scalar summarising the full
+    # trained state (computed on-mesh; every process reads its local copy)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def pnorm(params):
+        return jnp.sqrt(sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(params)))
+
+    norm = jax.jit(
+        pnorm, out_shardings=NamedSharding(mesh, P()))(state.params)
+    return {
+        "losses": losses,
+        "param_norm": float(np.asarray(norm.addressable_data(0))),
+    }
+
+
+def _child_main(argv) -> None:
+    """Runs inside each spawned process (env prepared by the launcher)."""
+    from masters_thesis_tpu.parallel.mesh import (
+        make_mesh,
+        maybe_distributed_init,
+    )
+
+    maybe_distributed_init()
+    import jax
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    mesh = make_mesh(model=2)
+    rows = DRIVE["batch"] // nproc
+    report = _drive_once(mesh, local_slice=(pid * rows, (pid + 1) * rows))
+    report.update(
+        process_index=pid, process_count=nproc,
+        n_global_devices=len(jax.devices()),
+        n_local_devices=len(jax.local_devices()),
+    )
+    if pid == 0:
+        print("MPDRIVE " + json.dumps(report), flush=True)
+
+
+def single_process_reference() -> dict:
+    """The identical program on an in-process mesh (>= 2 devices)."""
+    from masters_thesis_tpu.parallel.mesh import make_mesh
+
+    return _drive_once(make_mesh(model=2))
+
+
+def run_multiprocess_drive(
+    n_processes: int = 2, devices_per_process: int = 4,
+    timeout: int = 900,
+) -> dict:
+    """Launch the drive across real OS processes; return process 0's report.
+
+    The children import THIS module, so the trained program is byte-identical
+    to ``single_process_reference``'s — only the process topology differs.
+    """
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = dict(os.environ)
+    base.pop("JAX_PLATFORMS", None)  # children pin cpu themselves
+    base["PYTHONPATH"] = repo_root + os.pathsep + base.get("PYTHONPATH", "")
+    flags = [f for f in base.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    base["XLA_FLAGS"] = " ".join(
+        flags + [f"--xla_force_host_platform_device_count="
+                 f"{devices_per_process}"])
+
+    child_code = (
+        "import jax, sys\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from masters_thesis_tpu.parallel.multiprocess import _child_main\n"
+        "_child_main(sys.argv[1:])\n"
+    )
+    procs = []
+    for pid in range(n_processes):
+        env = dict(base)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = str(n_processes)
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", child_code],
+            env=env, cwd=repo_root,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    failed = []
+    for pid, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        if p.returncode != 0:
+            failed.append((pid, p.returncode, err[-2000:]))
+    if failed:
+        raise RuntimeError(f"multiprocess drive failed: {failed}")
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MPDRIVE "):
+                report = json.loads(line[len("MPDRIVE "):])
+                report["n_processes"] = n_processes
+                report["devices_per_process"] = devices_per_process
+                return report
+    raise RuntimeError(f"no MPDRIVE report in child output: {outs}")
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        _child_main(sys.argv)
+    else:
+        rep = run_multiprocess_drive()
+        print(json.dumps(rep))
