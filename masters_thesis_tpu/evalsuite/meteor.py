@@ -40,9 +40,15 @@ Alignment search matches each parameterisation's published system:
   ties by fewest chunks, then smallest total start-position distance
   (Aligner.resolve in the Meteor 1.5 source; Denkowski & Lavie 2014 §2).
 
-Remaining documented deviation: the jar's function-word list is
-corpus-derived; ``FUNCTION_WORDS`` here is the standard closed-class
-English inventory.
+- the function-word list for 1.5's delta weighting is a DATA FILE
+  (``meteor_function_words_en.txt`` bundled next to this module; override
+  with ``MTT_METEOR_FUNCTION_WORDS``, e.g. the jar's own
+  ``function/en.words`` extracted by
+  ``scripts/convert_meteor_function_words.py`` for bit-exact membership —
+  the same offline-data pattern as the synonym/paraphrase tables). Every
+  scoring entry point also accepts an explicit ``function_words`` set;
+  the delta-weighting math itself is pinned by hand-derived goldens in
+  tests/test_meteor_goldens.py.
 """
 
 from __future__ import annotations
@@ -52,23 +58,29 @@ import os
 
 from masters_thesis_tpu.evalsuite.stem import porter_stem
 
-# Closed-class English words for METEOR-1.5's delta weighting (the jar
-# derives its list from corpus frequency; this is the standard grammatical
-# inventory: determiners, prepositions, conjunctions, pronouns, auxiliaries).
-FUNCTION_WORDS = frozenset("""
-a an the this that these those some any each every no either neither
-i you he she it we they me him her us them my your his its our their
-mine yours hers ours theirs myself yourself himself herself itself
-ourselves themselves who whom whose which what
-in on at by for with about against between into through during before
-after above below to from up down out off over under again further
-of as if then than too very so just not only own same s t don now
-and but or nor yet both all most other such few more
-is are was were be been being am
-have has had having do does did doing will would shall should can
-could may might must
-there here when where why how
-""".split())
+_FUNCTION_WORDS_ENV = "MTT_METEOR_FUNCTION_WORDS"
+
+
+def load_function_words(path: str | None = None) -> frozenset:
+    """Function words for METEOR-1.5's delta weighting, one per line,
+    '#' comments ignored. Default: $MTT_METEOR_FUNCTION_WORDS, else the
+    bundled closed-class English inventory (see the data file's header
+    for the derivation and the jar-extraction route)."""
+    if path is None:
+        path = os.environ.get(_FUNCTION_WORDS_ENV) or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "meteor_function_words_en.txt",
+        )
+    words = []
+    with open(path) as f:
+        for line in f:
+            w = line.strip()
+            if w and not w.startswith("#"):
+                words.append(w.lower())
+    return frozenset(words)
+
+
+FUNCTION_WORDS = load_function_words()
 
 _DEFAULT_TABLE_ENV = "MTT_METEOR_SYNONYMS"
 _PARAPHRASE_TABLE_ENV = "MTT_METEOR_PARAPHRASES"
@@ -376,28 +388,30 @@ _PARAMS = {
 }
 
 
-def _weighted_count(words, idxs, delta):
+def _weighted_count(words, idxs, delta, function_words):
     """delta-weighted count of the indexed words (content delta,
     function 1-delta); unweighted when delta is None."""
     if delta is None:
         return float(len(idxs))
-    return sum(delta if words[k] not in FUNCTION_WORDS else 1.0 - delta
+    return sum(delta if words[k] not in function_words else 1.0 - delta
                for k in idxs)
 
 
-def _segment_stats(ref, hyp, stemmer, synonyms, p, paraphrases=None):
+def _segment_stats(ref, hyp, stemmer, synonyms, p, paraphrases=None,
+                   function_words=None):
     """METEOR sufficient statistics for one (ref, hyp) pair:
     (weighted hyp matches, weighted ref matches, weighted |hyp|,
     weighted |ref|, chunks, raw matches)."""
     align = _align_beam if p.get("search") == "beam" else _align
     stage_sides, chunks, m = align(ref, hyp, stemmer, synonyms, paraphrases)
     delta = p["delta"]
+    fw = FUNCTION_WORDS if function_words is None else function_words
     wm_h = wm_r = 0.0
     for w, (h_idxs, r_idxs) in zip(p["weights"], stage_sides):
-        wm_h += w * _weighted_count(hyp, h_idxs, delta)
-        wm_r += w * _weighted_count(ref, r_idxs, delta)
-    len_h = _weighted_count(hyp, range(len(hyp)), delta)
-    len_r = _weighted_count(ref, range(len(ref)), delta)
+        wm_h += w * _weighted_count(hyp, h_idxs, delta, fw)
+        wm_r += w * _weighted_count(ref, r_idxs, delta, fw)
+    len_h = _weighted_count(hyp, range(len(hyp)), delta, fw)
+    len_r = _weighted_count(ref, range(len(ref)), delta, fw)
     return wm_h, wm_r, len_h, len_r, chunks, m
 
 
@@ -414,7 +428,8 @@ def _score_from_stats(wm_h, wm_r, len_h, len_r, chunks, m, p) -> float:
 def meteor_lite(references, hypothesis, use_stem: bool = True,
                 synonyms: SynonymTable | None = None,
                 params: str = "2005",
-                paraphrases: ParaphraseTable | None = None) -> float:
+                paraphrases: ParaphraseTable | None = None,
+                function_words: frozenset | None = None) -> float:
     """Segment METEOR: max over references (metric_suit.py scores per image
     against all 5 ground-truth captions)."""
     hyp = list(hypothesis)
@@ -425,7 +440,7 @@ def meteor_lite(references, hypothesis, use_stem: bool = True,
     best = 0.0
     for ref in references:
         stats = _segment_stats(list(ref), hyp, stemmer, synonyms, p,
-                               paraphrases)
+                               paraphrases, function_words)
         best = max(best, _score_from_stats(*stats, p))
     return best
 
@@ -433,7 +448,8 @@ def meteor_lite(references, hypothesis, use_stem: bool = True,
 def corpus_meteor(references_list, hypotheses, use_stem: bool = True,
                   synonyms: SynonymTable | None = None,
                   params: str = "2005",
-                  paraphrases: ParaphraseTable | None = None) -> float:
+                  paraphrases: ParaphraseTable | None = None,
+                  function_words: frozenset | None = None) -> float:
     """Corpus METEOR. ``params="2005"`` averages segment scores (the original
     paper's system score); ``params="1.5"`` micro-aggregates each segment's
     best-reference statistics and scores the aggregate, matching the jar's
@@ -444,7 +460,8 @@ def corpus_meteor(references_list, hypotheses, use_stem: bool = True,
     stemmer = porter_stem if use_stem else None
     if params == "2005":
         return sum(
-            meteor_lite(refs, hyp, use_stem, synonyms, params, paraphrases)
+            meteor_lite(refs, hyp, use_stem, synonyms, params, paraphrases,
+                        function_words)
             for refs, hyp in zip(references_list, hypotheses)
         ) / len(hypotheses)
 
@@ -461,14 +478,14 @@ def corpus_meteor(references_list, hypotheses, use_stem: bool = True,
             # the aggregate recall denominator (the jar's EVAL aggregation;
             # skipping the segment would inflate the corpus score)
             stats = _segment_stats(refs[0], [], stemmer, synonyms, p,
-                                   paraphrases)
+                                   paraphrases, function_words)
             for k in range(6):
                 agg[k] += stats[k]
             continue
         best_stats, best_score = None, -1.0
         for ref in refs:
             stats = _segment_stats(list(ref), hyp, stemmer, synonyms, p,
-                                   paraphrases)
+                                   paraphrases, function_words)
             score = _score_from_stats(*stats, p)
             if score > best_score:
                 best_stats, best_score = stats, score

@@ -103,3 +103,63 @@ def test_beam_minimises_chunks_within_full_coverage():
     stage_sides, chunks, m = _align_beam(_REF,
                                          "on the mat sat the cat".split())
     assert m == 6 and chunks == 3
+
+
+def test_function_word_list_is_a_loadable_data_file(tmp_path):
+    """Round-4 VERDICT item 7: the delta-weighting function words ship as a
+    data file (bundled default; MTT_METEOR_FUNCTION_WORDS / explicit path
+    overrides for the jar's own en.words via
+    scripts/convert_meteor_function_words.py)."""
+    import os
+
+    from masters_thesis_tpu.evalsuite import meteor
+
+    bundled = os.path.join(
+        os.path.dirname(meteor.__file__), "meteor_function_words_en.txt")
+    assert os.path.exists(bundled)
+    words = meteor.load_function_words()
+    assert words == meteor.FUNCTION_WORDS
+    assert {"the", "a", "of", "is", "on"} <= words
+    assert "cat" not in words and "sat" not in words
+    # explicit-path override (the jar-extracted list drops in here)
+    p = tmp_path / "en.words"
+    p.write_text("# comment\nthe\nZebra\n\n")
+    assert meteor.load_function_words(str(p)) == frozenset({"the", "zebra"})
+
+
+def test_15_delta_weighting_hand_derived_goldens():
+    """Delta weighting pinned by hand with an EXPLICIT function-word set,
+    so the golden is independent of list membership. delta=0.75: content
+    words count 0.75, function words 0.25 (Denkowski & Lavie 2014 §2).
+
+    Case A — ref 'the cat sat on the mat', hyp 'a cat sat on a mat',
+    function set {the, a, on}: exact matches cat/sat/on/mat (m=4), chunks=2
+    (cat-sat-on | mat). Weighted matches both sides = .75+.75+.25+.75 = 2.5;
+    weighted lengths = 2.5 + two function words (.25 each) = 3.0.
+    P = R = 2.5/3; F = P (P==R); frag = 2/4:
+      score = (2.5/3) * (1 - 0.6 * 0.5**0.2) = 0.39805805168...
+    With an EMPTY function set every word weighs 0.75:
+      P = R = 3/4.5 = 2/3 -> score = (2/3)*(1-0.6*0.5**0.2) = 0.31844644...
+
+    Case B — ref 'the dog', hyp 'the cat': only the FUNCTION word matches
+    (m=1, chunks=1, frag=1, penalty factor 1-0.6 = 0.4).
+    {the} functional: P = R = 0.25/1.0 -> score = 0.25*0.4 = 0.1 exactly;
+    empty set: P = R = 0.75/1.5 = 0.5 -> score = 0.5*0.4 = 0.2 exactly.
+    """
+    fw = frozenset({"the", "a", "on"})
+    ref = "the cat sat on the mat".split()
+    hyp = "a cat sat on a mat".split()
+    pen = 1.0 - 0.6 * 0.5 ** 0.2
+    got = meteor_lite([ref], hyp, params="1.5", function_words=fw)
+    assert abs(got - (2.5 / 3.0) * pen) < 1e-12
+    got0 = meteor_lite([ref], hyp, params="1.5", function_words=frozenset())
+    assert abs(got0 - (2.0 / 3.0) * pen) < 1e-12
+    # delta-weighting must actually change the score
+    assert abs(got - got0) > 0.05
+
+    ref_b, hyp_b = ["the", "dog"], ["the", "cat"]
+    got_b = meteor_lite([ref_b], hyp_b, params="1.5", function_words=fw)
+    assert abs(got_b - 0.1) < 1e-12
+    got_b0 = meteor_lite([ref_b], hyp_b, params="1.5",
+                         function_words=frozenset())
+    assert abs(got_b0 - 0.2) < 1e-12
