@@ -132,6 +132,7 @@ _SLOW_TESTS = {
     "test_headtohead_beam",
     "test_ms_nic_source_is_dead_code",
     "test_multiprocess_drive_matches_single_process",
+    "test_midshape_sharded_steps_padded_vocab_pregathered_store",
     "test_flagship_census_shards_model_params",
 }
 

