@@ -51,6 +51,63 @@ REFERENCE_STEPS_PER_SEC = 0.75  # TF-Keras eager + per-step npy reads (see above
 
 N_VOXELS = 327_684
 N_GROUPS = 360
+
+
+def flagship_flops_per_step(batch: int, max_len: int = 15,
+                            n_voxels: int = N_VOXELS,
+                            n_groups: int = N_GROUPS,
+                            group_size: int = 32, units: int = 512,
+                            attn_units: int = 32, emb_text: int = 512,
+                            head_dim: int = 256, vocab: int = 5001) -> float:
+    """Analytic model FLOPs for ONE flagship optimisation step (fwd+bwd),
+    so the headline JSON is self-auditing: steps/s x this = achieved
+    FLOP/s, divided by the chip's peak = MFU.
+
+    Counts useful matmul FLOPs only (2*m*n*k per (m,k)x(k,n) dot; no
+    bucket padding, no elementwise/BN/softmax — they are O(activations)
+    and <1% here), matching the usual MFU convention:
+
+      encoder   per sample: every voxel enters one (group_voxels x 32)
+                dense -> 2 * V * 32
+      attention per step: W1 (R,D)x(D,A) + W2 (U)x(U,A) + V (R,A)x(A,1)
+                + context weighted-sum 2*R*D
+      lstm      per step: (D+E + U) x 4U gate matmuls
+      head      per step: U x head_dim + head_dim x vocab
+      backward  ~2x forward (activation + weight grads) -> total 3x fwd
+    """
+    enc = 2 * n_voxels * group_size
+    attn = (2 * n_groups * group_size * attn_units
+            + 2 * units * attn_units
+            + 2 * n_groups * attn_units
+            + 2 * n_groups * group_size)
+    lstm = 2 * (group_size + emb_text + units) * 4 * units
+    head = 2 * units * head_dim + 2 * head_dim * vocab
+    fwd = enc + max_len * (attn + lstm + head)
+    return 3.0 * fwd * batch
+
+
+# bf16 MXU peak per chip, TFLOP/s (public spec sheets); MFU is reported
+# against the bf16 peak regardless of compute dtype (the standard
+# convention — an fp32 run's mfu_pct reads lower, which is honest)
+CHIP_PEAK_BF16_TFLOPS = (
+    ("v5 lite", 197.0),   # TPU v5e
+    ("v5e", 197.0),
+    ("v5p", 459.0),
+    ("v6", 918.0),        # Trillium
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 46.0),
+)
+
+
+def chip_peak_tflops(device_str: str):
+    d = device_str.lower()
+    for key, peak in CHIP_PEAK_BF16_TFLOPS:
+        if key in d:
+            return peak
+    return None
+
+
 SCAN_K = 128         # steps per device call (headline path; probed
 #                      32->121, 64->132, 128->134-138 steps/s on v5e)
 SCAN_REPS = 2        # measured calls for the refined headline
@@ -258,10 +315,20 @@ def main() -> None:
             "captions_per_sec_per_dispatch": None,
             "dispatch_steps_per_sec": None,
             "bf16_steps_per_sec": None,
+            "samples_per_sec_saturating": None,
+            "saturating_batch": None,
             "batch_size": B,
             "scan_steps_per_call": SCAN_K,
             "device": str(jax.devices()[0]),
             "loss": final_loss,
+            # FLOPs accounting (flagship_flops_per_step docstring): the
+            # headline is auditable as achieved TFLOP/s and % of chip peak
+            # without trusting prose
+            "flops_per_step": flagship_flops_per_step(B, cfg.max_length),
+            "chip_peak_bf16_tflops": chip_peak_tflops(str(jax.devices()[0])),
+            "tflops_per_sec": None,
+            "mfu_pct": None,
+            "mfu_pct_bf16_run": None,
         },
     }
 
@@ -271,6 +338,16 @@ def main() -> None:
         result["value"] = round(steps_per_sec, 3)
         result["vs_baseline"] = round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2)
         result["extra"]["phase"] = phase
+        ex = result["extra"]
+        achieved = steps_per_sec * ex["flops_per_step"]
+        ex["tflops_per_sec"] = round(achieved / 1e12, 3)
+        peak = ex["chip_peak_bf16_tflops"]
+        if peak:
+            ex["mfu_pct"] = round(100.0 * achieved / (peak * 1e12), 3)
+            if ex["bf16_steps_per_sec"]:
+                ex["mfu_pct_bf16_run"] = round(
+                    100.0 * ex["bf16_steps_per_sec"] * ex["flops_per_step"]
+                    / (peak * 1e12), 3)
         print(json.dumps(result), flush=True)
         # persist for the carried-forward guard (fresh measurements only)
         try:
@@ -425,6 +502,41 @@ def main() -> None:
                 np.asarray(words)
             result["extra"]["captions_per_sec_per_dispatch"] = round(
                 8 * B / (time.perf_counter() - t0), 1)
+        except Exception:
+            pass
+
+    # ---- extra: saturating-batch samples/s (PERF.md batch-scaling table:
+    # sample throughput saturates ~12k/s from batch 128; the batch-64
+    # headline honours the reference contract, this records the chip's
+    # actual sample ceiling in the artifact) ----
+    if not fast and on_tpu and time_left() > 180:
+        try:
+            B_SAT, K_SAT = 128, 32
+            sat_idx = jnp.asarray(
+                rng.integers(0, n_store, (K_SAT, B_SAT)), jnp.int32)
+            sat_tok = jnp.asarray(rng.integers(
+                1, cfg.vocab_size, (B_SAT, cfg.max_length)), jnp.int32)
+            sat_tgt = jnp.concatenate(
+                [sat_tok[:, 1:], jnp.zeros((B_SAT, 1), jnp.int32)], axis=1)
+            sat_toks = jnp.broadcast_to(
+                sat_tok, (K_SAT, B_SAT, cfg.max_length))
+            sat_tgts = jnp.broadcast_to(
+                sat_tgt, (K_SAT, B_SAT, cfg.max_length))
+            sat_state = fresh_state()
+            phase_log("compiling saturating-batch trainer")
+            sat_state, sm = sstep(sat_state, packed, sat_idx, sat_toks,
+                                  sat_tgts)
+            float(np.asarray(sm["loss"])[-1])
+            t0 = time.perf_counter()
+            for _ in range(SCAN_REPS):
+                sat_state, sm = sstep(sat_state, packed, sat_idx, sat_toks,
+                                      sat_tgts)
+                float(np.asarray(sm["loss"])[-1])
+            dt = time.perf_counter() - t0
+            result["extra"]["samples_per_sec_saturating"] = round(
+                K_SAT * SCAN_REPS * B_SAT / dt, 1)
+            result["extra"]["saturating_batch"] = B_SAT
+            del sat_state
         except Exception:
             pass
 

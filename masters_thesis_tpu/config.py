@@ -35,6 +35,10 @@ class DatasetConfig:
     images_path: str = ""   # stimulus pictures KID{key}.(png|jpg|npy) for
     #                         epoch-end caption-on-image previews (soloist
     #                         TensorBoardCaption.py:38 feed_pics_dir)
+    synthetic: str = ""     # "" (independent-noise fixtures) | "structured"
+    #                         (betas encode the captions' latent factors —
+    #                         data/synthetic.py structured mode; held-out
+    #                         caption metrics can then genuinely converge)
 
 
 @dataclass
@@ -181,6 +185,11 @@ class Config:
     attn_loss: bool = False          # train_step has it commented out (lc_NIC.py:384)
     sam_rho: float = 0.0             # >0 enables SAM (lc_NIC.py:713-838)
     agc_clip: float = 0.0            # >0 enables adaptive gradient clipping (agc.py)
+    caption_metrics_every: int = 0   # >0: every N epochs greedy-decode the
+    #                                  val split and log corpus BLEU-1/4 +
+    #                                  CIDEr to metrics.jsonl + run_meta (the
+    #                                  reference's train->eval->metric_suit
+    #                                  loop tracked DURING training)
     warm_start: str = ""             # run dir to preload matching weights from
     #                                  (load_weights by_name/skip_mismatch,
     #                                   main.py:150-163)

@@ -40,6 +40,67 @@ def synthetic_captions(keys, n_caps: int = 5, seed: int = 0):
     return caps
 
 
+# ---- structured mode: betas ENCODE the caption content -------------------
+# The random mode above has no betas->caption mapping, so decoded caption
+# metrics on held-out keys cannot rise above the corpus prior — fine for
+# plumbing tests, useless as convergence evidence. Structured mode draws
+# latent factors (entity, attribute, verb, place) per key, renders the five
+# captions from factor-sharing templates (references agree on content words
+# like real COCO captions do), and emits betas as the sum of per-factor
+# voxel patterns plus noise — a generalising betas->semantics mapping the
+# model can actually learn, which is the real task's shape (NSD betas carry
+# the image semantics; SURVEY.md §0).
+
+_ENTITIES = "man woman dog cat bird boy girl horse".split()
+_ATTRS = "red blue small large young old black white".split()
+_VERBS = ("sitting standing running walking playing eating sleeping "
+          "jumping").split()
+_PLACES = "park beach street field kitchen table grass water".split()
+_FACTOR_SLOTS = (_ENTITIES, _ATTRS, _VERBS, _PLACES)
+
+_TEMPLATES = (
+    "a {a} {e} {v} in the {p}.",
+    "the {a} {e} is {v} in the {p}.",
+    "a {e} {v} in the {p}.",
+    "the {e} {v} near the {p}.",
+    "a {a} {e} in the {p}.",
+)
+
+
+def synthetic_factors(keys, seed: int = 0):
+    """(n_keys, 4) int factor indices: entity, attribute, verb, place."""
+    rng = np.random.Generator(np.random.PCG64(seed + 101))
+    return np.stack(
+        [rng.integers(0, len(slot), size=len(keys))
+         for slot in _FACTOR_SLOTS], axis=1)
+
+
+def structured_captions(keys, factors, n_caps: int = 5):
+    caps = {}
+    for row, key in enumerate(keys):
+        e, a, v, p = (slot[factors[row, i]]
+                      for i, slot in enumerate(_FACTOR_SLOTS))
+        lines = [t.format(e=e, a=a, v=v, p=p) for t in _TEMPLATES[:n_caps]]
+        caps[int(key)] = lines
+    return caps
+
+
+def structured_betas(factors, n_voxels: int, seed: int = 0,
+                     noise: float = 0.5):
+    """betas = sum of the key's per-factor voxel patterns + N(0, noise)."""
+    rng = np.random.Generator(np.random.PCG64(seed + 202))
+    patterns = [
+        rng.standard_normal((len(slot), n_voxels)).astype(np.float32)
+        for slot in _FACTOR_SLOTS
+    ]
+    clean = sum(
+        patterns[i][factors[:, i]] for i in range(len(_FACTOR_SLOTS))
+    )
+    out = clean / np.sqrt(len(_FACTOR_SLOTS))
+    out += noise * rng.standard_normal(out.shape).astype(np.float32)
+    return out.astype(np.float32)
+
+
 def synthetic_dataset(
     n_keys: int = 32,
     n_voxels: int = 512,
@@ -48,8 +109,14 @@ def synthetic_dataset(
     top_k: int = 60,
     seed: int = 0,
     device_resident: bool = False,
+    structured: bool = False,
 ):
-    """Returns (split, pairs_by_split, tokenizer, store, groups)."""
+    """Returns (split, pairs_by_split, tokenizer, store, groups).
+
+    ``structured=True``: betas encode the captions' latent factors (see the
+    structured-mode block above) so held-out caption metrics can genuinely
+    improve with training; False keeps the original independent-noise
+    fixtures used by the unit suite."""
     rng = np.random.Generator(np.random.PCG64(seed))
     keys = np.arange(1, n_keys + 1, dtype=np.int64)
     n_tr = int(0.7 * n_keys)
@@ -58,7 +125,13 @@ def synthetic_dataset(
         train=keys[:n_tr], val=keys[n_tr : n_tr + n_va], test=keys[n_tr + n_va :]
     )
 
-    caps = synthetic_captions(keys, n_caps=n_caps, seed=seed)
+    if structured:
+        factors = synthetic_factors(keys, seed=seed)
+        caps = structured_captions(keys, factors, n_caps=n_caps)
+        betas = structured_betas(factors, n_voxels, seed=seed)
+    else:
+        caps = synthetic_captions(keys, n_caps=n_caps, seed=seed)
+        betas = rng.standard_normal((n_keys, n_voxels)).astype(np.float32)
     pairs = {
         name: create_pairs(getattr(split, name), caps)
         for name in ("train", "val", "test")
@@ -68,7 +141,6 @@ def synthetic_dataset(
     tok.fit_on_texts([p[1] for p in pairs["train"] + pairs["val"]])
     tok.install_pad()
 
-    betas = rng.standard_normal((n_keys, n_voxels)).astype(np.float32)
     store = ArrayStore(betas, keys, device_resident=device_resident)
     groups = synthetic_groups(n_voxels, n_groups, seed=seed)
     return split, pairs, tok, store, groups

@@ -66,6 +66,10 @@ def build_data(cfg: Config, smoke_keys: int = 48):
         n_groups=n_groups,
         top_k=min(cfg.top_k, 200),
         seed=cfg.seed,
+        # "structured": betas encode the captions' latent factors so
+        # held-out caption metrics can genuinely converge (the
+        # caption_metrics_every evidence loop)
+        structured=(cfg.dataset.synthetic == "structured"),
     )
     if cfg.model.lower() in ("img_nic", "cnn_rnn"):
         # image models consume (patches, channels) conv features, not flat
@@ -648,6 +652,27 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     from masters_thesis_tpu.train.checkpoint import CheckpointManager
     from masters_thesis_tpu.train.loop import Trainer
 
+    # decoded caption metrics on the val split during training (round 4):
+    # one row per unique val key, references rebuilt from the raw pairs
+    caption_metrics_cb = None
+    if cfg.caption_metrics_every > 0 and pairs["val"]:
+        from masters_thesis_tpu.train.callbacks import CaptionMetrics
+
+        seen: set = set()
+        unique_val = []
+        refs_by_key: dict = {}
+        for key, cap, cid, count, subj in pairs["val"]:
+            refs_by_key.setdefault(int(key), []).append(
+                " ".join(cap.split()[1:-1]))  # strip <start>/<end>
+            if int(key) not in seen:
+                seen.add(int(key))
+                unique_val.append((key, cap, cid, count, subj))
+        cm_enc = encode_pairs(unique_val, tok, cfg.max_length)
+        cm_pipe = EvalPipeline(cm_enc, store, min(bs, len(cm_enc)))
+        caption_metrics_cb = CaptionMetrics(
+            _greedy_decoder(model, cfg), cm_pipe, tok, refs_by_key,
+            every=cfg.caption_metrics_every)
+
     mgr = CheckpointManager(os.path.join(run_path, "model"))
     start_epoch = 0
     if resume:
@@ -696,6 +721,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
                 batch,
                 every=5,
             ),
+            *([caption_metrics_cb] if caption_metrics_cb else []),
             *([_step_profiling(run_path, cfg)]
               if cfg.tpu.profile_steps > 0 else []),
             *([_trace_capture(run_path)]
@@ -746,6 +772,9 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             meta["steps_per_sec_median"] = round(
                 float(np.median(sps[1:])), 2)
         meta["epochs_ran"] = epochs if epochs is not None else cfg.epochs
+        if caption_metrics_cb is not None and caption_metrics_cb.history:
+            # the convergence curve: decoded val BLEU/CIDEr over training
+            meta["caption_metrics"] = caption_metrics_cb.history
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=1)
     except Exception:  # pragma: no cover — perf record must never kill a run

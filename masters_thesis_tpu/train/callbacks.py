@@ -9,9 +9,14 @@ greedy captions (Predict.py:6-59), WarmupScheduler ramps the LR
 
 from __future__ import annotations
 
+import logging
 import os
 
+import numpy as np
+
 from masters_thesis_tpu.utils.logging import CSVLogger
+
+logger = logging.getLogger("masters_thesis_tpu")
 
 
 class Callback:
@@ -143,6 +148,73 @@ class PredictPreview(Callback):
             f.write(f"=== epoch {epoch} ===\n")
             for t in texts[:8]:
                 f.write(t + "\n")
+
+
+class CaptionMetrics(Callback):
+    """Decoded caption metrics on the val split DURING training (round 4).
+
+    The reference runs its train -> eval.py -> metric_suit.py loop once,
+    after training (AttemptFour/main.py:269-281); this callback closes that
+    loop every ``every`` epochs (and on the final epoch): greedy-decode one
+    row per val key with the CURRENT params, score corpus BLEU-1/BLEU-4 +
+    CIDEr against the per-key references, log to metrics.jsonl
+    (kind="caption_metrics") and keep the curve in ``history`` for
+    run_meta.json — the convergence evidence that caption quality, not just
+    loss, improves.
+    """
+
+    def __init__(self, decoder, pipe, tokenizer, refs_by_key,
+                 every: int = 5):
+        self.decoder = decoder
+        self.pipe = pipe          # EvalPipeline over unique-key val pairs
+        self.tokenizer = tokenizer
+        self.refs = refs_by_key   # key -> [plain reference texts]
+        self.every = max(1, every)
+        self.history: list = []
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        last = (getattr(trainer, "_target_epochs", 0) or 0) - 1
+        if epoch % self.every and epoch != last:
+            return
+        import jax.numpy as jnp
+
+        from masters_thesis_tpu.evalsuite.bleu import corpus_bleu
+        from masters_thesis_tpu.evalsuite.cider import CiderScorer
+        from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
+
+        variables = {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        }
+        texts, keys = [], []
+        for batch in self.pipe.epoch():
+            betas = (jnp.asarray(batch["betas"]) if "betas" in batch
+                     else trainer.store.device_gather(batch["idx"]))
+            words, _, _ = self.decoder(
+                variables, betas, self.tokenizer.start_id)
+            valid = batch["valid"]
+            for row in np.asarray(words)[valid]:
+                texts.append(ids_to_caption(row, self.tokenizer))
+            keys.extend(int(k) for k in batch["keys"][valid])
+        refs = [[r.split() for r in self.refs[k]] for k in keys]
+        hyps = [t.split() for t in texts]
+        bleu = corpus_bleu(refs, hyps, max_n=4)
+        cider, _ = CiderScorer().compute(refs, hyps)
+        row = {
+            "epoch": epoch,
+            "val_bleu1": round(float(bleu[0]), 5),
+            "val_bleu4": round(float(bleu[3]), 5),
+            "val_cider": round(float(cider), 5),
+            "n_captions": len(texts),
+        }
+        self.history.append(row)
+        logs.update({k: v for k, v in row.items()
+                     if k.startswith("val_")})
+        if trainer.metric_logger is not None:
+            trainer.metric_logger.log("caption_metrics", **row)
+        logger.info(
+            "caption_metrics epoch %d: BLEU-4=%.4f CIDEr=%.4f (%d captions)",
+            epoch, row["val_bleu4"], row["val_cider"], len(texts))
 
 
 def load_stimulus_images(images_path: str, keys, max_images: int = 4):

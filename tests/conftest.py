@@ -133,6 +133,8 @@ _SLOW_TESTS = {
     "test_ms_nic_source_is_dead_code",
     "test_multiprocess_drive_matches_single_process",
     "test_midshape_sharded_steps_padded_vocab_pregathered_store",
+    "test_caption_metrics_callback_logs_curve",
+    "test_structured_synthetic_dataset",
     "test_flagship_census_shards_model_params",
 }
 

@@ -118,3 +118,57 @@ def test_prefetch_abandoned_epoch_reaps_producer():
         gen.close()  # abandon mid-epoch
     # producers exited (no thread accumulation across abandoned epochs)
     assert threading.active_count() <= before + 1
+
+
+def test_structured_synthetic_dataset():
+    """Structured mode (round-4 convergence evidence): captions are rendered
+    from per-key latent factors and the betas ENCODE those factors, so a
+    model can genuinely generalise betas->caption to held-out keys
+    (data/synthetic.py structured block; probe: BLEU-4 0 -> 0.95 in 3k
+    steps at lr 1e-3)."""
+    import numpy as np
+
+    from masters_thesis_tpu.data.synthetic import (
+        structured_betas,
+        structured_captions,
+        synthetic_dataset,
+        synthetic_factors,
+    )
+
+    split, pairs, tok, store, groups = synthetic_dataset(
+        n_keys=24, n_voxels=128, n_groups=4, top_k=60, seed=3,
+        structured=True)
+    # determinism
+    _, pairs2, _, store2, _ = synthetic_dataset(
+        n_keys=24, n_voxels=128, n_groups=4, top_k=60, seed=3,
+        structured=True)
+    assert pairs["train"] == pairs2["train"]
+    np.testing.assert_array_equal(store.data, store2.data)
+
+    # the five references of one key share its content words
+    keys = np.arange(1, 25, dtype=np.int64)
+    factors = synthetic_factors(keys, seed=3)
+    caps = structured_captions(keys, factors)
+    for row, key in enumerate(keys):
+        refs = caps[int(key)]
+        assert len(refs) == 5 and len(set(refs)) > 1
+        shared = set(refs[0][:-1].split())
+        for r in refs[1:]:
+            shared &= set(r[:-1].split())
+        assert len(shared - {"a", "the", "in", "is", "near"}) >= 2
+
+    # betas carry the factor signal: same-factor keys are closer than
+    # different-factor keys on the clean patterns
+    b = structured_betas(factors, 128, seed=3, noise=0.0)
+    same = [np.linalg.norm(b[i] - b[j])
+            for i in range(24) for j in range(i + 1, 24)
+            if (factors[i] == factors[j]).all()]
+    diff_all = [np.linalg.norm(b[i] - b[j])
+                for i in range(24) for j in range(i + 1, 24)
+                if not (factors[i] == factors[j]).any()]
+    if same and diff_all:
+        assert max(same) < min(diff_all)
+    # identical factors -> identical clean betas
+    f2 = factors.copy(); f2[1] = f2[0]
+    b2 = structured_betas(f2, 128, seed=3, noise=0.0)
+    np.testing.assert_allclose(b2[0], b2[1])

@@ -671,3 +671,35 @@ def test_checkpoint_cadence_safety_save_at_train_end():
     cb2.on_error(t2, RuntimeError("boom"))
     cb2.on_train_end(t2)
     assert mgr2.saved == [4]
+
+
+def test_caption_metrics_callback_logs_curve(tmp_path):
+    """cfg.caption_metrics_every wires the round-4 CaptionMetrics callback:
+    per-cadence decoded val BLEU/CIDEr rows land in metrics.jsonl
+    (kind=caption_metrics) and the curve in run_meta.json."""
+    import json
+    import os
+
+    from masters_thesis_tpu.config import Config, DatasetConfig
+    from masters_thesis_tpu.experiment import run_training
+
+    cfg = Config(run="cmrows", model="lc_nic", epochs=3, batch_size=8,
+                 max_length=8, top_k=80, units=16, attn_units=8, group_size=4,
+                 embedding_text=8, log=str(tmp_path),
+                 caption_metrics_every=2,
+                 dataset=DatasetConfig(synthetic="structured"))
+    run_path, logs, bundle = run_training(cfg, epochs=3, smoke_keys=24)
+    meta = json.load(open(os.path.join(run_path, "run_meta.json")))
+    curve = meta["caption_metrics"]
+    # cadence epochs 0, 2 (=last)
+    assert [r["epoch"] for r in curve] == [0, 2]
+    for r in curve:
+        assert r["n_captions"] > 0
+        assert 0.0 <= r["val_bleu4"] <= 1.0
+        assert r["val_cider"] >= 0.0
+    rows = [json.loads(l) for l in
+            open(os.path.join(run_path, "metrics.jsonl"))]
+    cm = [r for r in rows if r.get("kind") == "caption_metrics"]
+    assert len(cm) == 2
+    # the epoch logs carry the metric too (TB scalars pick it up)
+    assert "val_bleu4" in logs
