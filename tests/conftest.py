@@ -135,6 +135,7 @@ _SLOW_TESTS = {
     "test_midshape_sharded_steps_padded_vocab_pregathered_store",
     "test_caption_metrics_callback_logs_curve",
     "test_structured_synthetic_dataset",
+    "test_beam_matches_shrinking_frontier_oracle",
     "test_flagship_census_shards_model_params",
 }
 

@@ -202,3 +202,137 @@ def test_scanned_beam_matches_per_batch():
     for k in range(2):
         want, _, _, _, _ = dec(variables, stacked[k], tok.start_id, tok.end_id)
         np.testing.assert_array_equal(got[k], np.asarray(want))
+
+
+class _TableModel:
+    """Deterministic decode_step contract (same duck type as NIC): logits
+    and recurrence depend on (h, tok) via seeded tables; end_boost raises
+    the <end> logit to force early finishes."""
+
+    def __init__(self, units, vocab, end_id, end_boost, seed):
+        rng = np.random.default_rng(seed)
+        s = 1.0 / np.sqrt(units)
+        self.units, self.vocab = units, vocab
+        self.U = (rng.standard_normal((units, vocab)) * 3 * s).astype("f4")
+        self.E = rng.standard_normal((vocab, vocab)).astype("f4")
+        self.A = (rng.standard_normal((units, units)) * s).astype("f4")
+        self.T = rng.standard_normal((vocab, units)).astype("f4")
+        self.P = rng.standard_normal((4, units)).astype("f4")
+        self.E[:, end_id] += end_boost
+
+    def apply(self, variables, *args, method=None):
+        if method == "encode":
+            x, _training = args
+            return jnp.asarray(x)[:, None, :]
+        if method == "init_carry":
+            (feat,) = args
+            h = jnp.tanh(jnp.asarray(feat)[:, 0, :] @ jnp.asarray(self.P))
+            return h, jnp.zeros_like(h)
+        if method == "decode_step":
+            h, c, feat, tok = args
+            logits = (jnp.tanh(h) @ jnp.asarray(self.U)
+                      + jnp.asarray(self.E)[tok])
+            h2 = jnp.tanh(h @ jnp.asarray(self.A) + jnp.asarray(self.T)[tok])
+            return h2, c, logits, jnp.zeros((h.shape[0], 1), logits.dtype)
+        raise ValueError(method)
+
+
+def _shrinking_beam_oracle(model, x, start_id, end_id, W, max_len,
+                           alpha=0.7):
+    """Plain-python shrinking-frontier beam — the reference semantics the
+    lattice must reproduce (decode/beam.py docstring;
+    soloist/Modified-Show-And-Tell-Keras/evaluate.py:103-189): unchecked
+    seed step, -inf on first-loop-iteration finishes, finished routes
+    stored forever while the live width shrinks."""
+    import math
+
+    feat = np.asarray(model.apply(None, x, False, method="encode"))
+    h, c = model.apply(None, jnp.asarray(feat), method="init_carry")
+    h, c = np.asarray(h), np.asarray(c)
+
+    def step(hs, cs, toks):
+        n = len(toks)
+        f = jnp.broadcast_to(jnp.asarray(feat), (n,) + feat.shape[1:])
+        h2, c2, logits, _ = model.apply(
+            None, jnp.asarray(np.stack(hs)), jnp.asarray(np.stack(cs)),
+            f, jnp.asarray(toks, jnp.int32), method="decode_step")
+        import jax
+
+        p = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        return np.asarray(h2), np.asarray(c2), p
+
+    h2, c2, lp = step([h[0]], [c[0]], [start_id])
+    seeds = np.argsort(-lp[0])[:W]
+    scores = [float(lp[0][s]) for s in seeds]
+    routes = [[int(s)] for s in seeds]
+    hs = [h2[0]] * W
+    cs = [c2[0]] * W
+    toks = [int(s) for s in seeds]
+    done_scores, done_routes = [], []
+    width = W
+    for i in range(max_len - 1):
+        h2, c2, lp = step(hs, cs, toks)
+        cand = [(scores[r] + float(lp[r][v]), r, v)
+                for r in range(width) for v in np.argsort(-lp[r])[:width]]
+        cand.sort(key=lambda t: -t[0])
+        chosen = cand[:width]
+        n_hs, n_cs, n_toks, n_scores, n_routes = [], [], [], [], []
+        for sc, r, v in chosen:
+            if v == end_id:
+                done_routes.append(routes[r])
+                done_scores.append(
+                    -math.inf if i == 0
+                    else sc / len(routes[r]) ** alpha)
+                width -= 1
+            else:
+                n_hs.append(h2[r]); n_cs.append(c2[r]); n_toks.append(v)
+                n_scores.append(sc); n_routes.append(routes[r] + [v])
+        hs, cs, toks, scores, routes = n_hs, n_cs, n_toks, n_scores, n_routes
+        if width <= 0:
+            break
+    done_scores += [scores[i] / len(routes[i]) ** alpha
+                    for i in range(len(routes))]
+    done_routes += routes
+    best = int(np.argmax(done_scores))
+    return done_routes[best], float(done_scores[best])
+
+
+def test_beam_matches_shrinking_frontier_oracle():
+    """The lattice reproduces the shrinking-frontier semantics without the
+    reference checkout: finished hypotheses are never evicted by live
+    candidates, first-loop-iteration finishes rank -inf, and the <end>-as-
+    seed step is unchecked — asserted against a plain-python oracle over
+    table models with boosted <end> (these hit early finishes constantly)."""
+    from masters_thesis_tpu.decode.beam import make_beam_decoder
+
+    UNITS, VOCAB, MAXLEN, start_id, end_id = 8, 12, 6, 1, 2
+    rng = np.random.default_rng(1)
+    checked = finished_cases = 0
+    for seed in range(5):
+        for boost in (0.0, 3.0):
+            tm = _TableModel(UNITS, VOCAB, end_id, boost, seed)
+            for W in (2, 3):
+                dec = make_beam_decoder(tm, UNITS, MAXLEN, beam_width=W)
+                for _ in range(2):
+                    x = rng.standard_normal((1, 4)).astype("f4")
+                    want_route, want_score = _shrinking_beam_oracle(
+                        tm, x, start_id, end_id, W, MAXLEN)
+                    toksv, scores, _, _, _ = dec(
+                        {}, jnp.asarray(x), start_id, end_id)
+                    row = np.asarray(toksv)[0]
+                    got = []
+                    for t, tk in enumerate(row):
+                        if t > 0 and tk == end_id:
+                            finished_cases += 1
+                            break
+                        got.append(int(tk))
+                    got = got[:len(want_route)] if want_score == float(
+                        "-inf") else got
+                    if want_score == float("-inf"):
+                        assert float(np.asarray(scores)[0]) <= -1e8
+                    else:
+                        assert got == want_route, (seed, boost, W)
+                        assert abs(float(np.asarray(scores)[0])
+                                   - want_score) < 1e-4
+                    checked += 1
+    assert checked == 40 and finished_cases > 10
