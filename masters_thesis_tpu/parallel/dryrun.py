@@ -297,15 +297,22 @@ def _dryrun_impl(n_devices: int) -> None:
         dloss = max(
             abs(a - b) for a, b in zip(mp["losses"], sp["losses"]))
         dnorm = abs(mp["param_norm"] - sp["param_norm"])
+        dsloss = max(abs(a - b) for a, b in zip(
+            mp["scanned_losses"], sp["scanned_losses"]))
+        dsnorm = abs(mp["scanned_param_norm"] - sp["scanned_param_norm"])
         assert dloss < 1e-5 and dnorm < 1e-4, (
             f"multi-process drive diverged: dloss={dloss} dnorm={dnorm}")
+        assert dsloss < 1e-5 and dsnorm < 1e-4, (
+            f"multi-process SCANNED drive diverged: "
+            f"dloss={dsloss} dnorm={dsnorm}")
         print(
             f"multiprocess_drive: procs={mp['process_count']} "
             f"local_devs={mp['n_local_devices']} "
             f"global_devs={mp['n_global_devices']} "
-            f"steps={len(mp['losses'])} "
+            f"steps={len(mp['losses'])}+scanned{len(mp['scanned_losses'])} "
             f"max_loss_diff_vs_single_process={dloss:.2e} "
-            f"param_norm_diff={dnorm:.2e} ok"
+            f"param_norm_diff={dnorm:.2e} "
+            f"scanned_loss_diff={dsloss:.2e} ok"
         )
 
     # flagship-shape sharding proof: compile-only at reference dims so the

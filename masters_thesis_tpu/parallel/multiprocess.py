@@ -136,9 +136,58 @@ def _drive_once(mesh, local_slice=None) -> dict:
 
     norm = jax.jit(
         pnorm, out_shardings=NamedSharding(mesh, P()))(state.params)
+
+    # phase 2: the production K-steps-per-call SCANNED trainer over a
+    # mesh-sharded HBM store (store voxel axis over 'model'), driven across
+    # the same process topology — the training path flagship runs actually
+    # use (tpu.scan_steps), not just the per-step one
+    from masters_thesis_tpu.parallel.sharding import (
+        make_sharded_scanned_train_steps,
+    )
+
+    K = 3
+    srng = np.random.default_rng(11)
+    store_h = srng.standard_normal(
+        (4 * cfg.batch_size, d["n_voxels"])).astype(np.float32)
+    idx_h = srng.integers(
+        0, store_h.shape[0], (K, cfg.batch_size)).astype(np.int32)
+    ktok_h = srng.integers(
+        1, cfg.vocab_size, (K, cfg.batch_size, cfg.max_length)
+    ).astype(np.int32)
+    ktgt_h = np.concatenate(
+        [ktok_h[:, :, 1:],
+         np.zeros((K, cfg.batch_size, 1), np.int32)], axis=2)
+    # the store's sharded axis ('model') does not span processes, so a
+    # plain device_put from the (identical) host copy works everywhere;
+    # the batch axis DOES span processes — each host contributes its rows
+    store_g = jax.device_put(
+        jnp.asarray(store_h), NamedSharding(mesh, P(None, "model")))
+    kb = NamedSharding(mesh, P(None, "data"))
+    if local_slice is None:
+        idx_g = jax.device_put(jnp.asarray(idx_h), kb)
+        ktok_g = jax.device_put(jnp.asarray(ktok_h), kb)
+        ktgt_g = jax.device_put(jnp.asarray(ktgt_h), kb)
+    else:
+        lo, hi = local_slice
+        idx_g = jax.make_array_from_process_local_data(kb, idx_h[:, lo:hi])
+        ktok_g = jax.make_array_from_process_local_data(
+            kb, ktok_h[:, lo:hi])
+        ktgt_g = jax.make_array_from_process_local_data(
+            kb, ktgt_h[:, lo:hi])
+    sstep = make_sharded_scanned_train_steps(
+        model, cfg, lc_nic_l2_rules(cfg), mesh, state)
+    state, smetrics = sstep(state, store_g, idx_g, ktok_g, ktgt_g)
+    scanned_losses = [
+        float(x) for x in
+        np.asarray(smetrics["loss"].addressable_data(0)).reshape(-1)
+    ]
+    snorm = jax.jit(
+        pnorm, out_shardings=NamedSharding(mesh, P()))(state.params)
     return {
         "losses": losses,
         "param_norm": float(np.asarray(norm.addressable_data(0))),
+        "scanned_losses": scanned_losses,
+        "scanned_param_norm": float(np.asarray(snorm.addressable_data(0))),
     }
 
 

@@ -109,6 +109,12 @@ def test_multiprocess_drive_matches_single_process():
     assert len(mp["losses"]) == len(sp["losses"]) == 6
     np.testing.assert_allclose(mp["losses"], sp["losses"], atol=1e-5)
     assert abs(mp["param_norm"] - sp["param_norm"]) < 1e-4
+    # phase 2: the production K-steps-per-call scanned trainer over the
+    # mesh-sharded HBM store, across the same process boundary
+    assert len(mp["scanned_losses"]) == len(sp["scanned_losses"]) == 3
+    np.testing.assert_allclose(
+        mp["scanned_losses"], sp["scanned_losses"], atol=1e-5)
+    assert abs(mp["scanned_param_norm"] - sp["scanned_param_norm"]) < 1e-4
 
 
 def test_flagship_census_shards_model_params():
