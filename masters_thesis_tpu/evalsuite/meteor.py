@@ -102,7 +102,10 @@ class SynonymTable:
     @classmethod
     def load(cls, path: str) -> "SynonymTable":
         with open(path) as f:
-            return cls(json.load(f))
+            groups = json.load(f)
+        # "__provenance__"-style metadata keys are not vocabulary
+        return cls({w: ids for w, ids in groups.items()
+                    if not w.startswith("__")})
 
     @classmethod
     def from_env(cls) -> "SynonymTable | None":
@@ -110,6 +113,24 @@ class SynonymTable:
         if path and os.path.exists(path):
             return cls.load(path)
         return None
+
+    _default_caption: "SynonymTable | None" = None
+
+    @classmethod
+    def default_caption_table(cls) -> "SynonymTable":
+        """The bundled curated caption-domain table
+        (``caption_synonyms_en.json``: irregular plurals + common COCO
+        same-object pairs; see the file's provenance header). Used by the
+        SPICE_lite slot matcher when no real WordNet table is configured —
+        NOT by METEOR, whose 1.5 parameters are tuned against full-WordNet
+        synonym coverage (a partial table would shift its stage statistics
+        unpredictably, so METEOR's synonym stage stays opt-in via
+        ``MTT_METEOR_SYNONYMS``)."""
+        if cls._default_caption is None:
+            cls._default_caption = cls.load(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "caption_synonyms_en.json"))
+        return cls._default_caption
 
 
 class ParaphraseTable:

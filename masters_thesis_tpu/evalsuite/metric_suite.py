@@ -70,10 +70,15 @@ def evaluate_captions(candidates: list[str], references_list: list[list[str]],
         "CIDEr": cider,
         # Java SPICE (scene-graph F1) is approximated by the rule-based
         # chunker in spice.py; keyed distinctly so nobody mistakes it for
-        # the jar's numbers. When the WordNet table is present, tuple slots
-        # match on synset overlap (the Java scorer's similarTo semantics).
-        "SPICE_lite": corpus_spice(refs_tok, cand_tok,
-                                   synonyms=meteor_synonyms),
+        # the jar's numbers. Tuple slots match on synset overlap (the Java
+        # scorer's similarTo semantics): with a real WordNet table when one
+        # is configured, else the bundled curated caption-domain table
+        # (irregular plurals + common COCO pairs — reproduces the
+        # hand-derived golden set exactly, tests/test_spice_goldens.py).
+        "SPICE_lite": corpus_spice(
+            refs_tok, cand_tok,
+            synonyms=(meteor_synonyms if meteor_synonyms is not None
+                      else SynonymTable.default_caption_table())),
     }
 
 

@@ -30,20 +30,23 @@ chunking:
 
 Tuple matching uses exact-or-Porter-stem equality, upgraded to the Java
 pipeline's WordNet-synset semantics (two slot words match when their synset
-id sets intersect) when an offline synonym table is available — the same
-table (and ``MTT_METEOR_SYNONYMS`` discovery) the METEOR synonym stage uses
-(``scripts/convert_wordnet_synonyms.py``). Reported as "SPICE_lite" either
-way.
+id sets intersect) when a synonym table is supplied — a real WordNet table
+via ``MTT_METEOR_SYNONYMS`` / ``scripts/convert_wordnet_synonyms.py``, or
+(the metric-suite default when none is configured) the bundled curated
+caption-domain table ``caption_synonyms_en.json`` (irregular plurals +
+common COCO same-object pairs; provenance in the file header). Reported as
+"SPICE_lite" either way.
 
 Numeric pinning (round 4, tests/test_spice_goldens.py): the Anderson et
 al. 2016 worked example parses to exactly the published scene graph, and
 on a 14-case golden set whose F1 scores were hand-derived by applying the
-published procedure on paper, spice_lite WITH a WordNet-equivalent synonym
-table reproduces every score exactly; with stem-only matching (no table in
-the image) the measured Spearman rank correlation against those
-published-procedure scores is rho = 0.74 — the divergent cases are
-precisely the synonym-stage matches (woman~women, bike~bicycle), i.e. the
-gap is the missing offline table, not the chunker.
+published procedure on paper, spice_lite WITH synset matching — whether
+from a WordNet-equivalent table or the bundled curated default — reproduces
+every score exactly; with stem-only matching (``synonyms=None``) the
+measured Spearman rank correlation against those published-procedure
+scores is rho = 0.74, the divergent cases being precisely the
+synonym-stage matches (woman~women, bike~bicycle) that the bundled table
+now covers in-image.
 """
 
 from __future__ import annotations

@@ -114,6 +114,33 @@ def test_hand_derived_f1_with_synonym_table_exact():
         assert abs(got - want) < 1e-9, (hyp, got, want)
 
 
+def test_bundled_caption_table_reproduces_goldens_exactly():
+    """The curated caption-domain table shipped in the package
+    (caption_synonyms_en.json — the metric-suite default when no WordNet
+    table is configured) covers the golden set's synonym-stage matches
+    (woman~women, bike~bicycle) and introduces no spurious ones: every
+    hand-derived score reproduces exactly, in-image, with zero setup."""
+    table = SynonymTable.default_caption_table()
+    assert len(table) > 50  # metadata keys filtered, vocabulary present
+    for ref, hyp, want in GOLDEN_CASES:
+        got = spice_lite([ref.split()], hyp.split(), synonyms=table)
+        assert abs(got - want) < 1e-9, (hyp, got, want)
+
+
+def test_metric_suite_spice_uses_bundled_table_by_default(monkeypatch):
+    """evaluate_captions without any configured table scores SPICE_lite
+    through the bundled curated table (not stem-only)."""
+    monkeypatch.delenv("MTT_METEOR_SYNONYMS", raising=False)
+    from masters_thesis_tpu.evalsuite.metric_suite import evaluate_captions
+
+    refs = [["a man riding a bicycle down a street"]]
+    cand = ["a man riding a bike down a street"]
+    scores = evaluate_captions(cand, refs)
+    assert abs(scores["SPICE_lite"] - 1.0) < 1e-9  # bike~bicycle matched
+    stem_only = spice_lite([refs[0][0].split()], cand[0].split())
+    assert scores["SPICE_lite"] > stem_only
+
+
 def _spearman_rho(a, b):
     a = np.asarray(a, float)
     b = np.asarray(b, float)
