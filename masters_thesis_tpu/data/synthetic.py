@@ -76,6 +76,13 @@ def synthetic_factors(keys, seed: int = 0):
 
 
 def structured_captions(keys, factors, n_caps: int = 5):
+    if n_caps > len(_TEMPLATES):
+        # the random mode honors any n_caps; silently capping here would
+        # hand reference-count-sensitive metrics (CIDEr consensus, BLEU
+        # closest-ref) different denominators between the two modes
+        raise ValueError(
+            f"structured synthetic data renders at most {len(_TEMPLATES)} "
+            f"captions per key (template variants); got n_caps={n_caps}")
     caps = {}
     for row, key in enumerate(keys):
         e, a, v, p = (slot[factors[row, i]]

@@ -80,7 +80,19 @@ def load_function_words(path: str | None = None) -> frozenset:
     return frozenset(words)
 
 
-FUNCTION_WORDS = load_function_words()
+# lazy, cached per resolved path: importing the evalsuite must not fail on
+# a bad MTT_METEOR_FUNCTION_WORDS (the list only matters to 1.5 delta
+# weighting), and re-pointing the env var between scoring calls is honored
+_function_words_cache: dict[str, frozenset] = {}
+
+
+def default_function_words() -> frozenset:
+    path = os.environ.get(_FUNCTION_WORDS_ENV) or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "meteor_function_words_en.txt")
+    if path not in _function_words_cache:
+        _function_words_cache[path] = load_function_words(path)
+    return _function_words_cache[path]
 
 _DEFAULT_TABLE_ENV = "MTT_METEOR_SYNONYMS"
 _PARAPHRASE_TABLE_ENV = "MTT_METEOR_PARAPHRASES"
@@ -426,7 +438,7 @@ def _segment_stats(ref, hyp, stemmer, synonyms, p, paraphrases=None,
     align = _align_beam if p.get("search") == "beam" else _align
     stage_sides, chunks, m = align(ref, hyp, stemmer, synonyms, paraphrases)
     delta = p["delta"]
-    fw = FUNCTION_WORDS if function_words is None else function_words
+    fw = default_function_words() if function_words is None else function_words
     wm_h = wm_r = 0.0
     for w, (h_idxs, r_idxs) in zip(p["weights"], stage_sides):
         wm_h += w * _weighted_count(hyp, h_idxs, delta, fw)

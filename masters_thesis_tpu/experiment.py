@@ -589,7 +589,12 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
                              subject_split=subject_split,
                              self_target=self_target)
 
-    batch = next(iter(BatchPipeline(train_enc, store, bs, seed=0, prefetch=0).epoch()))
+    # same target alignment / subject layout as training: this batch also
+    # feeds GradStats, whose per-epoch gradient norms must be taken on the
+    # training objective (ThinkAndTell supervises UNSHIFTED targets)
+    batch = next(iter(BatchPipeline(train_enc, store, bs, seed=0, prefetch=0,
+                                    subject_split=subject_split,
+                                    self_target=self_target).epoch()))
     betas0 = (np.asarray(batch["betas"]) if "betas" in batch
               else np.asarray(store.device_gather(batch["idx"]), np.float32))
     params, batch_stats, rng = init_model(model, cfg, betas0, batch["tokens"])
@@ -692,6 +697,10 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             LossHistory(run_path),
             BatchLoss(run_path),
             Checkpointing(mgr, every=getattr(cfg.tpu, "ckpt_every", 1)),
+            # before TensorBoardScalars: CaptionMetrics mutates logs with
+            # val_bleu*/val_cider, which only reach the epoch/ TB scalars
+            # (and any monitor-style callback) if it runs first
+            *([caption_metrics_cb] if caption_metrics_cb else []),
             TensorBoardScalars(os.path.join(run_path, "tb")),
             PredictPreview(
                 run_path,
@@ -721,7 +730,6 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
                 batch,
                 every=5,
             ),
-            *([caption_metrics_cb] if caption_metrics_cb else []),
             *([_step_profiling(run_path, cfg)]
               if cfg.tpu.profile_steps > 0 else []),
             *([_trace_capture(run_path)]

@@ -224,13 +224,33 @@ def single_process_reference() -> dict:
 
 def run_multiprocess_drive(
     n_processes: int = 2, devices_per_process: int = 4,
-    timeout: int = 900,
+    timeout: int = 900, attempts: int = 3,
 ) -> dict:
     """Launch the drive across real OS processes; return process 0's report.
 
     The children import THIS module, so the trained program is byte-identical
     to ``single_process_reference``'s — only the process topology differs.
+
+    Free-port discovery (bind/close/hand the number to the children) is a
+    TOCTOU race: another process can claim the port during child startup
+    (seconds of interpreter + jax import before the coordinator binds).
+    A failed attempt is retried on a fresh port up to ``attempts`` times;
+    hangs still bound by ``timeout`` per attempt.
     """
+    last_err: Exception | None = None
+    for attempt in range(attempts):
+        try:
+            return _run_multiprocess_drive_once(
+                n_processes, devices_per_process, timeout)
+        except RuntimeError as e:
+            last_err = e
+    raise RuntimeError(
+        f"multiprocess drive failed after {attempts} attempts") from last_err
+
+
+def _run_multiprocess_drive_once(
+    n_processes: int, devices_per_process: int, timeout: int,
+) -> dict:
     s = socket.socket()
     s.bind(("localhost", 0))
     port = s.getsockname()[1]

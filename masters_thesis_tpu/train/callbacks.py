@@ -176,8 +176,6 @@ class CaptionMetrics(Callback):
         last = (getattr(trainer, "_target_epochs", 0) or 0) - 1
         if epoch % self.every and epoch != last:
             return
-        import jax.numpy as jnp
-
         from masters_thesis_tpu.evalsuite.bleu import corpus_bleu
         from masters_thesis_tpu.evalsuite.cider import CiderScorer
         from masters_thesis_tpu.evalsuite.tokens import ids_to_caption
@@ -188,8 +186,7 @@ class CaptionMetrics(Callback):
         }
         texts, keys = [], []
         for batch in self.pipe.epoch():
-            betas = (jnp.asarray(batch["betas"]) if "betas" in batch
-                     else trainer.store.device_gather(batch["idx"]))
+            betas = _preview_betas(trainer, batch)
             words, _, _ = self.decoder(
                 variables, betas, self.tokenizer.start_id)
             valid = batch["valid"]

@@ -118,7 +118,7 @@ def test_function_word_list_is_a_loadable_data_file(tmp_path):
         os.path.dirname(meteor.__file__), "meteor_function_words_en.txt")
     assert os.path.exists(bundled)
     words = meteor.load_function_words()
-    assert words == meteor.FUNCTION_WORDS
+    assert words == meteor.default_function_words()
     assert {"the", "a", "of", "is", "on"} <= words
     assert "cat" not in words and "sat" not in words
     # explicit-path override (the jar-extracted list drops in here)

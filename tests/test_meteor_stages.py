@@ -7,8 +7,8 @@ import json
 import pytest
 
 from masters_thesis_tpu.evalsuite.meteor import (
-    FUNCTION_WORDS,
     SynonymTable,
+    default_function_words,
     corpus_meteor,
     meteor_lite,
 )
@@ -34,9 +34,9 @@ def test_meteor15_golden_hand_computed():
 def test_meteor15_function_word_classification():
     # the golden above depends on this split — pin it
     for w in ("the", "is", "on", "a"):
-        assert w in FUNCTION_WORDS
+        assert w in default_function_words()
     for w in ("cat", "sat", "mat"):
-        assert w not in FUNCTION_WORDS
+        assert w not in default_function_words()
 
 
 def test_synonym_stage_aligns_and_weights():
@@ -215,3 +215,18 @@ def test_corpus_meteor_accepts_generator_references():
     score = corpus_meteor([[iter(toks)]], [list(toks)], params="1.5")
     expected = corpus_meteor([[list(toks)]], [list(toks)], params="1.5")
     assert score == expected and score > 0.5, (score, expected)
+
+
+def test_function_words_env_is_lazy_and_per_call(tmp_path, monkeypatch):
+    """The env override is resolved at scoring time, not import time: a
+    path set after import is honored, removing it falls back to the
+    bundled list, and a broken path fails only the call that needs it."""
+    p = tmp_path / "fw.txt"
+    p.write_text("cat\n")
+    monkeypatch.setenv("MTT_METEOR_FUNCTION_WORDS", str(p))
+    assert default_function_words() == frozenset({"cat"})
+    monkeypatch.delenv("MTT_METEOR_FUNCTION_WORDS")
+    assert "the" in default_function_words()
+    monkeypatch.setenv("MTT_METEOR_FUNCTION_WORDS", str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        default_function_words()

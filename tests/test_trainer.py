@@ -701,5 +701,14 @@ def test_caption_metrics_callback_logs_curve(tmp_path):
             open(os.path.join(run_path, "metrics.jsonl"))]
     cm = [r for r in rows if r.get("kind") == "caption_metrics"]
     assert len(cm) == 2
-    # the epoch logs carry the metric too (TB scalars pick it up)
+    # the epoch logs carry the metric too
     assert "val_bleu4" in logs
+    # ...and it genuinely reaches the TB epoch scalars: CaptionMetrics must
+    # be ordered BEFORE TensorBoardScalars in the trainer's callback list
+    # (a later position silently drops the curve from TB)
+    import glob
+
+    raw = b"".join(
+        open(p, "rb").read()
+        for p in glob.glob(os.path.join(run_path, "tb", "events.out.tfevents.*")))
+    assert b"epoch/val_bleu4" in raw and b"epoch/val_cider" in raw
