@@ -39,6 +39,11 @@ class BahdanauAttention(nn.Module):
             f"attention needs (B, regions, D) features, got {features.shape}"
         )
         assert hidden.ndim == 2 and hidden.shape[0] == features.shape[0]
+        # the LSTM carry rides fp32; under a bf16 compute config a raw fp32
+        # hidden would promote W2, the scores, and the CONTEXT to fp32 — and
+        # the fp32 context then drags the downstream cell input matmul off
+        # the bf16 MXU path too. Compute in the features' dtype.
+        hidden = hidden.astype(features.dtype)
         w1 = nn.Dense(self.units, kernel_init=he_normal, name="W1")
         w2 = nn.Dense(self.units, kernel_init=he_normal, name="W2")
         v = nn.Dense(1, name="V")

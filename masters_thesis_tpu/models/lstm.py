@@ -43,7 +43,12 @@ class KerasLSTMCell(nn.Module):
         )
         bias = self.param("bias", unit_forget_bias, (4 * self.units,))
 
-        z = x @ kernel + h @ recurrent + bias
+        # the carry rides fp32 (nic.py keeps it dtype-stable across the
+        # scan); under a bf16 compute config a raw `h @ recurrent` promotes
+        # that matmul to fp32 — half the cell's FLOPs silently off the bf16
+        # MXU path. Cast h to the ACTIVATION dtype for the matmul only; the
+        # state update below still runs against the fp32 c.
+        z = x @ kernel + h.astype(x.dtype) @ recurrent + bias
         i, f, g, o = jnp.split(z, 4, axis=-1)
         c_new = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
         h_new = nn.sigmoid(o) * jnp.tanh(c_new)
@@ -69,7 +74,7 @@ class KerasGRUCell(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (2, 3 * self.units))
 
         xz = x @ kernel + bias[0]
-        hz = h @ recurrent + bias[1]
+        hz = h.astype(x.dtype) @ recurrent + bias[1]  # same promotion trap
         xz_z, xz_r, xz_h = jnp.split(xz, 3, axis=-1)
         hz_z, hz_r, hz_h = jnp.split(hz, 3, axis=-1)
         z = nn.sigmoid(xz_z + hz_z)
