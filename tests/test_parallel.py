@@ -134,3 +134,49 @@ def test_flagship_census_shards_model_params():
     assert census["vocab_padded"] == "5001->5008"
     # fits a v4 chip (~32 GB HBM) with generous headroom
     assert census["hbm_gb_per_dev"] < 16
+
+
+def test_multiprocess_drive_retries_port_race(monkeypatch):
+    """The free-port hand-off is a TOCTOU race: a fast RuntimeError (port
+    stolen during child startup) retries on a fresh port up to `attempts`
+    times; a TimeoutExpired (hang) propagates immediately — retrying a
+    900s timeout would triple an already-long failure."""
+    import subprocess
+
+    import pytest
+
+    from masters_thesis_tpu.parallel import multiprocess as mp
+
+    calls = []
+
+    def flaky(n, d, t):
+        calls.append((n, d, t))
+        if len(calls) < 3:
+            raise RuntimeError("multiprocess drive failed: [(0, 1, 'bind')]")
+        return {"ok": True}
+
+    monkeypatch.setattr(mp, "_run_multiprocess_drive_once", flaky)
+    assert mp.run_multiprocess_drive(2, 4, timeout=5) == {"ok": True}
+    assert len(calls) == 3
+
+    calls.clear()
+
+    def always_fails(n, d, t):
+        calls.append(1)
+        raise RuntimeError("no MPDRIVE report in child output: []")
+
+    monkeypatch.setattr(mp, "_run_multiprocess_drive_once", always_fails)
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        mp.run_multiprocess_drive(2, 4, timeout=5)
+    assert len(calls) == 3
+
+    calls.clear()
+
+    def hangs(n, d, t):
+        calls.append(1)
+        raise subprocess.TimeoutExpired(cmd="child", timeout=t)
+
+    monkeypatch.setattr(mp, "_run_multiprocess_drive_once", hangs)
+    with pytest.raises(subprocess.TimeoutExpired):
+        mp.run_multiprocess_drive(2, 4, timeout=5)
+    assert len(calls) == 1
