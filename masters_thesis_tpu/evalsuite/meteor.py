@@ -61,16 +61,22 @@ from masters_thesis_tpu.evalsuite.stem import porter_stem
 _FUNCTION_WORDS_ENV = "MTT_METEOR_FUNCTION_WORDS"
 
 
+def _function_words_path() -> str:
+    """$MTT_METEOR_FUNCTION_WORDS, else the bundled list — the ONE place
+    the default resolves (load_function_words and the lazy cache share it)."""
+    return os.environ.get(_FUNCTION_WORDS_ENV) or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "meteor_function_words_en.txt",
+    )
+
+
 def load_function_words(path: str | None = None) -> frozenset:
     """Function words for METEOR-1.5's delta weighting, one per line,
     '#' comments ignored. Default: $MTT_METEOR_FUNCTION_WORDS, else the
     bundled closed-class English inventory (see the data file's header
     for the derivation and the jar-extraction route)."""
     if path is None:
-        path = os.environ.get(_FUNCTION_WORDS_ENV) or os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "meteor_function_words_en.txt",
-        )
+        path = _function_words_path()
     words = []
     with open(path) as f:
         for line in f:
@@ -87,9 +93,7 @@ _function_words_cache: dict[str, frozenset] = {}
 
 
 def default_function_words() -> frozenset:
-    path = os.environ.get(_FUNCTION_WORDS_ENV) or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "meteor_function_words_en.txt")
+    path = _function_words_path()
     if path not in _function_words_cache:
         _function_words_cache[path] = load_function_words(path)
     return _function_words_cache[path]

@@ -52,7 +52,11 @@ class KerasLSTMCell(nn.Module):
         i, f, g, o = jnp.split(z, 4, axis=-1)
         c_new = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
         h_new = nn.sigmoid(o) * jnp.tanh(c_new)
-        return (h_new, c_new), h_new
+        # carry stays in the (fp32) state dtype; the OUTPUT rides the
+        # activation dtype so downstream consumers (the vocab head's
+        # dense_inter/dense_out — the decoder's largest matmuls) stay on
+        # the bf16 MXU path instead of silently promoting
+        return (h_new, c_new), h_new.astype(z.dtype)
 
 
 class KerasGRUCell(nn.Module):
@@ -81,4 +85,4 @@ class KerasGRUCell(nn.Module):
         r = nn.sigmoid(xz_r + hz_r)
         hh = jnp.tanh(xz_h + r * hz_h)
         h_new = z * h + (1 - z) * hh
-        return h_new, h_new
+        return h_new, h_new.astype(xz.dtype)  # same output-dtype rule

@@ -234,8 +234,12 @@ def run_multiprocess_drive(
     Free-port discovery (bind/close/hand the number to the children) is a
     TOCTOU race: another process can claim the port during child startup
     (seconds of interpreter + jax import before the coordinator binds).
-    A failed attempt is retried on a fresh port up to ``attempts`` times;
-    hangs still bound by ``timeout`` per attempt.
+    An attempt whose failure LOOKS like that race (bind/connect/coordinator
+    errors in the child stderr) is retried on a fresh port up to
+    ``attempts`` times; any other failure — a deterministic child crash, a
+    missing report — raises immediately so a real regression is not re-run
+    3x and mislabelled as flake. Hangs stay bound by ``timeout`` per
+    attempt and are never retried.
     """
     last_err: Exception | None = None
     for attempt in range(attempts):
@@ -243,9 +247,23 @@ def run_multiprocess_drive(
             return _run_multiprocess_drive_once(
                 n_processes, devices_per_process, timeout)
         except RuntimeError as e:
+            if not _looks_like_port_race(str(e)):
+                raise
             last_err = e
     raise RuntimeError(
         f"multiprocess drive failed after {attempts} attempts") from last_err
+
+
+_PORT_RACE_MARKERS = (
+    "address already in use", "failed to bind", "bind failed",
+    "failed to connect", "connection refused", "unavailable",
+    "deadline", "coordinator",
+)
+
+
+def _looks_like_port_race(err_text: str) -> bool:
+    t = err_text.lower()
+    return any(m in t for m in _PORT_RACE_MARKERS)
 
 
 def _run_multiprocess_drive_once(

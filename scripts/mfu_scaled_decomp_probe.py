@@ -45,7 +45,7 @@ if jax.default_backend() == "tpu":
 from masters_thesis_tpu.config import Config
 from masters_thesis_tpu.data.synthetic import synthetic_groups
 from masters_thesis_tpu.models.nic import LcNIC
-from masters_thesis_tpu.ops.gather import gather_rows, pack_rows
+from masters_thesis_tpu.ops.gather import gather_rows
 from masters_thesis_tpu.ops.group_layout import GroupLayout
 from masters_thesis_tpu.train.losses import lc_nic_l2_rules
 from masters_thesis_tpu.train.optim import make_optimizer
@@ -79,6 +79,9 @@ flat_idx = jnp.asarray(layout.flat_indices())
 
 @jax.jit
 def _prep(rows):
+    # bench.py's on-device pregather+pack (permute into the encoder's
+    # grouped layout, then the ops/gather.py packed (N, S, 128) shape) —
+    # the host-side equivalent is layout.permute_rows + pack_rows
     from masters_thesis_tpu.ops.gather import LANES
     padded = jnp.concatenate(
         [rows, jnp.zeros((rows.shape[0], 1), rows.dtype)], axis=1)

@@ -152,7 +152,8 @@ def test_multiprocess_drive_retries_port_race(monkeypatch):
     def flaky(n, d, t):
         calls.append((n, d, t))
         if len(calls) < 3:
-            raise RuntimeError("multiprocess drive failed: [(0, 1, 'bind')]")
+            raise RuntimeError(
+                "multiprocess drive failed: [(0, 1, 'failed to bind')]")
         return {"ok": True}
 
     monkeypatch.setattr(mp, "_run_multiprocess_drive_once", flaky)
@@ -161,14 +162,28 @@ def test_multiprocess_drive_retries_port_race(monkeypatch):
 
     calls.clear()
 
-    def always_fails(n, d, t):
+    def always_races(n, d, t):
         calls.append(1)
-        raise RuntimeError("no MPDRIVE report in child output: []")
+        raise RuntimeError(
+            "multiprocess drive failed: [(1, 1, 'Address already in use')]")
 
-    monkeypatch.setattr(mp, "_run_multiprocess_drive_once", always_fails)
+    monkeypatch.setattr(mp, "_run_multiprocess_drive_once", always_races)
     with pytest.raises(RuntimeError, match="after 3 attempts"):
         mp.run_multiprocess_drive(2, 4, timeout=5)
     assert len(calls) == 3
+
+    # a deterministic failure (nothing port-shaped in the stderr) must NOT
+    # re-run the drive: a real regression surfaces once, not as 3x flake
+    calls.clear()
+
+    def deterministic(n, d, t):
+        calls.append(1)
+        raise RuntimeError("no MPDRIVE report in child output: []")
+
+    monkeypatch.setattr(mp, "_run_multiprocess_drive_once", deterministic)
+    with pytest.raises(RuntimeError, match="no MPDRIVE report"):
+        mp.run_multiprocess_drive(2, 4, timeout=5)
+    assert len(calls) == 1
 
     calls.clear()
 
