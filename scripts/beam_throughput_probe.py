@@ -18,8 +18,11 @@ model = LcNIC(layout=layout, units=cfg.units, group_size=cfg.group_size,
               embedding_text=cfg.embedding_text, attn_units=cfg.attn_units,
               vocab_size=cfg.vocab_size, max_length=cfg.max_length)
 rng = np.random.default_rng(0)
-B, K = cfg.batch_size, 8
-betas = jnp.asarray(rng.standard_normal((K, B, N)), jnp.float32)
+B, K = cfg.batch_size, int(os.environ.get("MTT_BEAM_K", "8"))
+# betas generated ON DEVICE: a (K, B, 327684) host upload rides the
+# ~16 MB/s tunnel (670 MB at K=8) and dominates cold-start wall time
+betas = jax.jit(lambda: jax.random.normal(
+    jax.random.PRNGKey(0), (K, B, N), jnp.float32))()
 tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, cfg.max_length)), jnp.int32)
 params, bstats, _ = init_model(model, cfg, np.asarray(betas[0]), tokens)
 variables = {"params": params, "batch_stats": bstats}
