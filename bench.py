@@ -447,13 +447,22 @@ def main() -> None:
             flat = store[: DEC_K * B]
             words, _ = fdec(variables, flat, 3)
             np.asarray(words)
+            # pipelined dispatch — the serving pattern: keep QD calls in
+            # flight and force only the last (one device stream, so forcing
+            # the last forces them all). Force-each-call leaves the ~30 ms
+            # dispatch RTT serialized into every 25 ms call and reads ~18k;
+            # pipelined measures the device's actual decode rate (~36k).
+            # The RTT-exposed number stays in captions_per_sec_per_dispatch.
+            QD = 8
             t0 = time.perf_counter()
-            reps = 4
+            reps = 3
             for _ in range(reps):
+                for _ in range(QD - 1):
+                    words, _ = fdec(variables, flat, 3)
                 words, _ = fdec(variables, flat, 3)
                 np.asarray(words)
             result["extra"]["captions_per_sec_greedy"] = round(
-                reps * DEC_K * B / (time.perf_counter() - t0), 1)
+                reps * QD * DEC_K * B / (time.perf_counter() - t0), 1)
             emit(result["value"], "decode-fused")
         except Exception:
             pass
@@ -465,12 +474,14 @@ def main() -> None:
                 w2 = sdecoder(variables, stacked, 3)
                 np.asarray(w2)
                 t0 = time.perf_counter()
-                reps = 4
+                reps = 3
                 for _ in range(reps):
+                    for _ in range(QD - 1):
+                        w2 = sdecoder(variables, stacked, 3)
                     w2 = sdecoder(variables, stacked, 3)
                     np.asarray(w2)
                 result["extra"]["captions_per_sec_xla"] = round(
-                    reps * DEC_K * B / (time.perf_counter() - t0), 1)
+                    reps * QD * DEC_K * B / (time.perf_counter() - t0), 1)
             except Exception:
                 pass
     elif not fast and not on_tpu and time_left() > 60:
