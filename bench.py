@@ -312,6 +312,21 @@ def main() -> None:
             "phase": "quick",
             "captions_per_sec_greedy": None,
             "captions_per_sec_xla": None,
+            "captions_per_sec_beam": None,
+            "beam_width": 5,
+            # the serving numbers' measurement protocol travels WITH the
+            # artifact: captions_per_sec_greedy changed semantics in r4
+            # (force-each-dispatch -> 8-deep pipelined) under the same key,
+            # so cross-round comparisons need this field to disambiguate
+            "methodology": {
+                "captions_per_sec_greedy": "pipelined dispatch, 8 calls in "
+                "flight, force last (since r4; r1-r3 forced each call)",
+                "captions_per_sec_xla": "pipelined dispatch, 8 in flight",
+                "captions_per_sec_beam": "XLA lattice, 32 batches/call, "
+                "force each call (call >> RTT at K=32)",
+                "captions_per_sec_per_dispatch": "force each call (RTT "
+                "exposed)",
+            },
             "captions_per_sec_per_dispatch": None,
             "dispatch_steps_per_sec": None,
             "bf16_steps_per_sec": None,
@@ -432,6 +447,10 @@ def main() -> None:
     from masters_thesis_tpu.decode.greedy import make_scanned_greedy_decoder
 
     DEC_K = 16
+    # pipelined dispatch depth, shared by the fused and XLA greedy blocks
+    # (hoisted out of the fused try-block: a fused-build failure must not
+    # NameError the independent XLA measurement)
+    QD = 8
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if not fast and on_tpu and time_left() > 180:
         # production serving path: the whole-decode Pallas kernel — all 15
@@ -453,7 +472,6 @@ def main() -> None:
             # dispatch RTT serialized into every 25 ms call and reads ~18k;
             # pipelined measures the device's actual decode rate (~36k).
             # The RTT-exposed number stays in captions_per_sec_per_dispatch.
-            QD = 8
             t0 = time.perf_counter()
             reps = 3
             for _ in range(reps):
@@ -498,6 +516,41 @@ def main() -> None:
                 np.asarray(words)
             result["extra"]["captions_per_sec_greedy"] = round(
                 reps * DEC_K * B / (time.perf_counter() - t0), 1)
+        except Exception:
+            pass
+
+    # ---- beam caption throughput (soloist evaluate.py:103-189 path) ----
+    # the thesis's publication decode: width-5 length-normalised beam as the
+    # XLA fixed-lattice scan (decode/beam.py; the fused beam kernel measured
+    # SLOWER — PERF.md "whole-beam search kernel"). 32 batches per device
+    # call: the round-4 sweep's optimum (the ~65 ms call dwarfs the ~30 ms
+    # dispatch RTT, so force-each-call is accurate here).
+    if not fast and on_tpu and time_left() > 240:
+        try:
+            from masters_thesis_tpu.decode.beam import (
+                make_scanned_beam_decoder,
+            )
+
+            BEAM_K = 32
+            bdec = make_scanned_beam_decoder(
+                model, cfg.units, cfg.max_length, beam_width=5)
+            beam_betas = jax.jit(
+                lambda: jax.random.normal(
+                    jax.random.PRNGKey(1), (BEAM_K, B, N_VOXELS),
+                    jnp.float32),
+            )()
+            phase_log("compiling beam lattice decoder")
+            bw = bdec(variables, beam_betas, 3, 4)
+            np.asarray(bw)
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                bw = bdec(variables, beam_betas, 3, 4)
+                np.asarray(bw)
+            result["extra"]["captions_per_sec_beam"] = round(
+                reps * BEAM_K * B / (time.perf_counter() - t0), 1)
+            del beam_betas, bw
+            emit(result["value"], "decode-beam")
         except Exception:
             pass
 

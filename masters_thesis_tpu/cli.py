@@ -741,6 +741,20 @@ def main(argv=None) -> int:
 
     t = sub.add_parser("train", help="train a model from a config")
     _add_common(t)
+    t.add_argument("--processes", type=int, default=1,
+                   help="launch N coordinated OS processes running this "
+                        "same training (single-machine distributed: "
+                        "jax.distributed over a local coordinator, each "
+                        "process feeding its per-host batch slice; "
+                        "sharding comes from the config's tpu.mesh_* "
+                        "knobs, defaulting to data-parallel over all "
+                        "devices). On a real multi-host pod launch one "
+                        "`mtt train` per host with the cluster's "
+                        "JAX_COORDINATOR_ADDRESS env instead — "
+                        "run_training picks it up automatically.")
+    t.add_argument("--devices-per-process", type=int, default=4,
+                   help="virtual CPU devices per process for local "
+                        "--processes runs")
 
     e = sub.add_parser("eval", help="train (or restore) then decode test set")
     _add_common(e)
@@ -1200,6 +1214,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "train":
+        if getattr(args, "processes", 1) > 1:
+            from masters_thesis_tpu.parallel.multiprocess import (
+                launch_cli_train,
+            )
+
+            report = launch_cli_train(
+                args.config, n_processes=args.processes,
+                devices_per_process=args.devices_per_process,
+                epochs=args.epochs, smoke_keys=args.smoke_keys,
+                resume=args.resume)
+            print(json.dumps(report))
+            return 0
         run_path, logs, _ = run_training(cfg, args.epochs, args.smoke_keys,
                                          resume=args.resume)
         print(json.dumps({"run_path": run_path, **{

@@ -39,6 +39,10 @@ class DatasetConfig:
     #                         (betas encode the captions' latent factors —
     #                         data/synthetic.py structured mode; held-out
     #                         caption metrics can then genuinely converge)
+    #                         | "compositional" (round 5: val/test keys use
+    #                         UNSEEN factor combinations, so the caption-
+    #                         metric ceiling sits below 1.0 and the curve
+    #                         can rank models)
 
 
 @dataclass
@@ -66,6 +70,24 @@ class TPUConfig:
     #                                  and the whole-decode serving kernel
     #                                  (ops/fused_decode.py); False forces
     #                                  plain-XLA paths everywhere
+    fused_seq: bool = False          # route the teacher-forced decoder
+    #                                  through the fused sequence step's
+    #                                  custom VJP (ops/fused_seq.py):
+    #                                  backward carries only (dh, dc) and
+    #                                  weight grads become stacked
+    #                                  (B*T)-row einsums. Measured ~1.4x
+    #                                  the XLA-autodiff scan at MXU-filling
+    #                                  dims (units 2048/batch 256: 53.3 ->
+    #                                  37.4 ms decoder fwd+bwd), neutral
+    #                                  within noise at the flagship
+    #                                  batch-64 contract — enable for
+    #                                  large-units/large-batch configs.
+    #                                  LSTM/zero-init/trainable-embedding
+    #                                  family, fp32 compute; other configs
+    #                                  fall back to the autodiff scan.
+    #                                  Attention-dropout masks ride a
+    #                                  different (iid) stream than flax's
+    #                                  (same caveat class as prng_impl).
     remat: bool = False              # jax.checkpoint the decoder's per-
     #                                  timestep scan body (NIC family): the
     #                                  backward pass recomputes attention+cell

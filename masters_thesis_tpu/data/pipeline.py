@@ -51,6 +51,7 @@ class BatchPipeline:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.prefetch = prefetch
+        self.seed = seed
         self.rng = np.random.Generator(np.random.PCG64(seed))
         n = len(pairs)
         self.steps_per_epoch = n // batch_size if drop_remainder else -(-n // batch_size)
@@ -82,13 +83,23 @@ class BatchPipeline:
         else:
             self.store_idx = np.zeros(n, dtype=np.int32)
 
-    def _order(self) -> np.ndarray:
+    def _order(self, epoch: int | None = None) -> np.ndarray:
+        # epoch-INDEXED shuffling (round 5): with an epoch number the
+        # permutation is a pure function of (seed, epoch), so a resumed run
+        # replays exactly the batch orders the uninterrupted run would have
+        # seen — resume is then trajectory-exact, not just state-exact.
+        # (The stateful self.rng path remains for epoch()-without-index
+        # callers; the reference reshuffles with the global RNG and has no
+        # resume-order story at all, data_generator_guse.py:67-71.)
+        rng = (np.random.Generator(
+            np.random.PCG64((self.seed, 1 + epoch)))
+            if epoch is not None else self.rng)
         if self.subject_split:
             half = self.batch_size // 2
             idx_a, idx_b = (i.copy() for i in self._sub_idx)
             if self.shuffle:
-                self.rng.shuffle(idx_a)
-                self.rng.shuffle(idx_b)
+                rng.shuffle(idx_a)
+                rng.shuffle(idx_b)
             parts = []
             for step in range(self.steps_per_epoch):
                 parts.append(idx_a[step * half:(step + 1) * half])
@@ -97,7 +108,7 @@ class BatchPipeline:
                     else np.zeros(0, np.int64))
         order = np.arange(len(self.pairs))
         if self.shuffle:
-            self.rng.shuffle(order)
+            rng.shuffle(order)
         return order
 
     def _make_batch(self, sel: np.ndarray) -> dict:
@@ -117,9 +128,11 @@ class BatchPipeline:
             batch["betas"] = self.store.gather_host(batch["idx"])
         return batch
 
-    def epoch(self):
-        """Iterate one epoch of batches, prefetched on a background thread."""
-        order = self._order()
+    def epoch(self, epoch: int | None = None):
+        """Iterate one epoch of batches, prefetched on a background thread.
+        ``epoch``: index for resume-exact deterministic shuffling (see
+        ``_order``); None keeps the legacy stateful stream."""
+        order = self._order(epoch)
         bs = self.batch_size
         n_steps = self.steps_per_epoch
 

@@ -35,7 +35,7 @@ class ArrayStore:
     """Dense (N, ...) row store with key → row-index lookup."""
 
     def __init__(self, data, keys: Sequence[int], device_resident: bool = False,
-                 dtype=None, pack_lanes: bool = False):
+                 dtype=None, pack_lanes: bool = False, mesh=None):
         keys = [int(k) for k in keys]
         assert len(keys) == len(data), "keys must match rows"
         assert len(set(keys)) == len(keys), (
@@ -47,7 +47,17 @@ class ArrayStore:
         self.device_resident = device_resident
         self.n_cols = int(np.shape(data)[1]) if np.ndim(data) == 2 else None
         self.packed = False
-        if device_resident:
+        if device_resident and mesh is not None:
+            # mesh-sharded store (distributed training product path): voxel
+            # axis over 'model', matching the encoder's contraction-dim
+            # sharding — the in-step gather then yields betas already laid
+            # out P('data', 'model'). Lane packing is off: the Pallas DMA
+            # gather is not GSPMD-partitionable (parallel/sharding.py
+            # docstring), so sharded stores stay in the 2D layout.
+            from masters_thesis_tpu.parallel.sharding import shard_store_array
+
+            self.data = shard_store_array(data, mesh, dtype=dtype)
+        elif device_resident:
             assert jnp is not None, "jax required for device-resident store"
             if pack_lanes and np.ndim(data) == 2:
                 # (N, S, 128) row-block layout for the Pallas DMA gather

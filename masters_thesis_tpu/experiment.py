@@ -68,8 +68,13 @@ def build_data(cfg: Config, smoke_keys: int = 48):
         seed=cfg.seed,
         # "structured": betas encode the captions' latent factors so
         # held-out caption metrics can genuinely converge (the
-        # caption_metrics_every evidence loop)
-        structured=(cfg.dataset.synthetic == "structured"),
+        # caption_metrics_every evidence loop); "compositional" also holds
+        # out the val/test keys' factor COMBINATIONS so the curve plateaus
+        # below 1.0 and can rank models (round 5)
+        structured=(cfg.dataset.synthetic
+                    if cfg.dataset.synthetic in ("structured",
+                                                 "compositional")
+                    else False),
     )
     if cfg.model.lower() in ("img_nic", "cnn_rnn"):
         # image models consume (patches, channels) conv features, not flat
@@ -490,11 +495,41 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     continues from the next epoch (the reference's CheckpointManager resume,
     CNN_RNN/train.py:272-287). ``extra_callbacks`` are appended to the
     standard callback list (the tune runner injects its per-epoch reporter
-    here, like Ray's TuneReportCallback, tune.py:146-153)."""
+    here, like Ray's TuneReportCallback, tune.py:146-153).
+
+    Distributed training (new TPU surface; the reference is single-GPU,
+    main.py:269-281): ``tpu.mesh_data``/``tpu.mesh_model`` != 1 builds a
+    ('data','model') mesh, shards the TrainState (parallel/sharding.py
+    rules), swaps in the mesh-jitted train/eval/scanned steps, and places
+    every batch via MeshInputPlacer. Multi-process runs (launched with
+    JAX_COORDINATOR_ADDRESS et al., see parallel.mesh.maybe_distributed_init)
+    run this SAME function in every process: the seed-deterministic pipeline
+    rebuilds identical global batches everywhere, each host feeds only its
+    slice, and checkpoints save/restore the sharded state collectively.
+    Preview/caption-metric/grad-stat callbacks are single-process features
+    (they drive extra jitted programs outside the symmetric train loop) and
+    are disabled when process_count > 1; loss metrics, checkpointing and
+    resume are full product surface in both modes. ``mesh_data: 0`` means
+    "all remaining devices" (mesh.py:make_mesh)."""
     apply_tpu_runtime_config(cfg)
-    run_path = setup_run_dir(cfg.log, cfg.run, cfg)
+    use_mesh = cfg.tpu.mesh_data != 1 or cfg.tpu.mesh_model != 1
+    mesh = None
+    if use_mesh:
+        from masters_thesis_tpu.parallel.mesh import (
+            make_mesh,
+            maybe_distributed_init,
+        )
+
+        maybe_distributed_init()
+        mesh = make_mesh(data=cfg.tpu.mesh_data, model=cfg.tpu.mesh_model)
+    import jax
+
+    n_proc = jax.process_count()
+    is_primary = jax.process_index() == 0
+    run_path = setup_run_dir(cfg.log, cfg.run, cfg if is_primary else None)
     split, pairs, tok, store, groups = build_data(cfg, smoke_keys)
-    tok.save(os.path.join(run_path, "tokenizer.json"))
+    if is_primary:
+        tok.save(os.path.join(run_path, "tokenizer.json"))
     # glove_NIC variant: resolve the pretrained table once and persist it in
     # the run dir — serving/eval rebuilds need the exact table (for
     # glove_trainable=false it is a module constant, not in the checkpoint).
@@ -509,9 +544,8 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             glove_table = np.load(persisted)
         else:
             glove_table = resolve_glove_table(cfg, tok)
-            np.save(persisted, glove_table)
-
-    import jax
+            if is_primary:
+                np.save(persisted, glove_table)
 
     n_voxels = store.row_shape[0]
     # the TRAINED input row shape, before the store is repacked/permuted —
@@ -529,15 +563,19 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         and not store.device_resident
         and jax.default_backend() == "tpu"
         and cfg.model.lower() in ("lc_nic", "ms_nic")
+        # the pregathered layout is lane-packed for the Pallas DMA gather,
+        # which is not GSPMD-partitionable — mesh stores stay 2D
+        and mesh is None
     )
     model, l2_rules, masked = build_model(cfg, groups, n_voxels,
                                           pregathered=pregathered,
                                           embedding_table=glove_table)
     # persist the group layout so the model can be rebuilt for serving
-    if cfg.model.lower() in ("lc_nic", "ms_nic", "ms2_nic"):
+    if is_primary and cfg.model.lower() in ("lc_nic", "ms_nic", "ms2_nic"):
         GroupLayout(groups, n_voxels).save(os.path.join(run_path, "layout.npz"))
 
     store_width = n_voxels
+    mesh_host_store = None  # host copy for mesh-mode per-step/init gathers
     if cfg.tpu.scan_steps > 0 and not store.device_resident:
         # multi-step training gathers betas on device: move the store into
         # HBM once (optionally bf16). On TPU the store is packed into the
@@ -551,16 +589,33 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             # no width slice: the pregathered encoder ignores the packed
             # store's lane-padding tail (per-bucket segment slices)
             store_width = None
-        store = ArrayStore(
-            data, store.keys.tolist(),
-            device_resident=True, dtype=cfg.tpu.store_dtype,
-            pack_lanes=(jax.default_backend() == "tpu"
-                        and cfg.tpu.use_pallas),
-        )
+        if mesh is not None:
+            mesh_host_store = data
+            store = ArrayStore(
+                data, store.keys.tolist(), device_resident=True,
+                dtype=cfg.tpu.store_dtype, mesh=mesh,
+            )
+        else:
+            store = ArrayStore(
+                data, store.keys.tolist(),
+                device_resident=True, dtype=cfg.tpu.store_dtype,
+                pack_lanes=(jax.default_backend() == "tpu"
+                            and cfg.tpu.use_pallas),
+            )
 
     train_enc = encode_pairs(pairs["train"], tok, cfg.max_length)
     val_enc = encode_pairs(pairs["val"], tok, cfg.max_length)
     bs = min(cfg.batch_size, max(2, len(train_enc) // 2))
+    if mesh is not None:
+        # the global batch shards its rows over the 'data' axis: round down
+        # to a divisible size (and never below one row per data shard)
+        d = mesh.shape["data"]
+        new_bs = max(d, (bs // d) * d)
+        if new_bs != bs:
+            logger.warning(
+                "batch size %d not divisible by data axis %d; using %d",
+                bs, d, new_bs)
+            bs = new_bs
     # ms2_NIC's two-encoder split requires every batch laid out
     # [A-half ; B-half] (main_ms.py's generator contract) — a plain
     # shuffled pipeline would train each per-subject encoder on
@@ -595,8 +650,14 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     batch = next(iter(BatchPipeline(train_enc, store, bs, seed=0, prefetch=0,
                                     subject_split=subject_split,
                                     self_target=self_target).epoch()))
-    betas0 = (np.asarray(batch["betas"]) if "betas" in batch
-              else np.asarray(store.device_gather(batch["idx"]), np.float32))
+    if "betas" in batch:
+        betas0 = np.asarray(batch["betas"])
+    elif mesh_host_store is not None:
+        # an eager gather on a process-spanning store would not run
+        # multi-process; init gathers from the host copy instead
+        betas0 = np.asarray(mesh_host_store[batch["idx"]], np.float32)
+    else:
+        betas0 = np.asarray(store.device_gather(batch["idx"]), np.float32)
     params, batch_stats, rng = init_model(model, cfg, betas0, batch["tokens"])
     if cfg.warm_start:
         from masters_thesis_tpu.train.checkpoint import warm_start_from_run
@@ -611,10 +672,24 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     tx = make_optimizer(cfg)
     state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx, rng=rng)
 
+    placer = None
+    if mesh is not None:
+        from masters_thesis_tpu.parallel.sharding import (
+            MeshInputPlacer,
+            shard_params,
+        )
+
+        # identical seeded init in every process (single-controller SPMD
+        # style), then placed onto the mesh per the sharding rules
+        state = shard_params(state, mesh)
+        placer = MeshInputPlacer(mesh, with_voxel_axis=True)
+        placer.host_store = mesh_host_store
+
     from masters_thesis_tpu.utils.summary import model_summary
 
-    with open(os.path.join(run_path, "modelsummary.txt"), "w") as f:
-        f.write(model_summary(params, batch_stats, name=cfg.model))
+    if is_primary:
+        with open(os.path.join(run_path, "modelsummary.txt"), "w") as f:
+            f.write(model_summary(params, batch_stats, name=cfg.model))
 
     # provenance snapshot (the reference copies the model source into the
     # run dir, main.py:58; here: package version + git revision + device)
@@ -632,15 +707,20 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         rev = None
     from masters_thesis_tpu.version import __version__
 
-    with open(os.path.join(run_path, "run_meta.json"), "w") as f:
-        json.dump({
-            "framework_version": __version__,
-            "git_revision": rev,
-            "model": cfg.model,
-            "backend": jax.default_backend(),
-            "n_devices": jax.device_count(),
-            "input_row_shape": input_row_shape,
-        }, f, indent=1)
+    if is_primary:
+        with open(os.path.join(run_path, "run_meta.json"), "w") as f:
+            json.dump({
+                "framework_version": __version__,
+                "git_revision": rev,
+                "model": cfg.model,
+                "backend": jax.default_backend(),
+                "n_devices": jax.device_count(),
+                "n_processes": n_proc,
+                "mesh": (dict(zip(mesh.axis_names,
+                                  (int(s) for s in mesh.devices.shape)))
+                         if mesh is not None else None),
+                "input_row_shape": input_row_shape,
+            }, f, indent=1)
 
     from masters_thesis_tpu.train.callbacks import (
         BatchLoss,
@@ -660,7 +740,7 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     # decoded caption metrics on the val split during training (round 4):
     # one row per unique val key, references rebuilt from the raw pairs
     caption_metrics_cb = None
-    if cfg.caption_metrics_every > 0 and pairs["val"]:
+    if cfg.caption_metrics_every > 0 and pairs["val"] and n_proc == 1:
         from masters_thesis_tpu.train.callbacks import CaptionMetrics
 
         seen: set = set()
@@ -685,14 +765,38 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
         if restored_epoch is not None:
             start_epoch = restored_epoch + 1
             logger.info("resumed from epoch %d", restored_epoch)
-    trainer = Trainer(
-        cfg,
-        make_train_step(model, cfg, l2_rules, masked=masked, donate=False),
-        make_eval_step(model, cfg, l2_rules, masked=masked),
-        state,
-        train_pipe,
-        val_pipe,
-        callbacks=[
+
+    if mesh is not None:
+        from masters_thesis_tpu.parallel.sharding import (
+            make_sharded_eval_step,
+            make_sharded_train_step,
+        )
+
+        train_step = make_sharded_train_step(
+            model, cfg, l2_rules, mesh, state, masked=masked)
+        eval_step = make_sharded_eval_step(
+            model, cfg, l2_rules, mesh, state, masked=masked)
+    else:
+        train_step = make_train_step(model, cfg, l2_rules, masked=masked,
+                                     donate=False)
+        eval_step = make_eval_step(model, cfg, l2_rules, masked=masked)
+
+    # multi-process runs keep only the symmetric callbacks: checkpointing is
+    # COLLECTIVE (orbax saves the sharded state from every host), file
+    # writers run on process 0, and the preview/caption/grad-stat callbacks
+    # — which drive their own jitted programs outside the train loop — are
+    # single-process features (see run_training docstring)
+    if n_proc > 1:
+        callbacks = [
+            *([ErrorLog(run_path), LossHistory(run_path),
+               BatchLoss(run_path)] if is_primary else []),
+            Checkpointing(mgr, every=getattr(cfg.tpu, "ckpt_every", 1)),
+            *([TensorBoardScalars(os.path.join(run_path, "tb"))]
+              if is_primary else []),
+            *extra_callbacks,
+        ]
+    else:
+        callbacks = [
             ErrorLog(run_path),
             LossHistory(run_path),
             BatchLoss(run_path),
@@ -735,11 +839,39 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             *([_trace_capture(run_path)]
               if cfg.tpu.profile_trace else []),
             *extra_callbacks,
-        ],
+        ]
+    trainer = Trainer(
+        cfg,
+        train_step,
+        eval_step,
+        state,
+        train_pipe,
+        val_pipe,
+        callbacks=callbacks,
         store=store,
-        metric_logger=MetricLogger(os.path.join(run_path, "metrics.jsonl")),
+        metric_logger=(MetricLogger(os.path.join(run_path, "metrics.jsonl"))
+                       if is_primary else None),
+        input_placer=placer,
     )
-    if cfg.tpu.scan_steps > 0:
+    if cfg.tpu.scan_steps > 0 and mesh is not None:
+        from masters_thesis_tpu.parallel.sharding import (
+            make_sharded_scanned_eval_steps_from_tables,
+            make_sharded_scanned_train_steps_from_tables,
+        )
+
+        store_ndim = len(store.row_shape) + 1
+        trainer.use_scanned_steps(
+            make_sharded_scanned_train_steps_from_tables(
+                model, cfg, l2_rules, mesh, state, masked=masked,
+                store_width=store_width, store_ndim=store_ndim),
+            tables=True,
+        )
+        trainer.use_scanned_eval(
+            make_sharded_scanned_eval_steps_from_tables(
+                model, cfg, l2_rules, mesh, state, masked=masked,
+                store_width=store_width, store_ndim=store_ndim)
+        )
+    elif cfg.tpu.scan_steps > 0:
         from masters_thesis_tpu.train.steps import (
             make_scanned_eval_steps_from_tables,
             make_scanned_train_steps_from_tables,
@@ -765,6 +897,12 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     # append the measured throughput to run_meta.json so every run carries
     # its own perf record (the integrated-trainer contract, PERF.md): final
     # epoch's train-phase steps/s + total fit wall time
+    if not is_primary:
+        return run_path, logs, {
+            "model": model, "state": trainer.state, "tokenizer": tok,
+            "store": store, "split": split, "pairs": pairs, "cfg": cfg,
+            "manager": mgr,
+        }
     try:
         meta_path = os.path.join(run_path, "run_meta.json")
         with open(meta_path) as f:
@@ -1181,12 +1319,10 @@ def run_eval(bundle, run_path: str, epoch: int | None = None,
         from masters_thesis_tpu.models.nic import NIC
 
         if (jax.default_backend() == "tpu" and cfg.tpu.use_pallas
-                and isinstance(model, NIC) and model.cell_type == "lstm"
-                and not model.learned_init_state
-                # frozen pretrained embeddings are a module constant, not
-                # params['embedding'], which the fused kernel requires
-                and (model.pretrained_embedding is None
-                     or model.embedding_trainable)):
+                # round 5: kernel covers every NIC cell/init/embedding
+                # variant (GRU, learned-init, frozen GloVe) — see
+                # make_whole_fused_greedy_decoder
+                and isinstance(model, NIC)):
             # serving fast path: whole-decode Pallas kernel — same tokens
             # (parity-tested), real per-step alphas for the attention
             # artifact; raw logits aren't consumed by the eval artifacts

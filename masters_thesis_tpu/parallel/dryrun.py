@@ -315,6 +315,50 @@ def _dryrun_impl(n_devices: int) -> None:
             f"scanned_loss_diff={dsloss:.2e} ok"
         )
 
+        # round 5: the PRODUCT path across processes — run_training itself
+        # (Trainer, callbacks, sharded orbax checkpointing, scanned train +
+        # scanned val) driven by tpu.mesh_* config over 2 OS processes,
+        # trajectory-matched against the identical single-process
+        # run_training, and the multi-process-written sharded checkpoint
+        # restored IN THIS PROCESS on a different topology via the product
+        # resume path. Gated to the 8-device dryrun (it re-runs several
+        # full run_training programs — once per suite is the right cost).
+
+    if (
+        os.environ.get("MTT_DRYRUN_MULTIPROCESS", "1") != "0"
+        and n_devices >= 8 and n_devices % 2 == 0
+    ):
+        import tempfile
+
+        from masters_thesis_tpu.parallel.multiprocess import (
+            run_multiprocess_training,
+            run_training_inprocess,
+        )
+
+        mp_root = tempfile.mkdtemp(prefix="mtt_mptrain_")
+        mpt = run_multiprocess_training(
+            mp_root, n_processes=2, devices_per_process=n_devices // 2,
+            epochs=2, scan_steps=3)
+        sp_root = tempfile.mkdtemp(prefix="mtt_sptrain_")
+        spt = run_training_inprocess(
+            sp_root, mesh_model=2, epochs=2, scan_steps=3)
+        dtl = max(abs(a - b) for a, b in zip(
+            mpt["epoch_losses"], spt["epoch_losses"]))
+        dtn = abs(mpt["param_norm"] - spt["param_norm"])
+        assert dtl < 1e-5 and dtn < 1e-4, (
+            f"multi-process run_training diverged: dloss={dtl} dnorm={dtn}")
+        restored = run_training_inprocess(
+            mp_root, mesh_model=2, epochs=2, scan_steps=3, resume=True)
+        dtr = abs(restored["param_norm"] - mpt["param_norm"])
+        assert dtr < 1e-6, (
+            f"cross-topology sharded-checkpoint restore drifted: {dtr}")
+        print(
+            f"multiprocess_training_drive: procs=2 epochs=2 "
+            f"scanned_k3+tail val=scanned ckpt=sharded-orbax "
+            f"max_epoch_loss_diff={dtl:.2e} param_norm_diff={dtn:.2e} "
+            f"cross_topology_restore_diff={dtr:.2e} ok"
+        )
+
     # flagship-shape sharding proof: compile-only at reference dims so the
     # census reflects the REAL model (the toy dims above prove execution,
     # not that 327k-voxel kernels / vocab-5001 embedding shard sensibly)

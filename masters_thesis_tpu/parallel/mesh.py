@@ -48,6 +48,16 @@ def maybe_distributed_init() -> None:
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return
+    # idempotent: run_training calls this too, so a launcher that already
+    # initialised (parallel/multiprocess children) must not re-initialise
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:  # older jax: probe the global client state
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
     try:

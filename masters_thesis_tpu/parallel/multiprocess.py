@@ -191,6 +191,28 @@ def _drive_once(mesh, local_slice=None) -> dict:
     }
 
 
+def _host_batch_slice(mesh, batch: int) -> tuple[int, int]:
+    """(row0, row1) of a size-``batch`` global batch this process owns.
+
+    Computed from mesh ownership, not an even nproc split: with different
+    device counts per process (uneven hosts) each host feeds rows
+    proportional to its devices on the 'data' axis."""
+    import jax
+
+    pid = jax.process_index()
+    data_size = mesh.devices.shape[0]
+    owned = [
+        i for i in range(data_size)
+        if any(d.process_index == pid for d in mesh.devices[i].flat)
+    ]
+    assert owned == list(range(owned[0], owned[-1] + 1)), (
+        "process devices not contiguous on the data axis")
+    assert batch % data_size == 0, (
+        f"batch {batch} not divisible by data axis {data_size}")
+    per = batch // data_size
+    return owned[0] * per, (owned[-1] + 1) * per
+
+
 def _child_main(argv) -> None:
     """Runs inside each spawned process (env prepared by the launcher)."""
     from masters_thesis_tpu.parallel.mesh import (
@@ -204,8 +226,8 @@ def _child_main(argv) -> None:
     pid = jax.process_index()
     nproc = jax.process_count()
     mesh = make_mesh(model=2)
-    rows = DRIVE["batch"] // nproc
-    report = _drive_once(mesh, local_slice=(pid * rows, (pid + 1) * rows))
+    report = _drive_once(
+        mesh, local_slice=_host_batch_slice(mesh, DRIVE["batch"]))
     report.update(
         process_index=pid, process_count=nproc,
         n_global_devices=len(jax.devices()),
@@ -234,71 +256,102 @@ def run_multiprocess_drive(
     Free-port discovery (bind/close/hand the number to the children) is a
     TOCTOU race: another process can claim the port during child startup
     (seconds of interpreter + jax import before the coordinator binds).
-    An attempt whose failure LOOKS like that race (bind/connect/coordinator
-    errors in the child stderr) is retried on a fresh port up to
-    ``attempts`` times; any other failure — a deterministic child crash, a
-    missing report — raises immediately so a real regression is not re-run
-    3x and mislabelled as flake. Hangs stay bound by ``timeout`` per
-    attempt and are never retried.
+    An attempt whose failure LOOKS like that race (bind/connect errors in
+    the child stderr) is retried on a fresh port up to ``attempts`` times;
+    any other failure — a deterministic child crash, a missing report —
+    raises immediately so a real regression is not re-run 3x and
+    mislabelled as flake. Hangs stay bound by ``timeout`` per attempt and
+    are never retried.
     """
+    return _retry_port_races(
+        lambda: _run_multiprocess_drive_once(
+            n_processes, devices_per_process, timeout),
+        attempts, "multiprocess drive")
+
+
+def _retry_port_races(fn, attempts: int, what: str):
     last_err: Exception | None = None
     for attempt in range(attempts):
         try:
-            return _run_multiprocess_drive_once(
-                n_processes, devices_per_process, timeout)
+            return fn()
+        except NoReportError:
+            # children ran to completion without a report — a harness
+            # regression, not a race; surface on the first attempt
+            raise
         except RuntimeError as e:
             if not _looks_like_port_race(str(e)):
                 raise
             last_err = e
     raise RuntimeError(
-        f"multiprocess drive failed after {attempts} attempts") from last_err
+        f"{what} failed after {attempts} attempts") from last_err
 
 
+class NoReportError(RuntimeError):
+    """Children exited 0 but no report line was found — a harness
+    regression, never a port race (excluded from retry: the child stdout
+    embedded in the message can contain words like 'coordinator' from jax
+    logging, which the race heuristic must not match on)."""
+
+
+# Round-5 tightened markers (ADVICE r4): only phrases specific to the
+# bind/connect phase. Bare "unavailable"/"deadline"/"coordinator" matched
+# any deterministic distributed-init crash whose traceback mentioned the
+# coordinator and re-ran real regressions 3x before surfacing them.
 _PORT_RACE_MARKERS = (
     "address already in use", "failed to bind", "bind failed",
-    "failed to connect", "connection refused", "unavailable",
-    "deadline", "coordinator",
+    "connection refused", "failed to connect",
 )
+# grpc's wrapped errors ("UNAVAILABLE: ...", "deadline exceeded") count
+# only when the same text also mentions the connect/bind phase
+_PORT_RACE_WEAK = ("unavailable", "deadline exceeded")
+_PORT_RACE_CONTEXT = ("bind", "connect", "coordinator_address")
 
 
 def _looks_like_port_race(err_text: str) -> bool:
     t = err_text.lower()
-    return any(m in t for m in _PORT_RACE_MARKERS)
+    if any(m in t for m in _PORT_RACE_MARKERS):
+        return True
+    return any(m in t for m in _PORT_RACE_WEAK) and any(
+        c in t for c in _PORT_RACE_CONTEXT)
 
 
-def _run_multiprocess_drive_once(
-    n_processes: int, devices_per_process: int, timeout: int,
-) -> dict:
+def _launch_children(child_code: str, n_processes: int,
+                     devices_per_process, timeout: int,
+                     child_args=(), report_tag: str = "MPDRIVE") -> dict:
+    """Spawn N coordinated child interpreters; return the tagged JSON
+    report from whichever child printed one (process 0 by convention).
+
+    ``devices_per_process`` may be an int (uniform hosts) or a per-process
+    list (uneven hosts — e.g. [4, 2] gives process 0 four virtual devices
+    and process 1 two, so per-host batch slices are unequal)."""
     s = socket.socket()
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
     s.close()
+
+    if isinstance(devices_per_process, int):
+        devices_per_process = [devices_per_process] * n_processes
+    assert len(devices_per_process) == n_processes
 
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     base = dict(os.environ)
     base.pop("JAX_PLATFORMS", None)  # children pin cpu themselves
     base["PYTHONPATH"] = repo_root + os.pathsep + base.get("PYTHONPATH", "")
-    flags = [f for f in base.get("XLA_FLAGS", "").split()
-             if not f.startswith("--xla_force_host_platform_device_count")]
-    base["XLA_FLAGS"] = " ".join(
-        flags + [f"--xla_force_host_platform_device_count="
-                 f"{devices_per_process}"])
+    base_flags = [f for f in base.get("XLA_FLAGS", "").split()
+                  if not f.startswith("--xla_force_host_platform_device_count")]
 
-    child_code = (
-        "import jax, sys\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
-        "from masters_thesis_tpu.parallel.multiprocess import _child_main\n"
-        "_child_main(sys.argv[1:])\n"
-    )
     procs = []
     for pid in range(n_processes):
         env = dict(base)
+        env["XLA_FLAGS"] = " ".join(
+            base_flags + [f"--xla_force_host_platform_device_count="
+                          f"{devices_per_process[pid]}"])
         env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
         env["JAX_NUM_PROCESSES"] = str(n_processes)
         env["JAX_PROCESS_ID"] = str(pid)
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", child_code],
+            [sys.executable, "-c", child_code, *map(str, child_args)],
             env=env, cwd=repo_root,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
@@ -318,12 +371,210 @@ def _run_multiprocess_drive_once(
         raise RuntimeError(f"multiprocess drive failed: {failed}")
     for out in outs:
         for line in out.splitlines():
-            if line.startswith("MPDRIVE "):
-                report = json.loads(line[len("MPDRIVE "):])
+            if line.startswith(report_tag + " "):
+                report = json.loads(line[len(report_tag) + 1:])
                 report["n_processes"] = n_processes
                 report["devices_per_process"] = devices_per_process
                 return report
-    raise RuntimeError(f"no MPDRIVE report in child output: {outs}")
+    raise NoReportError(f"no {report_tag} report in child output: {outs}")
+
+
+def _run_multiprocess_drive_once(
+    n_processes: int, devices_per_process, timeout: int,
+) -> dict:
+    child_code = (
+        "import jax, sys\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from masters_thesis_tpu.parallel.multiprocess import _child_main\n"
+        "_child_main(sys.argv[1:])\n"
+    )
+    return _launch_children(
+        child_code, n_processes, devices_per_process, timeout)
+
+
+# ------------------------------------------------------- product-path drive
+# Round 5: the drives above exercise the sharded STEP functions; these drive
+# the actual production entry — experiment.run_training with tpu.mesh_* set —
+# across OS processes: Trainer, callbacks, sharded orbax checkpointing,
+# scanned train + scanned val, per-host input slices. The parent (or the
+# test) compares the per-epoch loss trajectory and final parameter norm
+# against the IDENTICAL single-process run, and restores the multi-process-
+# written sharded checkpoint on a different topology.
+
+
+def train_drive_config(run_root: str, mesh_model: int = 2,
+                       scan_steps: int = 2, mesh_data: int = 0):
+    """Tiny flagship-family config for the product-path drive; every axis
+    divides a (data, model=2) mesh and the structured-synthetic data makes
+    the loss genuinely decrease."""
+    from masters_thesis_tpu.config import (
+        Config,
+        DatasetConfig,
+        InputConfig,
+        TPUConfig,
+    )
+
+    # mesh_model=0: the UNSHARDED single-device trainer on the same config
+    # (cross-topology restore / trajectory anchor). mesh_data=0 (default)
+    # spans all devices; an explicit value pins the data axis (the in-
+    # process anchor for uneven-host drives, whose data axis is smaller
+    # than all-devices/model).
+    tpu = (TPUConfig(mesh_data=mesh_data, mesh_model=mesh_model,
+                     scan_steps=scan_steps, use_pallas=False,
+                     prefetch_depth=0)
+           if mesh_model else
+           TPUConfig(scan_steps=scan_steps, use_pallas=False,
+                     prefetch_depth=0))
+    return Config(
+        run="mpdrive", log=run_root, epochs=2, batch_size=8, max_length=6,
+        top_k=63, units=16, attn_units=8, group_size=4, embedding_text=8,
+        seed=3, input=InputConfig(full=256),
+        dataset=DatasetConfig(synthetic="structured"),
+        tpu=tpu,
+    )
+
+
+TRAIN_DRIVE_SMOKE_KEYS = 24
+
+
+def _training_report(run_path: str, bundle, logs) -> dict:
+    """Per-epoch trajectory + a replicated final-param norm."""
+    import jax
+    import jax.numpy as jnp
+
+    def pnorm(params):
+        return jnp.sqrt(sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(params)))
+
+    state = bundle["state"]
+    norm = jax.jit(pnorm)(state.params)
+    report = {
+        "run_path": run_path,
+        "final_loss": float(logs.get("loss", float("nan"))),
+        "final_val_loss": float(logs.get("val_loss", float("nan"))),
+        "param_norm": float(np.asarray(norm.addressable_data(0))),
+        "latest_epoch": bundle["manager"].latest_epoch(),
+    }
+    metrics_path = os.path.join(run_path, "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        rows = [json.loads(l) for l in open(metrics_path) if l.strip()]
+        report["epoch_losses"] = [
+            r["loss"] for r in rows if r.get("kind") == "epoch"]
+        report["epoch_val_losses"] = [
+            r["val_loss"] for r in rows
+            if r.get("kind") == "epoch" and "val_loss" in r]
+    return report
+
+
+def run_training_inprocess(run_root: str, mesh_model: int = 2,
+                           epochs: int = 2, scan_steps: int = 2,
+                           resume: bool = False, mesh_data: int = 0) -> dict:
+    """The drive's run_training call, shared verbatim by the in-process
+    reference and the spawned children so the trained program is identical."""
+    from masters_thesis_tpu.experiment import run_training
+
+    cfg = train_drive_config(run_root, mesh_model, scan_steps, mesh_data)
+    run_path, logs, bundle = run_training(
+        cfg, epochs=epochs, smoke_keys=TRAIN_DRIVE_SMOKE_KEYS, resume=resume)
+    return _training_report(run_path, bundle, logs)
+
+
+def _train_child_main(argv) -> None:
+    from masters_thesis_tpu.parallel.mesh import maybe_distributed_init
+
+    maybe_distributed_init()
+    import jax
+
+    run_root, mesh_model, epochs, scan_steps, resume = (
+        argv[0], int(argv[1]), int(argv[2]), int(argv[3]), argv[4] == "1")
+    report = run_training_inprocess(
+        run_root, mesh_model=mesh_model, epochs=epochs,
+        scan_steps=scan_steps, resume=resume)
+    report.update(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        n_global_devices=len(jax.devices()),
+        n_local_devices=len(jax.local_devices()),
+    )
+    if jax.process_index() == 0:
+        print("MPTRAIN " + json.dumps(report), flush=True)
+
+
+def run_multiprocess_training(
+    run_root: str, n_processes: int = 2, devices_per_process=4,
+    mesh_model: int = 2, epochs: int = 2, scan_steps: int = 2,
+    resume: bool = False, timeout: int = 900, attempts: int = 3,
+) -> dict:
+    """Launch run_training across real OS processes; returns process 0's
+    report. ``devices_per_process`` may be a list for uneven hosts."""
+    child_code = (
+        "import jax, sys\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from masters_thesis_tpu.parallel.multiprocess import "
+        "_train_child_main\n"
+        "_train_child_main(sys.argv[1:])\n"
+    )
+    return _retry_port_races(
+        lambda: _launch_children(
+            child_code, n_processes, devices_per_process, timeout,
+            child_args=(run_root, mesh_model, epochs, scan_steps,
+                        "1" if resume else "0"),
+            report_tag="MPTRAIN"),
+        attempts, "multiprocess training drive")
+
+
+def _cli_train_child_main(argv) -> None:
+    """`mtt train --processes P` child: the user's config through the
+    production run_training, distributed-bootstrapped."""
+    from masters_thesis_tpu.parallel.mesh import maybe_distributed_init
+
+    maybe_distributed_init()
+    import jax
+
+    from masters_thesis_tpu.config import load_config
+    from masters_thesis_tpu.experiment import run_training
+
+    config_path, epochs_s, smoke_keys_s, resume_s = argv[:4]
+    cfg = load_config(config_path)
+    if cfg.tpu.mesh_data == 1 and cfg.tpu.mesh_model == 1:
+        # a 1x1 mesh would train P independent unsharded copies; default
+        # the distributed launch to data-parallel over every global device
+        cfg.tpu.mesh_data = 0
+    run_path, logs, bundle = run_training(
+        cfg,
+        epochs=None if epochs_s == "none" else int(epochs_s),
+        smoke_keys=int(smoke_keys_s),
+        resume=resume_s == "1",
+    )
+    if jax.process_index() == 0:
+        report = _training_report(run_path, bundle, logs)
+        report.update(process_count=jax.process_count(),
+                      n_global_devices=len(jax.devices()))
+        print("MPTRAIN " + json.dumps(report), flush=True)
+
+
+def launch_cli_train(config_path: str, n_processes: int = 2,
+                     devices_per_process=4, epochs: int | None = None,
+                     smoke_keys: int = 48, resume: bool = False,
+                     timeout: int = 3600, attempts: int = 3) -> dict:
+    """The `mtt train --processes P` launcher: P coordinated children run
+    the production run_training on the user's config."""
+    child_code = (
+        "import jax, sys\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from masters_thesis_tpu.parallel.multiprocess import "
+        "_cli_train_child_main\n"
+        "_cli_train_child_main(sys.argv[1:])\n"
+    )
+    return _retry_port_races(
+        lambda: _launch_children(
+            child_code, n_processes, devices_per_process, timeout,
+            child_args=(os.path.abspath(config_path),
+                        "none" if epochs is None else epochs,
+                        smoke_keys, "1" if resume else "0"),
+            report_tag="MPTRAIN"),
+        attempts, "mtt train --processes")
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ GSPMD propagates everything else; collectives ride ICI.
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -127,10 +128,24 @@ def state_shardings(state, mesh: Mesh):
 
 
 def shard_params(state, mesh: Mesh):
-    """Place a TrainState onto the mesh according to the rules."""
+    """Place a TrainState onto the mesh according to the rules.
+
+    Multi-process: every process holds the same seeded init, so each leaf is
+    assembled with ``make_array_from_callback`` — each host hands its
+    addressable devices their shards of its local copy. (A multi-host
+    ``device_put`` would also work on uniform topologies, but its value-
+    equality check allgathers with a uniform devices-per-process reshape and
+    crashes on uneven hosts.)"""
     sh = state_shardings(state, mesh)
+    if jax.process_count() > 1:
+        def put(x, s):
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, s, lambda idx: host[idx])
+    else:
+        put = jax.device_put
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s),
+        put,
         state,
         sh,
         is_leaf=lambda x: x is None,
@@ -216,6 +231,195 @@ def make_sharded_scanned_train_steps(model, cfg, l2_rules, mesh: Mesh, state,
         out_shardings=(st_sh, rep),
         donate_argnums=(0,),
     )
+
+
+def make_sharded_eval_step(model, cfg, l2_rules, mesh: Mesh, state,
+                           masked: bool = False):
+    """The validation step jitted over the mesh with replicated metric
+    outputs — in multi-process runs every host must be able to fetch the
+    scalar metrics locally (an unconstrained output placement may leave
+    them addressable only on one host)."""
+    from masters_thesis_tpu.train.steps import _eval_body
+
+    body = _eval_body(model, cfg, l2_rules, masked)
+    st_sh = state_shardings(state, mesh)
+    b_sh = batch_sharding(mesh, with_voxel_axis=True)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        body,
+        in_shardings=(st_sh, b_sh["betas"], b_sh["tokens"], b_sh["target"]),
+        out_shardings=rep,
+    )
+
+
+def make_sharded_scanned_train_steps_from_tables(
+        model, cfg, l2_rules, mesh: Mesh, state, masked: bool = False,
+        store_width: int | None = None, store_ndim: int = 2):
+    """The production tables-resident K-step trainer over the mesh.
+
+    The token/target/store-index TABLES are replicated (small: ~MB at
+    flagship vocab), the HBM store rides P(None, 'model') like
+    :func:`make_sharded_scanned_train_steps`, and each device call ships
+    only the (K, B) pair permutation sharded P(None, 'data') — the same
+    ~KB/epoch host traffic as the single-chip tables path. The in-scan
+    table gathers follow the pair-permutation's 'data' sharding, so the
+    per-step batch is born sharded and GSPMD inserts no input reshards.
+
+    ``steps(state, store, store_idx (N,), tokens (N,T), target (N,T),
+    pair_idx (K,B))``.
+    """
+    from masters_thesis_tpu.train.steps import (
+        make_scanned_train_steps_from_tables,
+    )
+
+    base = make_scanned_train_steps_from_tables(
+        model, cfg, l2_rules, masked=masked, store_width=store_width,
+        store_packed=False, jit=False)
+    st_sh = state_shardings(state, mesh)
+    rep = NamedSharding(mesh, P())
+    store_sh = NamedSharding(
+        mesh, P(None, "model") if store_ndim == 2 else P(None, "model", None))
+    kb = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        base,
+        in_shardings=(st_sh, store_sh, rep, rep, rep, kb),
+        out_shardings=(st_sh, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_scanned_eval_steps_from_tables(
+        model, cfg, l2_rules, mesh: Mesh, state, masked: bool = False,
+        store_width: int | None = None, store_ndim: int = 2):
+    """One-call validation pass over the mesh (tables variant); metric
+    stacks come back replicated so every host can read them."""
+    from masters_thesis_tpu.train.steps import (
+        make_scanned_eval_steps_from_tables,
+    )
+
+    # the single-chip builder returns a jitted fn; rebuild the raw body by
+    # calling with jit-wrapping disabled is not exposed there, so jit the
+    # jitted fn's wrapped python body via __wrapped__
+    base = make_scanned_eval_steps_from_tables(
+        model, cfg, l2_rules, masked=masked, store_width=store_width,
+        store_packed=False)
+    body = getattr(base, "__wrapped__", base)
+    st_sh = state_shardings(state, mesh)
+    rep = NamedSharding(mesh, P())
+    store_sh = NamedSharding(
+        mesh, P(None, "model") if store_ndim == 2 else P(None, "model", None))
+    kb = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        body,
+        in_shardings=(st_sh, store_sh, rep, rep, rep, kb),
+        out_shardings=rep,
+    )
+
+
+class MeshInputPlacer:
+    """Places the Trainer's host batches onto the mesh.
+
+    Single process: every placement degrades to a sharded ``device_put``.
+    Multi-process: the pipeline is seed-deterministic, so every process
+    builds the SAME global batch; each host slices out the rows its
+    addressable devices own on the 'data' axis and the global array is
+    assembled over ICI/DCN by ``jax.make_array_from_process_local_data`` —
+    per-host data loading with no gather through host 0 (SURVEY.md §2.7).
+
+    Host ownership is computed from the mesh itself (which 'data' rows hold
+    this process's devices), so uneven hosts — different device counts per
+    process — feed proportionally-sized slices.
+    """
+
+    def __init__(self, mesh: Mesh, with_voxel_axis: bool = False):
+        self.mesh = mesh
+        # optional host copy of the beta store (set by run_training's mesh
+        # path): per-step batches gather their rows here — an eager device
+        # gather on a process-spanning store would not run multi-process
+        self.host_store = None
+        self.nproc = jax.process_count()
+        self.rep = NamedSharding(mesh, P())
+        self.kb = NamedSharding(mesh, P(None, "data"))
+        self.brow = NamedSharding(
+            mesh, P("data", "model") if with_voxel_axis else P("data"))
+        self.btok = NamedSharding(mesh, P("data"))
+        self.data_size = mesh.shape["data"]
+        if self.nproc > 1:
+            pid = jax.process_index()
+            owned = [
+                i for i in range(mesh.devices.shape[0])
+                if any(d.process_index == pid for d in mesh.devices[i].flat)
+            ]
+            assert owned == list(range(owned[0], owned[-1] + 1)), (
+                "this process's devices are not contiguous on the 'data' "
+                "axis; reorder the mesh so per-host batch slices are "
+                "contiguous")
+            self._owned = (owned[0], owned[-1] + 1)
+        else:
+            self._owned = (0, self.data_size)
+
+    def _local(self, arr, axis: int):
+        """This host's slice of a global batch axis."""
+        if self.nproc == 1:
+            return np.asarray(arr)
+        n = arr.shape[axis]
+        assert n % self.data_size == 0, (
+            f"global batch {n} not divisible by data axis {self.data_size}")
+        per = n // self.data_size
+        lo, hi = self._owned[0] * per, self._owned[1] * per
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(lo, hi)
+        return np.asarray(arr[tuple(sl)])
+
+    def _place(self, sharding, local, global_shape):
+        # explicit global_shape: with uneven hosts the per-process local
+        # shapes differ, so jax cannot infer the global batch axis
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(local), tuple(global_shape))
+
+    def _replicated(self, arr):
+        arr = np.asarray(arr)
+        return self._place(self.rep, arr, arr.shape)
+
+    # ---- Trainer hooks ----
+    def batch(self, betas, tokens, target):
+        """Per-step path: (B, V) betas + (B, T) tokens/targets."""
+        return (self._place(self.brow, self._local(betas, 0), betas.shape),
+                self._place(self.btok, self._local(tokens, 0), tokens.shape),
+                self._place(self.btok, self._local(target, 0), target.shape))
+
+    def scan_batch(self, idx, tokens, target):
+        """Stacked scanned path: (K, B) idx + (K, B, T) tokens/targets."""
+        return (self._place(self.kb, self._local(idx, 1), idx.shape),
+                self._place(self.kb, self._local(tokens, 1), tokens.shape),
+                self._place(self.kb, self._local(target, 1), target.shape))
+
+    def tables(self, store_idx, tokens, targets):
+        """Replicated pair tables for the tables-resident scanned trainer."""
+        return (self._replicated(store_idx.astype(np.int32)),
+                self._replicated(tokens), self._replicated(targets))
+
+    def sel(self, sel):
+        """(K, B) pair permutation, batch axis over 'data'."""
+        return self._place(self.kb, self._local(sel, 1), sel.shape)
+
+
+def shard_store_array(data, mesh: Mesh, dtype=None):
+    """Place a host (N, V[, C]) store copy onto the mesh with its voxel axis
+    over 'model' (the encoder's contraction-dim sharding). Every process
+    holds the same host copy (stores are built from shared preprocessing
+    artifacts); ``make_array_from_callback`` hands each addressable device
+    exactly its shard, so this works on single- and multi-process meshes.
+    """
+    import jax.numpy as jnp
+
+    data = np.asarray(data)
+    if dtype is not None:
+        data = data.astype(dtype)
+    spec = P(None, "model") if data.ndim == 2 else P(None, "model", None)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        data.shape, sharding, lambda idx: jnp.asarray(data[idx]))
 
 
 def global_batch_from_host_local(batch: dict, mesh: Mesh,

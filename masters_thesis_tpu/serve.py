@@ -150,18 +150,15 @@ class Captioner:
 
         if self.use_fused is not None and self.mesh is None:
             return self.use_fused
+        # round 5: the kernel covers every NIC cell/init/embedding variant
+        # (GRU incl. zero-state, learned_init_state carries, frozen GloVe
+        # tables) — the old per-family fallbacks are lifted with real
+        # support (ops/fused_decode.py, parity-tested per family)
         return (
             self.mesh is None
             and jax.default_backend() == "tpu"
             and isinstance(self.model, NIC)
-            and self.model.cell_type == "lstm"
-            and not self.model.learned_init_state
             and not getattr(self.model.encoder, "pregathered", False)
-            # frozen pretrained embeddings (GloveNIC(trainable=False)) live
-            # as a module constant, not params['embedding'], which the fused
-            # kernel's extract_decode_params requires
-            and (self.model.pretrained_embedding is None
-                 or self.model.embedding_trainable)
         )
 
     def _variables(self):

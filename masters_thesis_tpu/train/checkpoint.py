@@ -19,10 +19,35 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """Single- and multi-process. In multi-process runs (jax.distributed
+    initialised; the distributed-training product path) every process calls
+    ``save``/``restore`` COLLECTIVELY on its addressable shards of the
+    sharded TrainState: orbax assembles/distributes the global arrays, the
+    primary process alone mutates meta.json / prunes old epochs, and
+    barriers keep directory surgery ordered against the collective I/O.
+    Checkpoints are topology-independent — a state saved from N processes
+    restores on any mesh whose template supplies the new shardings (orbax
+    stores global arrays, not per-host shards)."""
+
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.max_to_keep = max_to_keep
+        self._primary = jax.process_index() == 0
+        self._multiproc = jax.process_count() > 1
+        if self._multiproc:
+            # orbax's default barrier rides jax's sync_global_devices, whose
+            # value-equality allgather assumes UNIFORM devices per process
+            # and crashes on uneven hosts; the distributed-client KV barrier
+            # has no such assumption (and is cheaper — no device collective)
+            try:
+                from absl import flags as _flags
+
+                flag = _flags.FLAGS[
+                    "experimental_orbax_use_distributed_barrier"]
+                flag.parse("true")
+            except Exception:  # pragma: no cover — older orbax layouts
+                pass
         # async save: ocp stages device arrays to host inside save() (safe
         # against the train step's donated buffers), then serializes in a
         # background thread — the next epoch trains while the previous
@@ -60,10 +85,20 @@ class CheckpointManager:
     def _epoch_dir(self, epoch: int) -> str:
         return os.path.join(self.directory, f"ep{epoch:03d}")
 
+    def _barrier(self, tag: str) -> None:
+        if self._multiproc:
+            # distributed-client KV barrier, not sync_global_devices: the
+            # latter's allgather assumes uniform devices per process
+            from jax._src import distributed
+
+            distributed.global_state.client.wait_at_barrier(
+                f"mtt-ckpt-{tag}", 120_000)
+
     # ---- save ----
     def save(self, state, epoch: int, val_loss: float | None = None) -> None:
         """Start an (async) epoch-checkpoint save; best/latest/prune
-        bookkeeping for it happens once the write commits."""
+        bookkeeping for it happens once the write commits. Collective in
+        multi-process runs — every process must call it with its shards."""
         self._finalize_pending()
         target = {"params": state.params, "batch_stats": state.batch_stats,
                   "opt_state": state.opt_state,
@@ -71,7 +106,11 @@ class CheckpointManager:
                   "rng": np.asarray(state.rng)}
         path = self._epoch_dir(epoch)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            # primary clears the stale dir; the barrier keeps other hosts
+            # from racing into orbax's own existence checks mid-rmtree
+            if self._primary:
+                shutil.rmtree(path)
+            self._barrier(f"rm{epoch}")
         self._ckpt.save(path, target)
         self._pending = (epoch, val_loss)
 
@@ -92,15 +131,19 @@ class CheckpointManager:
         ):
             self.meta["best_val_loss"] = float(val_loss)
             self.meta["best_epoch"] = epoch
-        # prune: keep best + last max_to_keep
+        # prune: keep best + last max_to_keep. Every process tracks the
+        # meta in memory (latest/best must agree for collective restores);
+        # only the primary touches the filesystem.
         keep = set(self.meta["epochs"][-self.max_to_keep :])
         if self.meta["best_epoch"] is not None:
             keep.add(self.meta["best_epoch"])
         for e in list(self.meta["epochs"]):
-            if e not in keep and os.path.exists(self._epoch_dir(e)):
+            if (e not in keep and self._primary
+                    and os.path.exists(self._epoch_dir(e))):
                 shutil.rmtree(self._epoch_dir(e))
         self.meta["epochs"] = [e for e in self.meta["epochs"] if e in keep]
-        self._save_meta()
+        if self._primary:
+            self._save_meta()
 
     def close(self) -> None:
         """Flush the in-flight save (train end / error / interrupt)."""

@@ -40,6 +40,7 @@ class Trainer:
         callbacks=(),
         store=None,
         metric_logger=None,
+        input_placer=None,
     ):
         self.cfg = cfg
         self.train_step = train_step
@@ -50,6 +51,11 @@ class Trainer:
         self.callbacks = list(callbacks)
         self.store = store
         self.metric_logger = metric_logger
+        # mesh-mode input placement (parallel.sharding.MeshInputPlacer):
+        # batches go onto the ('data','model') mesh — and in multi-process
+        # runs each host feeds only its slice of every (identical, seed-
+        # deterministic) global batch. None = single-device jnp.asarray.
+        self.input_placer = input_placer
         self.stop_training = False
         self.timer = StepTimer(warmup=2)
         self.scanned_step = None  # set via use_scanned_steps()
@@ -86,15 +92,17 @@ class Trainer:
         device-resident store shared with the val pipeline."""
         self.scanned_eval = scanned_eval
 
-    def _run_epoch_scanned(self, scan_k: int) -> list[dict]:
+    def _run_epoch_scanned(self, scan_k: int, epoch: int | None = None
+                           ) -> list[dict]:
         assert self.store is not None and self.store.device_resident
         data = self.store.device_array()
         if getattr(self, "_scan_from_tables", False) and self._scan_tables is None:
             p = self.train_pipe
+            tabs = (p.store_idx.astype(np.int32), p.pairs.tokens, p.targets)
             self._scan_tables = (
-                jnp.asarray(p.store_idx.astype(np.int32)),
-                jnp.asarray(p.pairs.tokens),
-                jnp.asarray(p.targets),
+                self.input_placer.tables(*tabs)
+                if self.input_placer is not None
+                else tuple(jnp.asarray(t) for t in tabs)
             )
         train_metrics = []
         chunk: list[dict] = []
@@ -104,8 +112,10 @@ class Trainer:
             k = len(chunk)
             if getattr(self, "_scan_from_tables", False):
                 # tables live on device: the chunk is (K, B) int32 pair ids
-                sel = jnp.asarray(
-                    np.stack([np.asarray(b["sel"]) for b in chunk]))
+                sel = np.stack([np.asarray(b["sel"]) for b in chunk])
+                sel = (self.input_placer.sel(sel)
+                       if self.input_placer is not None
+                       else jnp.asarray(sel))
                 self.state, metrics = self.scanned_step(
                     self.state, data, *self._scan_tables, sel
                 )
@@ -118,9 +128,13 @@ class Trainer:
             # pieces issued 3K tiny host->device copies plus device concats
             # per call — the very per-dispatch overhead the scanned trainer
             # amortises (worst on tunneled runtimes)
-            idx = jnp.asarray(np.stack([np.asarray(b["idx"]) for b in chunk]))
-            tok = jnp.asarray(np.stack([np.asarray(b["tokens"]) for b in chunk]))
-            tgt = jnp.asarray(np.stack([np.asarray(b["target"]) for b in chunk]))
+            idx = np.stack([np.asarray(b["idx"]) for b in chunk])
+            tok = np.stack([np.asarray(b["tokens"]) for b in chunk])
+            tgt = np.stack([np.asarray(b["target"]) for b in chunk])
+            if self.input_placer is not None:
+                idx, tok, tgt = self.input_placer.scan_batch(idx, tok, tgt)
+            else:
+                idx, tok, tgt = (jnp.asarray(a) for a in (idx, tok, tgt))
             self.state, metrics = self.scanned_step(
                 self.state, data, idx, tok, tgt
             )
@@ -134,7 +148,7 @@ class Trainer:
             pending.append((k, self._host_step, metrics))
 
         try:
-            for batch in self.train_pipe.epoch():
+            for batch in self.train_pipe.epoch(epoch):
                 chunk.append(batch)
                 if len(chunk) == scan_k:
                     flush(chunk)
@@ -172,6 +186,21 @@ class Trainer:
         return train_metrics
 
     def _batch_arrays(self, batch):
+        if self.input_placer is not None:
+            if "betas" in batch:
+                betas = np.asarray(batch["betas"])
+            elif getattr(self.input_placer, "host_store", None) is not None:
+                # host copy of the store stashed by run_training's mesh
+                # path: per-step batches (incl. the scanned trainer's ragged
+                # tail) gather rows on host — eager device gathers on a
+                # process-spanning store would not run multi-process
+                betas = self.input_placer.host_store[np.asarray(batch["idx"])]
+            else:
+                # single-process mesh without a host copy: device gather,
+                # fetched and re-placed (rare — ragged-tail batches only)
+                betas = np.asarray(self.store.device_gather(batch["idx"]))
+            return self.input_placer.batch(
+                betas, np.asarray(batch["tokens"]), np.asarray(batch["target"]))
         if "betas" in batch:
             betas = jnp.asarray(batch["betas"])
         else:
@@ -268,12 +297,18 @@ class Trainer:
                 n = p.steps_per_epoch * p.batch_size
                 sel = order[:n].reshape(
                     p.steps_per_epoch, p.batch_size).astype(np.int32)
-                self._val_scan_args = (
-                    jnp.asarray(p.store_idx.astype(np.int32)),
-                    jnp.asarray(p.pairs.tokens),
-                    jnp.asarray(p.targets),
-                    jnp.asarray(sel),
-                )
+                tabs = (p.store_idx.astype(np.int32), p.pairs.tokens,
+                        p.targets)
+                if self.input_placer is not None:
+                    self._val_scan_args = (
+                        *self.input_placer.tables(*tabs),
+                        self.input_placer.sel(sel),
+                    )
+                else:
+                    self._val_scan_args = (
+                        *(jnp.asarray(t) for t in tabs),
+                        jnp.asarray(sel),
+                    )
             stacked = jax.device_get(self.scanned_eval(
                 self.state, self.store.device_array(), *self._val_scan_args))
             self._check_preempted()
@@ -293,13 +328,13 @@ class Trainer:
         t0 = time.perf_counter()
         scan_k = getattr(getattr(self.cfg, "tpu", None), "scan_steps", 0)
         if scan_k > 0 and self.scanned_step is not None:
-            train_metrics = self._run_epoch_scanned(scan_k)
+            train_metrics = self._run_epoch_scanned(scan_k, epoch)
         else:
             from masters_thesis_tpu.data.pipeline import device_prefetch
 
             depth = getattr(getattr(self.cfg, "tpu", None), "prefetch_depth", 0)
             train_metrics = []
-            for batch in device_prefetch(self.train_pipe.epoch(), depth):
+            for batch in device_prefetch(self.train_pipe.epoch(epoch), depth):
                 betas, tokens, target = self._batch_arrays(batch)
                 self.state, metrics = self.train_step(
                     self.state, betas, tokens, target

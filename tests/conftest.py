@@ -59,6 +59,11 @@ _SLOW_TESTS = {
     "test_dryrun_multichip_4",
     "test_dryrun_multichip_8",
     "test_dryrun_reexec_when_backend_locked",
+    "test_mesh_training_product_path_matches_unsharded",
+    "test_multiprocess_training_matches_single_process",
+    "test_multiprocess_training_resume_continues",
+    "test_multiprocess_training_4x2_topology",
+    "test_multiprocess_training_uneven_hosts",
     "test_efficientnet_b0_block_structure",
     "test_efficientnet_b3_pooled_width",
     "test_export_greedy_matches_live_decode",

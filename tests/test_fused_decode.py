@@ -79,3 +79,71 @@ def test_captioner_fused_path_matches_xla():
     ids_fused = mk(True).caption_ids(np.asarray(betas), decoder="greedy")
     ids_xla = mk(False).caption_ids(np.asarray(betas), decoder="greedy")
     np.testing.assert_array_equal(ids_fused, ids_xla)
+
+
+# -------------------------------------------------- round-5 family coverage
+# (VERDICT r4 item 8: the kernel's family asserts lifted with real support)
+
+
+def test_fused_whole_decode_learned_init_state():
+    """learned_init_state: h0/c0 = MLP(mean(features)) enter the kernel as
+    inputs; tokens must match the XLA decoder exactly."""
+    model, variables, betas, units, max_len = _build()
+    import dataclasses
+
+    model = dataclasses.replace(model, learned_init_state=True)
+    tokens = jnp.zeros((betas.shape[0], max_len), jnp.int32)
+    a0 = jnp.zeros((betas.shape[0], units))
+    variables = model.init(jax.random.PRNGKey(2), betas, tokens, a0, a0)
+    ref = make_greedy_decoder(model, units, max_len)
+    fused = make_whole_fused_greedy_decoder(model, units, max_len)
+    words_ref, _, alphas_ref = ref(variables, betas, 1)
+    words, alphas = fused(variables, betas, 1)
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(words_ref))
+    np.testing.assert_allclose(np.asarray(alphas), np.asarray(alphas_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_whole_decode_frozen_glove_table():
+    """GloveNIC(trainable=False): the embedding is a module constant, not
+    params['embedding'] — the kernel overlays it."""
+    import dataclasses
+
+    model, variables, betas, units, max_len = _build()
+    rng = np.random.default_rng(5)
+    table = rng.standard_normal((40, 12)).astype(np.float32)
+    model = dataclasses.replace(
+        model, pretrained_embedding=table, embedding_trainable=False)
+    tokens = jnp.zeros((betas.shape[0], max_len), jnp.int32)
+    a0 = jnp.zeros((betas.shape[0], units))
+    variables = model.init(jax.random.PRNGKey(3), betas, tokens, a0, a0)
+    assert "embedding" not in variables["params"]
+    ref = make_greedy_decoder(model, units, max_len)
+    fused = make_whole_fused_greedy_decoder(model, units, max_len)
+    words_ref, _, _ = ref(variables, betas, 1)
+    words, _ = fused(variables, betas, 1)
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(words_ref))
+
+
+@pytest.mark.parametrize("zero_state", [True, False])
+def test_fused_whole_decode_gru_families(zero_state):
+    """GRU cell variant (CnnRnn family), incl. the reference's zero-state
+    recurrence quirk (CNN_RNN/model.py:103) — reset_after gates, separate
+    input/recurrent biases, linear attention/head activations."""
+    import dataclasses
+
+    model, _, betas, units, max_len = _build()
+    model = dataclasses.replace(
+        model, cell_type="gru", gru_zero_state=zero_state,
+        head_activation="linear", attn_inner_activation="linear")
+    tokens = jnp.zeros((betas.shape[0], max_len), jnp.int32)
+    a0 = jnp.zeros((betas.shape[0], units))
+    variables = model.init(jax.random.PRNGKey(4), betas, tokens, a0, a0)
+    ref = make_greedy_decoder(model, units, max_len)
+    fused = make_whole_fused_greedy_decoder(model, units, max_len,
+                                            batch_tile=3)
+    words_ref, _, alphas_ref = ref(variables, betas, 1)
+    words, alphas = fused(variables, betas, 1)
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(words_ref))
+    np.testing.assert_allclose(np.asarray(alphas), np.asarray(alphas_ref),
+                               rtol=1e-5, atol=1e-6)
