@@ -40,3 +40,25 @@ for _ in range(reps):
 dt = time.perf_counter() - t0
 print(f"beam w=5: {reps*K*B/dt:,.0f} captions/s ({dt/reps/K*1e3:.2f} ms/batch)",
       flush=True)
+
+# ---- lattice-width sweep (round 5): the K-batch scan runs the lattice at
+# B=64 -> 320 beam-rows per step matmul, ~1/4 of an MXU tile. Folding scan
+# batches INTO the lattice batch (fewer scan iterations x wider matmuls)
+# trades scan length for MXU fill; sweep via MTT_BEAM_LAT="128,256".
+for lat in [int(x) for x in os.environ.get("MTT_BEAM_LAT", "").split(",")
+            if x.strip()]:
+    assert (K * B) % lat == 0, (K, B, lat)
+    k2 = K * B // lat
+    betas_l = betas.reshape(k2, lat, N)
+    t0 = time.perf_counter()
+    words = dec(variables, betas_l, 3, 4)
+    np.asarray(words)
+    print(f"  lat={lat}: compile+warm {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        words = dec(variables, betas_l, 3, 4)
+        np.asarray(words)
+    dt = time.perf_counter() - t0
+    print(f"beam w=5 lattice={lat}: {reps*K*B/dt:,.0f} captions/s",
+          flush=True)
