@@ -121,8 +121,19 @@ def structured_captions(keys, factors, n_caps: int = 5):
 
 
 def structured_betas(factors, n_voxels: int, seed: int = 0,
-                     noise: float = 0.5):
-    """betas = sum of the key's per-factor voxel patterns + N(0, noise)."""
+                     noise: float = 0.5, ambiguity: float = 0.0):
+    """betas = sum of the key's per-factor voxel patterns + N(0, noise).
+
+    ``ambiguity`` (compositional-benchmark mode, round 5): with this
+    probability per (key, factor), a DISTRACTOR value's pattern is added at
+    EQUAL amplitude — the betas then carry two equally-strong candidates
+    for that factor and the caption is genuinely underdetermined, like a
+    noisy single-trial scan. Independent per-voxel noise alone cannot cap
+    decodability (it averages out over 327k voxels: the first compositional
+    run saturated val BLEU-4 at 1.0); equal-amplitude ambiguity caps the
+    ceiling DETERMINISTICALLY below 1.0 — an ideal decoder resolves a coin
+    flip on ambiguous slots — while still ranking models by how many
+    unambiguous slots they decode."""
     rng = np.random.Generator(np.random.PCG64(seed + 202))
     patterns = [
         rng.standard_normal((len(slot), n_voxels)).astype(np.float32)
@@ -131,6 +142,15 @@ def structured_betas(factors, n_voxels: int, seed: int = 0,
     clean = sum(
         patterns[i][factors[:, i]] for i in range(len(_FACTOR_SLOTS))
     )
+    if ambiguity > 0.0:
+        arng = np.random.Generator(np.random.PCG64(seed + 303))
+        for i, slot in enumerate(_FACTOR_SLOTS):
+            hit = arng.random(len(factors)) < ambiguity
+            # distractor uniformly among the OTHER values of this factor
+            shift = arng.integers(1, len(slot), size=len(factors))
+            distract = (factors[:, i] + shift) % len(slot)
+            clean = clean + (hit[:, None].astype(np.float32)
+                             * patterns[i][distract])
     out = clean / np.sqrt(len(_FACTOR_SLOTS))
     out += noise * rng.standard_normal(out.shape).astype(np.float32)
     return out.astype(np.float32)
@@ -178,7 +198,12 @@ def synthetic_dataset(
         else:
             factors = synthetic_factors(keys, seed=seed)
         caps = structured_captions(keys, factors, n_caps=n_caps)
-        betas = structured_betas(factors, n_voxels, seed=seed)
+        betas = structured_betas(
+            factors, n_voxels, seed=seed,
+            # compositional benchmark: half the (key, factor) slots carry an
+            # equal-amplitude distractor — sub-1.0 ceiling (see
+            # structured_betas)
+            ambiguity=0.5 if structured == "compositional" else 0.0)
     else:
         caps = synthetic_captions(keys, n_caps=n_caps, seed=seed)
         betas = rng.standard_normal((n_keys, n_voxels)).astype(np.float32)

@@ -53,6 +53,7 @@ _SLOW_TESTS = {
     "test_cli_metrics_smoke",
     "test_cli_train_other_families",
     "test_cli_train_smoke",
+    "test_cli_train_processes_distributed",
     "test_cli_eval_resume_decodes_without_retraining",
     "test_cli_tune_smoke",
     "test_different_seed_differs",
@@ -127,6 +128,13 @@ _SLOW_TESTS = {
     "test_glove_table_and_glove_nic",
     "test_fused_whole_decode_matches_xla",
     "test_fused_whole_decode_ragged_regions",
+    "test_fused_whole_decode_learned_init_state",
+    "test_fused_whole_decode_frozen_glove_table",
+    "test_fused_whole_decode_gru_families",
+    "test_fused_seq_matches_scan_forward_and_grads",
+    "test_fused_seq_grad_wrt_inputs_matches",
+    "test_fused_train_step_matches_production_no_dropout",
+    "test_fused_train_step_dropout_deterministic_and_active",
     "test_learned_init_state_changes_initial_logits",
     "test_headtohead_vs_reference_source",
     "test_headtohead_ms2",

@@ -181,3 +181,37 @@ def test_cli_score_txt_and_npy(tmp_path):
                      "--references", str(ann)]) == 0
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["scores"]["Bleu_1"] > 0.999
+
+
+def test_cli_train_processes_distributed(tmp_path, capsys):
+    """`mtt train --processes 2`: the CLI launches 2 coordinated OS
+    processes running the production run_training; with a 1x1-mesh config
+    the launch defaults to data-parallel over all global devices, and the
+    final loss matches the plain single-process `mtt train` on the same
+    config/seed (round 5 distributed product path)."""
+    from masters_thesis_tpu.config import Config, TPUConfig
+
+    cfg = Config(
+        run="mp_cli", model="lc_nic", epochs=2, batch_size=8, max_length=8,
+        top_k=60, units=32, attn_units=8, group_size=8, embedding_text=16,
+        embedding_features=32, log=str(tmp_path / "logs"),
+        tpu=TPUConfig(scan_steps=2, use_pallas=False, prefetch_depth=0),
+    )
+    p = tmp_path / "cfg.yaml"
+    cfg.save(p)
+
+    assert main(["train", "--config", str(p), "--epochs", "2",
+                 "--smoke-keys", "16", "--processes", "2",
+                 "--devices-per-process", "4"]) == 0
+    mp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mp["process_count"] == 2 and mp["n_global_devices"] == 8
+    assert len(mp["epoch_losses"]) == 2
+
+    cfg.run = "sp_cli"
+    cfg.save(p)
+    assert main(["train", "--config", str(p), "--epochs", "2",
+                 "--smoke-keys", "16"]) == 0
+    sp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # same seed + same data: the distributed run's trajectory matches the
+    # single-process trainer (reduction order is the only difference)
+    assert abs(mp["final_loss"] - sp["loss"]) < 1e-5
