@@ -80,21 +80,38 @@ def _attn_mask(key, t, shape, rate):
     return m.astype(jnp.float32) / keep
 
 
+def _mm(a, b, cdt):
+    """Matmul with operands in the compute dtype and fp32 accumulation —
+    the TPU-native mixed-precision shape (bf16 inputs fill the MXU's fast
+    path; preferred_element_type keeps z/carries fp32)."""
+    if cdt == jnp.float32:
+        return a @ b
+    return jnp.matmul(a.astype(cdt), b.astype(cdt),
+                      preferred_element_type=jnp.float32)
+
+
+def _ein(spec, a, b, cdt):
+    if cdt == jnp.float32:
+        return jnp.einsum(spec, a, b)
+    return jnp.einsum(spec, a.astype(cdt), b.astype(cdt),
+                      preferred_element_type=jnp.float32)
+
+
 def _step_math(h, c, pre_t, features, emb_t, w, attn_slope,
-               attn_dropout=0.0, key=None, t=None):
+               attn_dropout=0.0, key=None, t=None, cdt=jnp.float32):
     """One attention+LSTM step (lc_NIC semantics, nic.py:182-196).
     Returns (h', c', alpha, z, hw_pre)."""
     U = h.shape[-1]
-    hw_pre = h @ w["w2"] + w["b2"]                      # (B, A)
+    hw_pre = _mm(h, w["w2"], cdt) + w["b2"]             # (B, A)
     hw = _lrelu(hw_pre, attn_slope)
     s = jnp.tanh(pre_t + hw[:, None, :])                # (B, R, A)
     if attn_dropout > 0.0:
         s = s * _attn_mask(key, t, s.shape, attn_dropout)
     e = jnp.einsum("bra,a->br", s, w["v"]) + w["bv"]
     alpha = jax.nn.softmax(e, axis=1)                   # (B, R)
-    ctx = jnp.einsum("br,brd->bd", alpha, features)
-    x = jnp.concatenate([ctx, emb_t], axis=-1)
-    z = x @ w["wx"] + h @ w["wh"] + w["b"]              # (B, 4U)
+    ctx = _ein("br,brd->bd", alpha, features, cdt)
+    x = jnp.concatenate([ctx, emb_t.astype(ctx.dtype)], axis=-1)
+    z = _mm(x, w["wx"], cdt) + _mm(h, w["wh"], cdt) + w["b"]  # (B, 4U)
     i = _sig(z[:, :U])
     f = _sig(z[:, U:2 * U])
     g = jnp.tanh(z[:, 2 * U:3 * U])
@@ -105,7 +122,7 @@ def _step_math(h, c, pre_t, features, emb_t, w, attn_slope,
 
 
 def _forward_xla(w, pre, features, emb, attn_slope, attn_dropout=0.0,
-                 key=None):
+                 key=None, cdt=jnp.float32):
     """lax.scan forward storing the custom backward's residuals."""
     B, T, _ = emb.shape
     U = w["wh"].shape[0]
@@ -116,7 +133,7 @@ def _forward_xla(w, pre, features, emb, attn_slope, attn_dropout=0.0,
         t, emb_t = inp
         h2, c2, alpha, z, hwp = _step_math(
             h, c, pre, features, emb_t, w, attn_slope,
-            attn_dropout=attn_dropout, key=key, t=t)
+            attn_dropout=attn_dropout, key=key, t=t, cdt=cdt)
         return (h2, c2), (h2, c2, alpha, z, hwp)
 
     _, (hseq, cseq, alphas, zs, hwps) = jax.lax.scan(
@@ -262,7 +279,7 @@ def _forward_pallas(w, pre, features, emb, attn_slope,
 # --------------------------------------------------------------- backward
 
 def _backward(w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
-              attn_dropout=0.0, key=None):
+              attn_dropout=0.0, key=None, cdt=jnp.float32):
     """The shared custom backward: scan carries ONLY (dh, dc) (+ data-sized
     dfeat/dpre/dv accumulators); every weight gradient is one stacked
     (B*T)-row einsum after the scan."""
@@ -294,8 +311,8 @@ def _backward(w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
         dz = jnp.concatenate([
             di * i * (1 - i), df * f * (1 - f),
             dg * (1 - g * g), do * o * (1 - o)], axis=-1)     # (B, 4U)
-        dx = dz @ w["wx"].T
-        dh_prev_rec = dz @ w["wh"].T
+        dx = _mm(dz, w["wx"].T, cdt)
+        dh_prev_rec = _mm(dz, w["wh"].T, cdt)
         dctx = dx[:, :D]
         demb_t = dx[:, D:]
 
@@ -343,12 +360,12 @@ def _backward(w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
     demb = to_tb(demb_t)
 
     # ---- stacked weight grads: one tall einsum each, no in-loop accums
-    ctx_all = jnp.einsum("btr,brd->btd", alphas, features)
-    x_all = jnp.concatenate([ctx_all, emb], axis=-1)           # (B, T, D+E)
-    dwx = jnp.einsum("btx,btz->xz", x_all, dz_all)
-    dwh = jnp.einsum("btu,btz->uz", h_prev, dz_all)
+    ctx_all = _ein("btr,brd->btd", alphas, features, cdt)
+    x_all = jnp.concatenate([ctx_all, emb.astype(ctx_all.dtype)], axis=-1)
+    dwx = _ein("btx,btz->xz", x_all, dz_all, cdt)
+    dwh = _ein("btu,btz->uz", h_prev, dz_all, cdt)
     db = jnp.sum(dz_all, axis=(0, 1))
-    dw2 = jnp.einsum("btu,bta->ua", h_prev, dhwp_all)
+    dw2 = _ein("btu,bta->ua", h_prev, dhwp_all, cdt)
     db2 = jnp.sum(dhwp_all, axis=(0, 1))
     # dfeat also gets the context-sum contribution already accumulated;
     # the pre -> (W1, features) path is closed by XLA outside this VJP.
@@ -360,7 +377,8 @@ def _backward(w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
 # --------------------------------------------------------------- public api
 
 def make_fused_sequence(attn_slope: float = 0.2, backend: str = "xla",
-                        batch_tile: int = 64, attn_dropout: float = 0.0):
+                        batch_tile: int = 64, attn_dropout: float = 0.0,
+                        compute_dtype=jnp.float32):
     """Returns the fused sequence step with the custom VJP. ``w``: dict with
     attention (w2, b2, v, bv) and LSTM (wx, wh, b) arrays —
     ``extract_seq_params``. The caller supplies
@@ -382,12 +400,14 @@ def make_fused_sequence(attn_slope: float = 0.2, backend: str = "xla",
         @jax.custom_vjp
         def seq_d(w, pre, features, emb, key):
             residuals = _forward_xla(w, pre, features, emb, attn_slope,
-                                     attn_dropout=attn_dropout, key=key)
+                                     attn_dropout=attn_dropout, key=key,
+                                     cdt=compute_dtype)
             return residuals[0], residuals[2]
 
         def seq_d_fwd(w, pre, features, emb, key):
             residuals = _forward_xla(w, pre, features, emb, attn_slope,
-                                     attn_dropout=attn_dropout, key=key)
+                                     attn_dropout=attn_dropout, key=key,
+                                     cdt=compute_dtype)
             return ((residuals[0], residuals[2]),
                     (w, pre, features, emb, key, residuals))
 
@@ -396,7 +416,8 @@ def make_fused_sequence(attn_slope: float = 0.2, backend: str = "xla",
             dhseq, dalphas = grads
             dw, dpre, dfeat, demb = _backward(
                 w, pre, features, emb, residuals, dhseq, dalphas,
-                attn_slope, attn_dropout=attn_dropout, key=key)
+                attn_slope, attn_dropout=attn_dropout, key=key,
+                cdt=compute_dtype)
             return dw, dpre, dfeat, demb, None
 
         seq_d.defvjp(seq_d_fwd, seq_d_bwd)
@@ -404,7 +425,7 @@ def make_fused_sequence(attn_slope: float = 0.2, backend: str = "xla",
 
     fwd_impl = (_forward_pallas if backend == "pallas" else
                 (lambda w, p, f, e, s, batch_tile=None:
-                 _forward_xla(w, p, f, e, s)))
+                 _forward_xla(w, p, f, e, s, cdt=compute_dtype)))
 
     @jax.custom_vjp
     def seq(w, pre, features, emb):
@@ -422,7 +443,8 @@ def make_fused_sequence(attn_slope: float = 0.2, backend: str = "xla",
         w, pre, features, emb, residuals = saved
         dhseq, dalphas = grads
         return _backward(
-            w, pre, features, emb, residuals, dhseq, dalphas, attn_slope)
+            w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
+            cdt=(compute_dtype if backend == "xla" else jnp.float32))
 
     seq.defvjp(seq_fwd, seq_bwd)
     return seq
@@ -452,7 +474,6 @@ def fused_train_supported(model, cfg) -> bool:
         and model.cell_type == "lstm"
         and not model.learned_init_state
         and (model.pretrained_embedding is None or model.embedding_trainable)
-        and getattr(cfg.tpu, "compute_dtype", "float32") == "float32"
     )
 
 
@@ -488,8 +509,13 @@ def make_train_forward_loss(model, cfg, l2_rules, masked: bool = False):
     assert fused_train_supported(model, cfg)
     attn_slope = 0.2 if model.attn_inner_activation == "leaky_relu" else 1.0
     rate_attn = float(model.dropout_attn)
+    # mixed precision mirrors train.steps._compute_dtype: bf16 matmul
+    # operands with fp32 accumulation on TPU; fp32 masters keep the grads
+    from masters_thesis_tpu.train.steps import _compute_dtype
+
+    cdt = _compute_dtype(cfg)
     seq = make_fused_sequence(attn_slope=attn_slope, backend="xla",
-                              attn_dropout=rate_attn)
+                              attn_dropout=rate_attn, compute_dtype=cdt)
 
     def head_act(x):
         if model.head_activation == "leaky_relu":
@@ -500,28 +526,42 @@ def make_train_forward_loss(model, cfg, l2_rules, masked: bool = False):
 
     def forward(params, batch_stats, rng, betas, tokens, target, mask=None):
         k_enc, k_text, k_attn, k_lstm, k_out = jax.random.split(rng, 5)
-        variables = {"params": params, "batch_stats": batch_stats}
+        fwd_params = params
+        if cdt == jnp.bfloat16:
+            # mirror train.steps._forward_loss: bf16 forward params, fp32
+            # masters (the cast is differentiable; grads land on fp32)
+            cast = lambda p: p.astype(cdt) if p.dtype == jnp.float32 else p
+            fwd_params = jax.tree_util.tree_map(cast, params)
+            betas = betas.astype(cdt)
+        variables = {"params": fwd_params, "batch_stats": batch_stats}
         features, mutated = model.apply(
             variables, betas, True, method="encode",
             rngs={"dropout": k_enc}, mutable=["batch_stats"])
         new_stats = mutated.get("batch_stats", batch_stats)
-        w1 = params["attention"]["W1"]
-        pre = features @ w1["kernel"] + w1["bias"]
+        if cdt == jnp.bfloat16:
+            new_stats = jax.tree_util.tree_map(
+                lambda s: s.astype(jnp.float32), new_stats)
+            # the fused sequence keeps its carries/residuals fp32; feed it
+            # fp32 features/pre (its matmuls cast operands internally)
+            features = features.astype(jnp.float32)
+        w1 = fwd_params["attention"]["W1"]
+        pre = _mm(features, w1["kernel"], cdt) + w1["bias"]
         if attn_slope != 1.0:
             pre = _lrelu(pre, attn_slope)
-        emb = jnp.take(params["embedding"], tokens, axis=0)
+        emb = jnp.take(fwd_params["embedding"], tokens, axis=0).astype(
+            jnp.float32)
         emb = _dropout(emb, model.dropout_text, k_text)
-        w = extract_seq_params(params)
+        w = extract_seq_params(fwd_params)
         if rate_attn > 0.0:
             hseq, alphas = seq(w, pre, features, emb, k_attn)
         else:
             hseq, alphas = seq(w, pre, features, emb)
         hseq = _dropout(hseq, model.dropout_lstm, k_lstm)
-        hi = head_act(hseq @ params["dense_inter"]["kernel"]
-                      + params["dense_inter"]["bias"])
+        hi = head_act(_mm(hseq, fwd_params["dense_inter"]["kernel"], cdt)
+                      + fwd_params["dense_inter"]["bias"])
         hi = _dropout(hi, model.dropout_out, k_out)
-        logits = hi @ params["dense_out"]["kernel"] + (
-            params["dense_out"]["bias"])
+        logits = _mm(hi, fwd_params["dense_out"]["kernel"], cdt) + (
+            fwd_params["dense_out"]["bias"])
         logits = mask_padded_vocab(logits, model.true_vocab)
 
         cce = caption_loss(logits.astype(jnp.float32), target, mask)

@@ -71,15 +71,18 @@ def run_shape(tag, cfg, head_dim):
     betas0 = gather_rows(packed, idx[0])
     params, bstats, prng = init_model(model, cfg, betas0, tokens)
 
-    for fused in (False, True):
+    for fused, dtype in ((False, "float32"), (True, "float32"),
+                         (False, "bfloat16"), (True, "bfloat16")):
         c = dataclasses.replace(
-            cfg, tpu=dataclasses.replace(cfg.tpu, fused_seq=fused))
+            cfg, tpu=dataclasses.replace(cfg.tpu, fused_seq=fused,
+                                         compute_dtype=dtype))
         copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
         state = TrainState.create(
             params=copy(params), batch_stats=copy(bstats),
             tx=make_optimizer(c), rng=jnp.copy(prng))
         step = make_scanned_train_steps(model, c, lc_nic_l2_rules(c))
-        name = f"{tag}/{'fused_vjp' if fused else 'autodiff'}"
+        name = (f"{tag}/{'fused_vjp' if fused else 'autodiff'}"
+                + ("_bf16" if dtype == "bfloat16" else ""))
         try:
             state, m = step(state, packed, idx, toks, tgts)
             float(np.asarray(m["loss"])[-1])
