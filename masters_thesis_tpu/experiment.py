@@ -526,7 +526,8 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
 
     n_proc = jax.process_count()
     is_primary = jax.process_index() == 0
-    run_path = setup_run_dir(cfg.log, cfg.run, cfg if is_primary else None)
+    run_path = setup_run_dir(cfg.log, cfg.run, cfg if is_primary else None,
+                             file_log=is_primary)
     split, pairs, tok, store, groups = build_data(cfg, smoke_keys)
     if is_primary:
         tok.save(os.path.join(run_path, "tokenizer.json"))

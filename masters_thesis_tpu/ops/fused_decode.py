@@ -376,8 +376,16 @@ def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
         params = variables["params"]
         sp = extract_decode_params(params, cell=model.cell_type)
         if "embedding" not in sp:
-            # frozen pretrained table: a module constant (nic.py:112-117)
-            sp["embedding"] = jnp.asarray(model.pretrained_embedding)
+            # frozen pretrained table: a module constant (nic.py:112-117).
+            # The raw table is (true_vocab, E); NIC.setup pads the module's
+            # copy to vocab_size for TP vocab padding — mirror that here or
+            # every downstream pad width disagrees (wo padded from
+            # vocab_size, this from true_vocab)
+            table = jnp.asarray(model.pretrained_embedding)
+            if table.shape[0] < model.vocab_size:
+                table = jnp.pad(
+                    table, ((0, model.vocab_size - table.shape[0]), (0, 0)))
+            sp["embedding"] = table
         features = model.apply(variables, betas, False, method="encode")
         B, R, D = features.shape
 

@@ -294,7 +294,7 @@ def _backward(w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
 
     def body(carry, inp):
         dh_c, dc_c, dfeat, dpre, dv, dbv = carry
-        (t_idx, dh_out, dalpha_out, cp, c_t, alpha, z, hwp, emb_t) = inp
+        (t_idx, dh_out, dalpha_out, cp, c_t, alpha, z, hwp) = inp
         pre_t = pre  # loop-invariant (B, R, A); closed over, not stacked
         dh = dh_out + dh_c
 
@@ -349,9 +349,12 @@ def _backward(w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
         jnp.zeros((B, R, D), jnp.float32), jnp.zeros((B, R, A), jnp.float32),
         jnp.zeros((A,), jnp.float32), jnp.zeros((), jnp.float32),
     )
+    # emb is NOT a scan input: demb falls out of dx inside the body and emb
+    # itself is only needed post-scan (x_all) — streaming it through the
+    # reverse scan would be a pure waste
     to_tb = lambda x: jnp.swapaxes(x, 0, 1)
     seq_inputs = (jnp.arange(T),) + tuple(map(to_tb, (
-        dhseq, dalphas, c_prev, cseq, alphas, zs, hwps, emb)))
+        dhseq, dalphas, c_prev, cseq, alphas, zs, hwps)))
     (dh0, _, dfeat, dpre, dv, dbv), (dz_t, dhwp_t, demb_t) = jax.lax.scan(
         body, carry0, seq_inputs, reverse=True)
     del dh0  # h0 is a constant zero
@@ -474,6 +477,10 @@ def fused_train_supported(model, cfg) -> bool:
         and model.cell_type == "lstm"
         and not model.learned_init_state
         and (model.pretrained_embedding is None or model.embedding_trainable)
+        # remat exists to AVOID storing per-step activations; the custom
+        # VJP stores five residual tensors per step with no recompute path
+        # — honoring remat means falling back to the autodiff scan
+        and not getattr(cfg.tpu, "remat", False)
     )
 
 

@@ -192,25 +192,18 @@ def _drive_once(mesh, local_slice=None) -> dict:
 
 
 def _host_batch_slice(mesh, batch: int) -> tuple[int, int]:
-    """(row0, row1) of a size-``batch`` global batch this process owns.
+    """(row0, row1) of a size-``batch`` global batch this process owns —
+    mesh-ownership slicing shared with the product path (one
+    implementation: MeshInputPlacer computes owned data rows from the mesh,
+    so uneven hosts feed proportional slices)."""
+    from masters_thesis_tpu.parallel.sharding import MeshInputPlacer
 
-    Computed from mesh ownership, not an even nproc split: with different
-    device counts per process (uneven hosts) each host feeds rows
-    proportional to its devices on the 'data' axis."""
-    import jax
-
-    pid = jax.process_index()
-    data_size = mesh.devices.shape[0]
-    owned = [
-        i for i in range(data_size)
-        if any(d.process_index == pid for d in mesh.devices[i].flat)
-    ]
-    assert owned == list(range(owned[0], owned[-1] + 1)), (
-        "process devices not contiguous on the data axis")
-    assert batch % data_size == 0, (
-        f"batch {batch} not divisible by data axis {data_size}")
-    per = batch // data_size
-    return owned[0] * per, (owned[-1] + 1) * per
+    placer = MeshInputPlacer(mesh)
+    assert batch % placer.data_size == 0, (
+        f"batch {batch} not divisible by data axis {placer.data_size}")
+    per = batch // placer.data_size
+    lo, hi = placer._owned
+    return lo * per, hi * per
 
 
 def _child_main(argv) -> None:

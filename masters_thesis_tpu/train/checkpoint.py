@@ -65,6 +65,8 @@ class CheckpointManager:
             )
             self._ckpt = ocp.StandardCheckpointer()
         self._pending: tuple[int, float | None] | None = None
+        self._save_seq = 0  # unique barrier keys (coordination-service
+        #                     barrier ids are one-shot per process lifetime)
         self._meta_path = os.path.join(self.directory, "meta.json")
         self.meta = self._load_meta()
 
@@ -105,12 +107,17 @@ class CheckpointManager:
                   "step": np.asarray(state.step),
                   "rng": np.asarray(state.rng)}
         path = self._epoch_dir(epoch)
-        if os.path.exists(path):
-            # primary clears the stale dir; the barrier keeps other hosts
-            # from racing into orbax's own existence checks mid-rmtree
-            if self._primary:
-                shutil.rmtree(path)
-            self._barrier(f"rm{epoch}")
+        # the primary alone decides-and-clears a stale dir; the barrier is
+        # UNCONDITIONAL and uniquely keyed so every process reaches the same
+        # barrier regardless of what it observed on the filesystem (a
+        # per-process exists() check is a TOCTOU against the rmtree: a slow
+        # peer checking after the delete would skip the barrier and deadlock
+        # the primary) and re-saves of the same epoch can't reuse a
+        # one-shot barrier id
+        if self._primary and os.path.exists(path):
+            shutil.rmtree(path)
+        self._save_seq += 1
+        self._barrier(f"rm{epoch}-{self._save_seq}")
         self._ckpt.save(path, target)
         self._pending = (epoch, val_loss)
 

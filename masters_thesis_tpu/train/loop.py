@@ -332,7 +332,13 @@ class Trainer:
         else:
             from masters_thesis_tpu.data.pipeline import device_prefetch
 
-            depth = getattr(getattr(self.cfg, "tpu", None), "prefetch_depth", 0)
+            # mesh runs: the placer IS the placement mechanism — a default-
+            # device prefetch would device_put each batch, only for
+            # _batch_arrays to pull it back to host and re-place it on the
+            # mesh (three transfers where one suffices)
+            depth = (0 if self.input_placer is not None else
+                     getattr(getattr(self.cfg, "tpu", None),
+                             "prefetch_depth", 0))
             train_metrics = []
             for batch in device_prefetch(self.train_pipe.epoch(epoch), depth):
                 betas, tokens, target = self._batch_arrays(batch)

@@ -15,12 +15,19 @@ import os
 import time
 
 
-def setup_run_dir(log_root: str, run: str, config=None) -> str:
-    """Create Log/{run}/, snapshot the config, attach a file logger."""
+def setup_run_dir(log_root: str, run: str, config=None,
+                  file_log: bool = True) -> str:
+    """Create Log/{run}/, snapshot the config, attach a file logger.
+
+    ``file_log=False`` skips the log.log handler — multi-process training
+    gates it to the primary so P processes don't interleave records into
+    one shared file."""
     run_path = os.path.join(log_root, run)
     os.makedirs(run_path, exist_ok=True)
     if config is not None:
         config.save(os.path.join(run_path, "config.yaml"))
+    if not file_log:
+        return run_path
     log_path = os.path.join(run_path, "log.log")
     root = logging.getLogger()
     # one live run-dir file handler at a time: in-process tune sweeps call

@@ -147,3 +147,29 @@ def test_fused_whole_decode_gru_families(zero_state):
     np.testing.assert_array_equal(np.asarray(words), np.asarray(words_ref))
     np.testing.assert_allclose(np.asarray(alphas), np.asarray(alphas_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_whole_decode_frozen_glove_with_padded_vocab():
+    """Round-5 review regression: a frozen pretrained table is stored RAW
+    at (true_vocab, E); with tpu.vocab_pad_multiple the model's vocab axis
+    is wider, and the kernel's overlay must pad the table to vocab_size or
+    every downstream pad width disagrees (shape error at trace time)."""
+    import dataclasses
+
+    model, _, betas, units, max_len = _build(vocab=48)
+    rng = np.random.default_rng(9)
+    true_vocab = 40  # table built at the tokenizer's true vocab
+    table = rng.standard_normal((true_vocab, 12)).astype(np.float32)
+    model = dataclasses.replace(
+        model, vocab_size=48, true_vocab=true_vocab,
+        pretrained_embedding=table, embedding_trainable=False)
+    tokens = jnp.zeros((betas.shape[0], max_len), jnp.int32)
+    a0 = jnp.zeros((betas.shape[0], units))
+    variables = model.init(jax.random.PRNGKey(6), betas, tokens, a0, a0)
+    assert "embedding" not in variables["params"]
+    ref = make_greedy_decoder(model, units, max_len)
+    fused = make_whole_fused_greedy_decoder(model, units, max_len)
+    words_ref, _, _ = ref(variables, betas, 1)
+    words, _ = fused(variables, betas, 1)
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(words_ref))
+    assert int(np.max(np.asarray(words))) < true_vocab
