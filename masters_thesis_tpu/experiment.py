@@ -132,7 +132,15 @@ def _load_beta_store(betas_path: str, keys):
         f"betas path {betas_path!r} contains neither a packed dataset "
         "(meta.json) nor per-key *_KID*.npy beta files"
     )
-    prefix = os.path.basename(npys[0]).split("_KID")[0]
+    prefixes = sorted({os.path.basename(p).split("_KID")[0] for p in npys})
+    if len(prefixes) > 1:
+        # glob order is filesystem-dependent: silently picking one subject
+        # from a dir holding several would train on arbitrary brain data
+        raise ValueError(
+            f"betas path {betas_path!r} holds files for multiple subject "
+            f"prefixes {prefixes}; point betas_path (and betas_path_b) at "
+            "one subject's files each")
+    prefix = prefixes[0]
     return ArrayStore.from_npy_dir(
         betas_path, list(keys), lambda key: f"{prefix}_KID{key}.npy",
     )
@@ -608,14 +616,19 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
     val_enc = encode_pairs(pairs["val"], tok, cfg.max_length)
     bs = min(cfg.batch_size, max(2, len(train_enc) // 2))
     if mesh is not None:
-        # the global batch shards its rows over the 'data' axis: round down
-        # to a divisible size (and never below one row per data shard)
+        # the global batch shards its rows over the 'data' axis — and
+        # ms2_nic's [A-half ; B-half] layout also needs an even batch, so
+        # solve both constraints JOINTLY (rounding to the data axis first
+        # and parity second could produce a batch divisible by neither)
+        import math
+
         d = mesh.shape["data"]
-        new_bs = max(d, (bs // d) * d)
+        mult = math.lcm(d, 2) if cfg.model.lower() == "ms2_nic" else d
+        new_bs = max(mult, (bs // mult) * mult)
         if new_bs != bs:
             logger.warning(
-                "batch size %d not divisible by data axis %d; using %d",
-                bs, d, new_bs)
+                "batch size %d not divisible by data axis %d%s; using %d",
+                bs, d, " x subject-split 2" if mult != d else "", new_bs)
             bs = new_bs
     # ms2_NIC's two-encoder split requires every batch laid out
     # [A-half ; B-half] (main_ms.py's generator contract) — a plain
@@ -797,6 +810,13 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             *extra_callbacks,
         ]
     else:
+        # one preview batch + one decoder, shared by both preview callbacks
+        # (building them twice gathered/encoded the same shuffle=False first
+        # batch twice and spawned an abandoned prefetch producer each)
+        preview_batch = (next(iter(val_pipe.epoch()))
+                         if len(val_enc) >= bs
+                         else next(iter(train_pipe.epoch())))
+        preview_decoder = _greedy_decoder(model, cfg)
         callbacks = [
             ErrorLog(run_path),
             LossHistory(run_path),
@@ -809,19 +829,15 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             TensorBoardScalars(os.path.join(run_path, "tb")),
             PredictPreview(
                 run_path,
-                _greedy_decoder(model, cfg),
-                next(iter(val_pipe.epoch()))
-                if len(val_enc) >= bs
-                else next(iter(train_pipe.epoch())),
+                preview_decoder,
+                preview_batch,
                 tok,
                 every=5,
             ),
             CaptionImagePreview(
                 os.path.join(run_path, "tb"),
-                _greedy_decoder(model, cfg),
-                (preview_batch := next(iter(val_pipe.epoch()))
-                 if len(val_enc) >= bs
-                 else next(iter(train_pipe.epoch()))),
+                preview_decoder,
+                preview_batch,
                 tok,
                 # caption drawn over the stimulus picture when the run has
                 # one on disk (soloist TensorBoardCaption semantics)
@@ -918,7 +934,10 @@ def run_training(cfg: Config, epochs: int | None = None, smoke_keys: int = 48,
             # steady-state number (single epochs jitter under link noise)
             meta["steps_per_sec_median"] = round(
                 float(np.median(sps[1:])), 2)
-        meta["epochs_ran"] = epochs if epochs is not None else cfg.epochs
+        # epochs actually EXECUTED this fit (resume starts mid-way and
+        # early stopping ends short; the configured target is separate)
+        meta["epochs_ran"] = len(sps)
+        meta["epochs_target"] = epochs if epochs is not None else cfg.epochs
         if caption_metrics_cb is not None and caption_metrics_cb.history:
             # the convergence curve: decoded val BLEU/CIDEr over training
             meta["caption_metrics"] = caption_metrics_cb.history
@@ -1011,13 +1030,15 @@ def _parse_visual_parcels(spec: str) -> list[int]:
     the reference's VISUAL_MASK table (ThinkAndTell/train.py:91-92 reads it
     with pandas index_col=0 and flattens the values).
 
-    File parsing is structural, not guess-per-row: if the FIRST line has any
-    non-numeric field it is the header, and a leading EMPTY header field
-    (pandas' unnamed index column) means every data row drops its first
-    field. A fully-numeric file is a plain value list — every field counts
-    (no index heuristics: a pandas header like ',0' must not parse as
-    parcel 0, the unlabelled region, and a stored '1,2,3' list must not
-    lose its first value)."""
+    File parsing is structural, not guess-per-row: a first line with any
+    non-numeric NON-EMPTY field is the header (trailing commas alone never
+    make one — a '1,2,3,' value list keeps its first row). With a header,
+    the first COLUMN is dropped when it is pandas' index — either unnamed
+    (empty first header field, the reference's ',0' layout) or a named
+    serial index (the data rows' first fields count 0..N-1 or 1..N), so a
+    'idx,parcel' export can't leak row numbers (incl. parcel 0, the
+    unlabelled region) into the mask. A fully-numeric file is a plain
+    value list — every field counts."""
     if not os.path.exists(spec):
         return [int(p) for p in spec.split(",") if p.strip()]
     with open(spec) as f:
@@ -1026,7 +1047,12 @@ def _parse_visual_parcels(spec: str) -> list[int]:
         raise ValueError(f"no parcel labels parsed from {spec!r}")
 
     def fields(line):
-        return [p.strip() for p in line.split(",")]
+        # trailing empty fields are CSV artifacts (trailing commas), not
+        # structure — strip them before any header/index decision
+        out = [p.strip() for p in line.split(",")]
+        while out and out[-1] == "":
+            out.pop()
+        return out
 
     def numeric(vals):
         try:
@@ -1036,9 +1062,19 @@ def _parse_visual_parcels(spec: str) -> list[int]:
 
     first = fields(lines[0])
     drop_index = False
-    if numeric([p for p in first if p]) is None or "" in first:
-        # header row: pandas writes the index column as an empty first name
-        drop_index = first[0] == ""
+    if numeric([p for p in first if p]) is None or (first and first[0] == ""):
+        # header row (pandas writes an unnamed index as an empty first name)
+        data = [fields(ln) for ln in lines[1:]]
+        if first and first[0] == "":
+            drop_index = True
+        else:
+            # named index column: detect a serial 0..N-1 / 1..N first column
+            col0 = numeric([row[0] for row in data if row])
+            n = len(data)
+            drop_index = (
+                len(first) > 1 and col0 is not None
+                and (col0 == list(range(n)) or col0 == list(range(1, n + 1)))
+            )
         lines = lines[1:]
     parcels: list[int] = []
     for line in lines:

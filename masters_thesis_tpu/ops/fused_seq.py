@@ -202,7 +202,7 @@ def _seq_kernel(pre_ref, feat_ref, emb_ref, w2_ref, b2_ref, v_ref, bv_ref,
 
 
 def _forward_pallas(w, pre, features, emb, attn_slope,
-                    batch_tile: int = 64):
+                    batch_tile: int = 64, cdt=jnp.float32):
     """Whole-sequence Pallas forward. Grid (batch_tiles, T): t iterates
     fastest, so the (h, c) VMEM scratch carries across timesteps of one
     batch tile, then resets (@t==0) for the next. Weights are VMEM-resident
@@ -222,7 +222,10 @@ def _forward_pallas(w, pre, features, emb, attn_slope,
     bt = min(batch_tile, B)
     grid = (pl.cdiv(B, bt), T)
     on_tpu = jax.default_backend() == "tpu"
-    wdt = jnp.bfloat16 if on_tpu else jnp.float32
+    # honor the requested compute dtype (bf16 weights only when asked for
+    # AND on hardware that has the bf16 MXU path); fp32 stays fp32 so the
+    # forward never runs below the precision the caller requested
+    wdt = cdt if (on_tpu and cdt == jnp.bfloat16) else jnp.float32
     wx, wh, w2 = (w[k].astype(wdt) for k in ("wx", "wh", "w2"))
     b2r = w["b2"].reshape(1, -1)
     vr = w["v"].reshape(1, -1)
@@ -318,7 +321,7 @@ def _backward(w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
 
         # attention backward (ctx and softmax; s recomputed from pre+hw,
         # the dropout mask regenerated from the same fold_in(key, t))
-        dalpha = jnp.einsum("bd,brd->br", dctx, features) + dalpha_out
+        dalpha = _ein("bd,brd->br", dctx, features, cdt) + dalpha_out
         dfeat = dfeat + alpha[:, :, None] * dctx[:, None, :]
         de = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=1, keepdims=True))
         hw = _lrelu(hwp, attn_slope)
@@ -337,7 +340,7 @@ def _backward(w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
         dpre = dpre + ds_pre
         dhw = jnp.sum(ds_pre, axis=1)                          # (B, A)
         dhw_pre = dhw * _dlrelu(hwp, attn_slope)
-        dh_prev_attn = dhw_pre @ w["w2"].T
+        dh_prev_attn = _mm(dhw_pre, w["w2"].T, cdt)
 
         return ((dh_prev_rec + dh_prev_attn, dc_prev, dfeat, dpre, dv, dbv),
                 (dz, dhw_pre, demb_t))
@@ -426,7 +429,10 @@ def make_fused_sequence(attn_slope: float = 0.2, backend: str = "xla",
         seq_d.defvjp(seq_d_fwd, seq_d_bwd)
         return seq_d
 
-    fwd_impl = (_forward_pallas if backend == "pallas" else
+    fwd_impl = ((lambda w, p, f, e, s, batch_tile=64:
+                 _forward_pallas(w, p, f, e, s, batch_tile=batch_tile,
+                                 cdt=compute_dtype))
+                if backend == "pallas" else
                 (lambda w, p, f, e, s, batch_tile=None:
                  _forward_xla(w, p, f, e, s, cdt=compute_dtype)))
 
@@ -447,7 +453,7 @@ def make_fused_sequence(attn_slope: float = 0.2, backend: str = "xla",
         dhseq, dalphas = grads
         return _backward(
             w, pre, features, emb, residuals, dhseq, dalphas, attn_slope,
-            cdt=(compute_dtype if backend == "xla" else jnp.float32))
+            cdt=compute_dtype)
 
     seq.defvjp(seq_fwd, seq_bwd)
     return seq
@@ -492,7 +498,7 @@ def _dropout(x, rate, key):
     return jnp.where(m, x / keep, 0.0)
 
 
-def make_train_forward_loss(model, cfg, l2_rules, masked: bool = False):
+def make_train_forward_loss(model, cfg, l2_rules):
     """The PRODUCTION training-mode forward+loss with the fused sequence
     inside — full semantics: every dropout site (input via encode, text on
     the embeddings, attention scores in the custom VJP, lstm output, head

@@ -478,3 +478,28 @@ def test_train_split_indices_picks_covering_subject(tmp_path):
     idx, note = _train_split_indices(_open(str(betas)), str(nsd))
     assert note == "train_split:20"
     assert len(idx) == 20
+
+
+def test_parse_visual_parcels_named_index_and_trailing_commas(tmp_path):
+    """Round-5 review regressions: a NAMED serial index column must be
+    dropped (row numbers — incl. 0, the unlabelled region — must not leak
+    into the mask), and trailing commas on a value list must not demote
+    its first row to a 'header'."""
+    from masters_thesis_tpu.experiment import _parse_visual_parcels
+
+    named = tmp_path / "named.csv"
+    named.write_text("idx,parcel\n0,7\n1,8\n2,9\n")
+    assert _parse_visual_parcels(str(named)) == [7, 8, 9]
+
+    one_based = tmp_path / "one_based.csv"
+    one_based.write_text("region,parcel\n1,7\n2,8\n3,9\n")
+    assert _parse_visual_parcels(str(one_based)) == [7, 8, 9]
+
+    trailing = tmp_path / "trailing.csv"
+    trailing.write_text("1,2,3,\n4,5,6,\n")
+    assert _parse_visual_parcels(str(trailing)) == [1, 2, 3, 4, 5, 6]
+
+    # a non-serial first column is DATA, not an index — every field counts
+    data_first = tmp_path / "data_first.csv"
+    data_first.write_text("a,b\n7,8\n9,10\n")
+    assert _parse_visual_parcels(str(data_first)) == [7, 8, 9, 10]
