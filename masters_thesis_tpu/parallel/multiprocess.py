@@ -120,7 +120,10 @@ def _drive_once(mesh, local_slice=None) -> dict:
             {k: v[local_slice[0]: local_slice[1]] for k, v in b.items()}
             if local_slice is not None else b
         )
-        g = global_batch_from_host_local(local, mesh, with_voxel_axis=True)
+        # explicit global batch size: uneven hosts feed different-sized
+        # local slices, from which jax cannot infer the global axis
+        g = global_batch_from_host_local(local, mesh, with_voxel_axis=True,
+                                         global_rows=cfg.batch_size)
         state, metrics = step(state, g["betas"], g["tokens"], g["target"])
         losses.append(
             float(np.asarray(metrics["loss"].addressable_data(0))))
@@ -169,11 +172,13 @@ def _drive_once(mesh, local_slice=None) -> dict:
         ktgt_g = jax.device_put(jnp.asarray(ktgt_h), kb)
     else:
         lo, hi = local_slice
-        idx_g = jax.make_array_from_process_local_data(kb, idx_h[:, lo:hi])
+        # explicit global shapes (uneven-host rule, see above)
+        idx_g = jax.make_array_from_process_local_data(
+            kb, idx_h[:, lo:hi], idx_h.shape)
         ktok_g = jax.make_array_from_process_local_data(
-            kb, ktok_h[:, lo:hi])
+            kb, ktok_h[:, lo:hi], ktok_h.shape)
         ktgt_g = jax.make_array_from_process_local_data(
-            kb, ktgt_h[:, lo:hi])
+            kb, ktgt_h[:, lo:hi], ktgt_h.shape)
     sstep = make_sharded_scanned_train_steps(
         model, cfg, lc_nic_l2_rules(cfg), mesh, state)
     state, smetrics = sstep(state, store_g, idx_g, ktok_g, ktgt_g)
@@ -271,6 +276,15 @@ def _retry_port_races(fn, attempts: int, what: str):
             # children ran to completion without a report — a harness
             # regression, not a race; surface on the first attempt
             raise
+        except ChildrenFailed as e:
+            # per-child classification: ALL failed children must look
+            # race-like (a deterministic coordinator-child crash makes the
+            # PEERS print 'failed to connect' — not a race)
+            if not (e.child_errors
+                    and all(_looks_like_port_race(c)
+                            for c in e.child_errors)):
+                raise
+            last_err = e
         except RuntimeError as e:
             if not _looks_like_port_race(str(e)):
                 raise
@@ -284,6 +298,18 @@ class NoReportError(RuntimeError):
     regression, never a port race (excluded from retry: the child stdout
     embedded in the message can contain words like 'coordinator' from jax
     logging, which the race heuristic must not match on)."""
+
+
+class ChildrenFailed(RuntimeError):
+    """One or more children exited nonzero; carries each child's stderr
+    separately so the race heuristic can classify PER CHILD — when the
+    coordinator child dies deterministically, the PEERS' stderr contains
+    'failed to connect', and an aggregate string match would relabel the
+    regression as a race. Race iff EVERY failed child looks race-like."""
+
+    def __init__(self, message: str, child_errors=()):
+        super().__init__(message)
+        self.child_errors = list(child_errors)
 
 
 # Round-5 tightened markers (ADVICE r4): only phrases specific to the
@@ -348,20 +374,33 @@ def _launch_children(child_code: str, n_processes: int,
             env=env, cwd=repo_root,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
     outs = []
     failed = []
     for pid, p in enumerate(procs):
         try:
-            out, err = p.communicate(timeout=timeout)
+            # ONE shared deadline: sequential reaping with the full timeout
+            # each would bound a hung drive by n*timeout, not timeout
+            out, err = p.communicate(
+                timeout=max(1.0, deadline - _time.monotonic()))
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
+            for q in procs:  # reap the killed children (no zombies/fds)
+                try:
+                    q.communicate(timeout=10)
+                except Exception:
+                    pass
             raise
         outs.append(out)
         if p.returncode != 0:
             failed.append((pid, p.returncode, err[-2000:]))
     if failed:
-        raise RuntimeError(f"multiprocess drive failed: {failed}")
+        raise ChildrenFailed(
+            f"multiprocess drive failed: {failed}",
+            child_errors=[err for _, _, err in failed])
     for out in outs:
         for line in out.splitlines():
             if line.startswith(report_tag + " "):
@@ -434,6 +473,7 @@ def _training_report(run_path: str, bundle, logs) -> dict:
     """Per-epoch trajectory + a replicated final-param norm."""
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     def pnorm(params):
         return jnp.sqrt(sum(
@@ -441,7 +481,17 @@ def _training_report(run_path: str, bundle, logs) -> dict:
             for x in jax.tree_util.tree_leaves(params)))
 
     state = bundle["state"]
-    norm = jax.jit(pnorm)(state.params)
+    # pin the scalar REPLICATED: every process must be able to read it
+    # locally (an unconstrained placement may land it on one host only —
+    # the same rule as make_sharded_eval_step's metric outputs)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    leaf_sh = getattr(leaf, "sharding", None)
+    if isinstance(leaf_sh, NamedSharding):
+        norm = jax.jit(
+            pnorm, out_shardings=NamedSharding(leaf_sh.mesh, P()),
+        )(state.params)
+    else:
+        norm = jax.jit(pnorm)(state.params)
     report = {
         "run_path": run_path,
         "final_loss": float(logs.get("loss", float("nan"))),

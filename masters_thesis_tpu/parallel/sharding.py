@@ -108,12 +108,12 @@ def state_shardings(state, mesh: Mesh):
 
     def opt_state_sharding(path, leaf):
         key = tuple(_name_of(p) for p in path)
-        # opt-state paths end with the same param path suffix
+        # opt-state paths end with the same param path suffix;
+        # longest-suffix-first, O(depth) dict lookups
         for plen in range(len(key), 0, -1):
-            suffix = key[-plen:]
-            for pkey, sh in param_leaves.items():
-                if pkey == suffix:
-                    return sh
+            sh = param_leaves.get(key[-plen:])
+            if sh is not None:
+                return sh
         return NamedSharding(mesh, P())
 
     opt_sh = jax.tree_util.tree_map_with_path(opt_state_sharding, state.opt_state)
@@ -354,6 +354,21 @@ class MeshInputPlacer:
                 "this process's devices are not contiguous on the 'data' "
                 "axis; reorder the mesh so per-host batch slices are "
                 "contiguous")
+            # each owned data row must live WHOLLY on this process: the
+            # placer hands make_array_from_process_local_data full-width
+            # rows, so a 'model' axis spanning processes would need
+            # voxel-split local shards this path does not produce — fail
+            # with a clear topology error, not a shape mismatch at the
+            # first batch
+            assert all(
+                d.process_index == pid
+                for i in owned for d in mesh.devices[i].flat
+            ), (
+                "the 'model' mesh axis spans OS processes; per-host input "
+                "placement needs every (data-row x model) device group on "
+                "one process — use devices_per_process divisible by "
+                "mesh_model (e.g. 2 procs x 4 devices for model=2), not "
+                f"this topology (mesh {dict(zip(mesh.axis_names, mesh.devices.shape))})")
             self._owned = (owned[0], owned[-1] + 1)
         else:
             self._owned = (0, self.data_size)
@@ -423,7 +438,8 @@ def shard_store_array(data, mesh: Mesh, dtype=None):
 
 
 def global_batch_from_host_local(batch: dict, mesh: Mesh,
-                                 with_voxel_axis: bool = False) -> dict:
+                                 with_voxel_axis: bool = False,
+                                 global_rows: int | None = None) -> dict:
     """Multi-host input: assemble per-host batch shards into global arrays.
 
     Each host loads only its slice of the global batch (the reference is
@@ -432,6 +448,11 @@ def global_batch_from_host_local(batch: dict, mesh: Mesh,
     host's rows onto its local devices and stitches the global array over
     ICI/DCN without any gather through host 0. On a single process this
     reduces to a sharded device_put, so the same input path runs everywhere.
+
+    ``global_rows``: the GLOBAL batch size. Required on uneven hosts —
+    with per-process local shapes differing jax cannot infer the global
+    batch axis (same rule as MeshInputPlacer._place's explicit
+    global_shape).
     """
     import jax
 
@@ -442,5 +463,7 @@ def global_batch_from_host_local(batch: dict, mesh: Mesh,
         if sh is None or not hasattr(v, "shape"):
             out[k] = v
             continue
-        out[k] = jax.make_array_from_process_local_data(sh, v)
+        gshape = ((global_rows,) + tuple(v.shape[1:])
+                  if global_rows is not None else None)
+        out[k] = jax.make_array_from_process_local_data(sh, v, gshape)
     return out

@@ -17,6 +17,8 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+_MANAGER_SEQ = 0  # barrier-key namespace per manager (see __init__)
+
 
 class CheckpointManager:
     """Single- and multi-process. In multi-process runs (jax.distributed
@@ -65,8 +67,15 @@ class CheckpointManager:
             )
             self._ckpt = ocp.StandardCheckpointer()
         self._pending: tuple[int, float | None] | None = None
-        self._save_seq = 0  # unique barrier keys (coordination-service
-        #                     barrier ids are one-shot per process lifetime)
+        # unique barrier keys: coordination-service barrier ids are one-shot
+        # per PROCESS lifetime, so both the per-manager save sequence AND a
+        # per-manager namespace (module counter — SPMD programs construct
+        # managers in the same order on every process, e.g. consecutive
+        # run_training calls in one interpreter) go into the key
+        self._save_seq = 0
+        global _MANAGER_SEQ
+        _MANAGER_SEQ += 1
+        self._barrier_ns = _MANAGER_SEQ
         self._meta_path = os.path.join(self.directory, "meta.json")
         self.meta = self._load_meta()
 
@@ -117,7 +126,7 @@ class CheckpointManager:
         if self._primary and os.path.exists(path):
             shutil.rmtree(path)
         self._save_seq += 1
-        self._barrier(f"rm{epoch}-{self._save_seq}")
+        self._barrier(f"m{self._barrier_ns}-rm{epoch}-{self._save_seq}")
         self._ckpt.save(path, target)
         self._pending = (epoch, val_loss)
 
@@ -240,14 +249,23 @@ def merge_by_name(template, source) -> tuple[dict, dict]:
 def warm_start_from_run(params, run_dir: str) -> tuple[dict, dict]:
     """Preload matching weights from another run's best checkpoint
     (cfg.warm_start). Shape mismatches and absent names keep their fresh
-    init — the reference's skip_mismatch warm starts."""
-    mgr = CheckpointManager(os.path.join(run_dir, "model"))
+    init — the reference's skip_mismatch warm starts. A run dir with NO
+    checkpoints (typo'd path, never-trained run) raises instead of
+    silently training from scratch while claiming a warm start (and the
+    manager's makedirs would otherwise create the typo'd tree on disk)."""
+    model_dir = os.path.join(run_dir, "model")
+    if not os.path.isdir(model_dir):
+        raise FileNotFoundError(
+            f"warm_start run dir {run_dir!r} has no model/ checkpoint "
+            "directory — check the path")
+    mgr = CheckpointManager(model_dir)
     source, epoch = mgr.restore_params_only(None, best=True)
     if epoch is None:
         source, epoch = mgr.restore_params_only(None, best=False)
     if epoch is None:
-        return params, {"loaded": [], "skipped_shape": [],
-                        "missing": ["<no checkpoint found>"]}
+        raise FileNotFoundError(
+            f"warm_start run dir {run_dir!r} contains no saved checkpoint "
+            "epochs — nothing to warm-start from")
     merged, report = merge_by_name(params, source)
     report["source_epoch"] = epoch
     return merged, report
