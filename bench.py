@@ -317,16 +317,11 @@ def main() -> None:
             # the serving numbers' measurement protocol travels WITH the
             # artifact: captions_per_sec_greedy changed semantics in r4
             # (force-each-dispatch -> 8-deep pipelined) under the same key,
-            # so cross-round comparisons need this field to disambiguate
-            "methodology": {
-                "captions_per_sec_greedy": "pipelined dispatch, 8 calls in "
-                "flight, force last (since r4; r1-r3 forced each call)",
-                "captions_per_sec_xla": "pipelined dispatch, 8 in flight",
-                "captions_per_sec_beam": "XLA lattice, 32 batches/call, "
-                "force each call (call >> RTT at K=32)",
-                "captions_per_sec_per_dispatch": "force each call (RTT "
-                "exposed)",
-            },
+            # so cross-round comparisons need this field to disambiguate.
+            # Each measurement block records its OWN entry when it lands a
+            # number (the CPU fallback forces every call — a static dict
+            # here would mislabel it as pipelined).
+            "methodology": {},
             "captions_per_sec_per_dispatch": None,
             "dispatch_steps_per_sec": None,
             "bf16_steps_per_sec": None,
@@ -481,6 +476,9 @@ def main() -> None:
                 np.asarray(words)
             result["extra"]["captions_per_sec_greedy"] = round(
                 reps * QD * DEC_K * B / (time.perf_counter() - t0), 1)
+            result["extra"]["methodology"]["captions_per_sec_greedy"] = (
+                f"pipelined dispatch, {QD} calls in flight, force last "
+                "(since r4; r1-r3 forced each call)")
             emit(result["value"], "decode-fused")
         except Exception:
             pass
@@ -500,6 +498,8 @@ def main() -> None:
                     np.asarray(w2)
                 result["extra"]["captions_per_sec_xla"] = round(
                     reps * QD * DEC_K * B / (time.perf_counter() - t0), 1)
+                result["extra"]["methodology"]["captions_per_sec_xla"] = (
+                    f"pipelined dispatch, {QD} in flight")
             except Exception:
                 pass
     elif not fast and not on_tpu and time_left() > 60:
@@ -516,6 +516,8 @@ def main() -> None:
                 np.asarray(words)
             result["extra"]["captions_per_sec_greedy"] = round(
                 reps * DEC_K * B / (time.perf_counter() - t0), 1)
+            result["extra"]["methodology"]["captions_per_sec_greedy"] = (
+                "force each call (CPU fallback — no dispatch pipelining)")
         except Exception:
             pass
 
@@ -549,6 +551,9 @@ def main() -> None:
                 np.asarray(bw)
             result["extra"]["captions_per_sec_beam"] = round(
                 reps * BEAM_K * B / (time.perf_counter() - t0), 1)
+            result["extra"]["methodology"]["captions_per_sec_beam"] = (
+                f"XLA lattice, {BEAM_K} batches/call, force each call "
+                f"(call >> RTT at K={BEAM_K})")
             del beam_betas, bw
             emit(result["value"], "decode-beam")
         except Exception:
@@ -566,6 +571,9 @@ def main() -> None:
                 np.asarray(words)
             result["extra"]["captions_per_sec_per_dispatch"] = round(
                 8 * B / (time.perf_counter() - t0), 1)
+            result["extra"]["methodology"][
+                "captions_per_sec_per_dispatch"] = (
+                "force each call (RTT exposed)")
         except Exception:
             pass
 

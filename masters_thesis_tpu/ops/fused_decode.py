@@ -56,6 +56,48 @@ def pad_regions(x, multiple: int = 8):
     return jnp.pad(x, pad), r
 
 
+def _attention_step(h, pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
+                    *, n_regions: int, attn_slope: float):
+    """Shared Bahdanau attention step (both cell kernels call this — the
+    LSTM/GRU serving paths must never drift apart on the attention,
+    masking, or padded-region numerics).
+
+    pre = act(features @ W1 + b1), computed once outside the kernel;
+    act = the W1/W2 inner activation — LeakyReLU(0.2) in the AttemptFour
+    family, identity (attn_slope=1) otherwise."""
+    hw = jnp.dot(h.astype(w2_ref.dtype), w2_ref[:],
+                 preferred_element_type=jnp.float32) + b2_ref[0]
+    hw = jnp.where(hw >= 0, hw, attn_slope * hw)
+    s = jnp.tanh(pre_ref[:] + hw[:, None, :])                    # (Bt, Rp, A)
+    e = jnp.sum(s * v_ref[0][None, None, :], axis=-1) + bv_ref[0, 0]
+    rid = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+    e = jnp.where(rid < n_regions, e, -1e30)
+    e = e - jnp.max(e, axis=1, keepdims=True)
+    w = jnp.exp(e)
+    alpha = w / jnp.sum(w, axis=1, keepdims=True)                # (Bt, Rp)
+    ctx = jnp.sum(alpha[:, :, None] * feat_ref[:], axis=1)       # (Bt, D)
+    return alpha, ctx
+
+
+def _head_and_reembed(h, wi_ref, bi_ref, wo_ref, bo_ref, emb_ref,
+                      *, slope: float):
+    """Shared vocab head + argmax + gather-free re-embedding (head:
+    models/nic.py:115-119, eval mode). The re-embedding is a one-hot
+    matmul against the embedding table — a (Bt, Vp)x(Vp, E) MXU op where
+    a data-dependent row gather would not map to the hardware."""
+    hi = jnp.dot(h.astype(wi_ref.dtype), wi_ref[:],
+                 preferred_element_type=jnp.float32) + bi_ref[0]
+    hi = jnp.where(hi >= 0, hi, slope * hi)
+    logits = jnp.dot(hi.astype(wo_ref.dtype), wo_ref[:],
+                     preferred_element_type=jnp.float32) + bo_ref[0]
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)          # (Bt,)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+              == nxt[:, None])
+    emb = jnp.dot(onehot.astype(emb_ref.dtype), emb_ref[:],
+                  preferred_element_type=jnp.float32)
+    return nxt, emb
+
+
 def _decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
                    wx_ref, wh_ref, b_ref, wi_ref, bi_ref, wo_ref, bo_ref,
                    emb_ref, emb0_ref, h0_ref, c0_ref, words_out, alpha_out,
@@ -71,21 +113,10 @@ def _decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
 
     words, alphas = [], []
     for _ in range(max_length):
-        # --- Bahdanau attention (pre = act(features @ W1 + b1), computed
-        # once; act = the W1/W2 inner activation — LeakyReLU(0.2) in the
-        # AttemptFour family, identity (attn_slope=1) otherwise) ---
-        hw = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-        hw = hw + b2_ref[0]
-        hw = jnp.where(hw >= 0, hw, attn_slope * hw)
-        s = jnp.tanh(pre_ref[:] + hw[:, None, :])                # (Bt, Rp, A)
-        e = jnp.sum(s * v_ref[0][None, None, :], axis=-1) + bv_ref[0, 0]
-        rid = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
-        e = jnp.where(rid < n_regions, e, -1e30)
-        e = e - jnp.max(e, axis=1, keepdims=True)
-        w = jnp.exp(e)
-        alpha = w / jnp.sum(w, axis=1, keepdims=True)            # (Bt, Rp)
+        alpha, ctx = _attention_step(
+            h, pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
+            n_regions=n_regions, attn_slope=attn_slope)
         alphas.append(alpha)
-        ctx = jnp.sum(alpha[:, :, None] * feat_ref[:], axis=1)   # (Bt, D)
 
         # --- LSTM cell (gate order i,f,g,o: models/lstm.py:47-49) ---
         x = jnp.concatenate([ctx, emb], axis=-1)
@@ -104,23 +135,77 @@ def _decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
         c = f * c + i * g
         h = o * jnp.tanh(c)
 
-        # --- vocab head + argmax (head: models/nic.py:115-119, eval mode) ---
-        hi = jnp.dot(h.astype(wi_ref.dtype), wi_ref[:],
-                     preferred_element_type=jnp.float32) + bi_ref[0]
-        hi = jnp.where(hi >= 0, hi, slope * hi)
-        logits = jnp.dot(hi.astype(wo_ref.dtype), wo_ref[:],
-                         preferred_element_type=jnp.float32) + bo_ref[0]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # (Bt,)
+        nxt, emb = _head_and_reembed(
+            h, wi_ref, bi_ref, wo_ref, bo_ref, emb_ref, slope=slope)
         words.append(nxt)
-
-        # --- re-embed via one-hot matmul (gather-free) ---
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-                  == nxt[:, None])
-        emb = jnp.dot(onehot.astype(emb_ref.dtype), emb_ref[:],
-                      preferred_element_type=jnp.float32)
 
     words_out[:] = jnp.stack(words, axis=1)                      # (Bt, T)
     alpha_out[:] = jnp.stack(alphas, axis=1)                     # (Bt, T, Rp)
+
+
+def _fused_decode_call(kernel_body, kernel_kwargs, pre, features, w2, b2, v,
+                       bv, cell_weights, cell_biases, wi, bi, wo, bo,
+                       emb_table, emb0, carries, *, units: int,
+                       max_length: int, batch_tile: int, feat_bf16: bool):
+    """Shared pallas_call plumbing for both cell kernels: weight bf16 cast,
+    bias row-reshapes, block specs, grid. ``cell_weights`` = (wx, wh),
+    ``cell_biases`` = (b,) for LSTM / (b_in, b_rec) for GRU, ``carries`` =
+    (h0, c0) for LSTM / (h0,) for GRU."""
+    B = pre.shape[0]
+    Rp = pre.shape[1]
+    bt = min(batch_tile, B)
+    grid = (pl.cdiv(B, bt),)
+
+    on_tpu = jax.default_backend() == "tpu"
+    wdt = jnp.bfloat16 if on_tpu else jnp.float32
+    wx, wh = (a.astype(wdt) for a in cell_weights)
+    wi, wo = wi.astype(wdt), wo.astype(wdt)
+    emb_table = emb_table.astype(wdt)
+    if feat_bf16 and on_tpu:
+        pre = pre.astype(jnp.bfloat16)
+        features = features.astype(jnp.bfloat16)
+
+    b2r = b2.reshape(1, -1)
+    vr = v.reshape(1, -1)
+    bvr = jnp.asarray(bv, jnp.float32).reshape(1, 1)
+    cbr = tuple(cb.reshape(1, -1) for cb in cell_biases)
+    bir = bi.reshape(1, -1)
+    bor = bo.reshape(1, -1)
+    emb0r = emb0.reshape(1, -1)
+
+    batched = lambda width: pl.BlockSpec(
+        (bt,) + width, lambda i: (i,) + (0,) * len(width),
+        memory_space=pltpu.VMEM,
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(kernel_body, **kernel_kwargs)
+    broadcast_ops = (w2, b2r, vr, bvr, wx, wh, *cbr,
+                     wi, bir, wo, bor, emb_table, emb0r)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            batched(pre.shape[1:]),       # pre
+            batched(features.shape[1:]),  # features
+            *(full(a.shape) for a in broadcast_ops),
+            *(batched((units,)) for _ in carries),   # h0 (, c0)
+        ],
+        out_specs=(
+            batched((max_length,)),
+            batched((max_length, Rp)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, max_length), jnp.int32),
+            jax.ShapeDtypeStruct((B, max_length, Rp), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=not on_tpu,
+    )(pre, features, *broadcast_ops, *carries)
 
 
 def fused_greedy_decode(pre, features, w2, b2, v, bv, wx, wh, b,
@@ -136,65 +221,13 @@ def fused_greedy_decode(pre, features, w2, b2, v, bv, wx, wh, b,
     ``feat_bf16`` stores the per-tile pre/features blocks in bf16, halving
     their VMEM so larger batch tiles fit (better MXU row utilisation).
     """
-    B = pre.shape[0]
-    Rp = pre.shape[1]
-    bt = min(batch_tile, B)
-    grid = (pl.cdiv(B, bt),)
-
-    on_tpu = jax.default_backend() == "tpu"
-    wdt = jnp.bfloat16 if on_tpu else jnp.float32
-    wx, wh, wi, wo = (a.astype(wdt) for a in (wx, wh, wi, wo))
-    emb_table = emb_table.astype(wdt)
-    if feat_bf16 and on_tpu:
-        pre = pre.astype(jnp.bfloat16)
-        features = features.astype(jnp.bfloat16)
-
-    b2r = b2.reshape(1, -1)
-    vr = v.reshape(1, -1)
-    bvr = jnp.asarray(bv, jnp.float32).reshape(1, 1)
-    br = b.reshape(1, -1)
-    bir = bi.reshape(1, -1)
-    bor = bo.reshape(1, -1)
-    emb0r = emb0.reshape(1, -1)
-
-    batched = lambda width: pl.BlockSpec(
-        (bt,) + width, lambda i: (i,) + (0,) * len(width),
-        memory_space=pltpu.VMEM,
-    )
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-
-    kernel = functools.partial(
-        _decode_kernel, n_regions=n_regions, units=units,
-        max_length=max_length, slope=slope, attn_slope=attn_slope,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            batched(pre.shape[1:]),      # pre
-            batched(features.shape[1:]),  # features
-            full(w2.shape), full(b2r.shape), full(vr.shape), full(bvr.shape),
-            full(wx.shape), full(wh.shape), full(br.shape),
-            full(wi.shape), full(bir.shape), full(wo.shape), full(bor.shape),
-            full(emb_table.shape), full(emb0r.shape),
-            batched((units,)), batched((units,)),   # h0, c0
-        ],
-        out_specs=(
-            batched((max_length,)),
-            batched((max_length, Rp)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, max_length), jnp.int32),
-            jax.ShapeDtypeStruct((B, max_length, Rp), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=not on_tpu,
-    )(pre, features, w2, b2r, vr, bvr, wx, wh, br, wi, bir, wo, bor,
-      emb_table, emb0r, h0, c0)
+    return _fused_decode_call(
+        _decode_kernel,
+        dict(n_regions=n_regions, units=units, max_length=max_length,
+             slope=slope, attn_slope=attn_slope),
+        pre, features, w2, b2, v, bv, (wx, wh), (b,), wi, bi, wo, bo,
+        emb_table, emb0, (h0, c0), units=units, max_length=max_length,
+        batch_tile=batch_tile, feat_bf16=feat_bf16)
 
 
 def _gru_decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
@@ -215,18 +248,10 @@ def _gru_decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
 
     words, alphas = [], []
     for _ in range(max_length):
-        hw = jnp.dot(h.astype(w2_ref.dtype), w2_ref[:],
-                     preferred_element_type=jnp.float32) + b2_ref[0]
-        hw = jnp.where(hw >= 0, hw, attn_slope * hw)
-        s = jnp.tanh(pre_ref[:] + hw[:, None, :])
-        e = jnp.sum(s * v_ref[0][None, None, :], axis=-1) + bv_ref[0, 0]
-        rid = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
-        e = jnp.where(rid < n_regions, e, -1e30)
-        e = e - jnp.max(e, axis=1, keepdims=True)
-        w = jnp.exp(e)
-        alpha = w / jnp.sum(w, axis=1, keepdims=True)
+        alpha, ctx = _attention_step(
+            h, pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
+            n_regions=n_regions, attn_slope=attn_slope)
         alphas.append(alpha)
-        ctx = jnp.sum(alpha[:, :, None] * feat_ref[:], axis=1)
 
         x = jnp.concatenate([ctx, emb], axis=-1)
         h_cell = jnp.zeros_like(h) if zero_state else h
@@ -240,18 +265,9 @@ def _gru_decode_kernel(pre_ref, feat_ref, w2_ref, b2_ref, v_ref, bv_ref,
         hh = jnp.tanh(xz[:, 2 * units:] + r * hz[:, 2 * units:])
         h = z * h_cell + (1.0 - z) * hh
 
-        hi = jnp.dot(h.astype(wi_ref.dtype), wi_ref[:],
-                     preferred_element_type=jnp.float32) + bi_ref[0]
-        hi = jnp.where(hi >= 0, hi, slope * hi)
-        logits = jnp.dot(hi.astype(wo_ref.dtype), wo_ref[:],
-                         preferred_element_type=jnp.float32) + bo_ref[0]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt, emb = _head_and_reembed(
+            h, wi_ref, bi_ref, wo_ref, bo_ref, emb_ref, slope=slope)
         words.append(nxt)
-
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-                  == nxt[:, None])
-        emb = jnp.dot(onehot.astype(emb_ref.dtype), emb_ref[:],
-                      preferred_element_type=jnp.float32)
 
     words_out[:] = jnp.stack(words, axis=1)
     alpha_out[:] = jnp.stack(alphas, axis=1)
@@ -261,65 +277,16 @@ def fused_greedy_decode_gru(pre, features, w2, b2, v, bv, wx, wh, b_in,
                             b_rec, wi, bi, wo, bo, emb_table, emb0, h0,
                             n_regions: int, units: int, max_length: int,
                             slope: float = 1.0, attn_slope: float = 1.0,
-                            zero_state: bool = False, batch_tile: int = 8):
+                            zero_state: bool = False, batch_tile: int = 8,
+                            feat_bf16: bool = False):
     """GRU-family whole-decode kernel (see fused_greedy_decode)."""
-    B = pre.shape[0]
-    Rp = pre.shape[1]
-    bt = min(batch_tile, B)
-    grid = (pl.cdiv(B, bt),)
-
-    on_tpu = jax.default_backend() == "tpu"
-    wdt = jnp.bfloat16 if on_tpu else jnp.float32
-    wx, wh, wi, wo = (a.astype(wdt) for a in (wx, wh, wi, wo))
-    emb_table = emb_table.astype(wdt)
-
-    b2r = b2.reshape(1, -1)
-    vr = v.reshape(1, -1)
-    bvr = jnp.asarray(bv, jnp.float32).reshape(1, 1)
-    binr = b_in.reshape(1, -1)
-    brecr = b_rec.reshape(1, -1)
-    bir = bi.reshape(1, -1)
-    bor = bo.reshape(1, -1)
-    emb0r = emb0.reshape(1, -1)
-
-    batched = lambda width: pl.BlockSpec(
-        (bt,) + width, lambda i: (i,) + (0,) * len(width),
-        memory_space=pltpu.VMEM,
-    )
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-
-    kernel = functools.partial(
-        _gru_decode_kernel, n_regions=n_regions, units=units,
-        max_length=max_length, slope=slope, attn_slope=attn_slope,
-        zero_state=zero_state,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            batched(pre.shape[1:]), batched(features.shape[1:]),
-            full(w2.shape), full(b2r.shape), full(vr.shape), full(bvr.shape),
-            full(wx.shape), full(wh.shape), full(binr.shape),
-            full(brecr.shape),
-            full(wi.shape), full(bir.shape), full(wo.shape), full(bor.shape),
-            full(emb_table.shape), full(emb0r.shape), batched((units,)),
-        ],
-        out_specs=(
-            batched((max_length,)),
-            batched((max_length, Rp)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, max_length), jnp.int32),
-            jax.ShapeDtypeStruct((B, max_length, Rp), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=not on_tpu,
-    )(pre, features, w2, b2r, vr, bvr, wx, wh, binr, brecr,
-      wi, bir, wo, bor, emb_table, emb0r, h0)
+    return _fused_decode_call(
+        _gru_decode_kernel,
+        dict(n_regions=n_regions, units=units, max_length=max_length,
+             slope=slope, attn_slope=attn_slope, zero_state=zero_state),
+        pre, features, w2, b2, v, bv, (wx, wh), (b_in, b_rec), wi, bi, wo,
+        bo, emb_table, emb0, (h0,), units=units, max_length=max_length,
+        batch_tile=batch_tile, feat_bf16=feat_bf16)
 
 
 def extract_decode_params(params: dict, cell: str = "lstm") -> dict:
@@ -419,6 +386,7 @@ def make_whole_fused_greedy_decoder(model, units: int, max_length: int,
                 n_regions=R, units=units, max_length=max_length,
                 slope=slope, attn_slope=attn_slope,
                 zero_state=model.gru_zero_state, batch_tile=batch_tile,
+                feat_bf16=feat_bf16,
             )
         else:
             words, alphas = fused_greedy_decode(

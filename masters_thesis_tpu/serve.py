@@ -109,7 +109,9 @@ class Captioner:
         )
         # greedy fast path: the whole-decode Pallas kernel
         # (ops/fused_decode.py — measured >= XLA with identical tokens at
-        # flagship shape). None = auto: on for LSTM NIC models on TPU.
+        # flagship shape). None = auto: on for every unsharded NIC-family
+        # model on TPU — LSTM and GRU cells, learned-init carries, frozen
+        # GloVe tables (_fused_eligible; round-5 family coverage).
         self.use_fused = use_fused
         # multi-chip serving: a jax.sharding.Mesh with a 'data' axis scales
         # the service batch across chips (pure DP — params replicated, batch
