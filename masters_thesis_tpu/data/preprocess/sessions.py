@@ -62,10 +62,15 @@ def load_hemi(path: str) -> np.ndarray:
         # (V, 1, 1, T) -> (V, T); indexing (not squeeze) so a single-trial
         # session keeps its T=1 axis
         arr = read_mgh(path)
-        assert arr.shape[1:3] == (1, 1), (
-            f"{path}: expected surface betas (V, 1, 1, T), got {arr.shape}")
+        # data validation, not an internal invariant: must survive python -O
+        # (a stripped assert would let a malformed file slice wrong)
+        if arr.shape[1:3] != (1, 1):
+            raise ValueError(
+                f"{path}: expected surface betas (V, 1, 1, T), got "
+                f"{arr.shape}")
         arr = arr[:, 0, 0, :]
-    assert arr.ndim == 2, f"{path}: expected (V, T), got {arr.shape}"
+    if arr.ndim != 2:
+        raise ValueError(f"{path}: expected (V, T), got {arr.shape}")
     return arr
 
 
@@ -95,7 +100,9 @@ def read_behavior(path: str, session_index: int | None = None) -> list[dict]:
         rows = []
         for rec in csv.DictReader(f, delimiter=delim):
             missing = [c for c in BEHAV_COLS if c not in rec]
-            assert not missing, f"{path}: behavior file missing columns {missing}"
+            if missing:
+                raise ValueError(
+                    f"{path}: behavior file missing columns {missing}")
             row = {c: int(float(rec[c])) for c in BEHAV_COLS}
             if session_index is None or row["SESSION"] == session_index:
                 rows.append(row)
@@ -144,10 +151,15 @@ def ingest_sessions(
             continue
         lh, rh = files
         all_verts = np.vstack([load_hemi(lh), load_hemi(rh)])  # (V, T)
-        assert all_verts.shape[1] == len(rows), (
-            f"session {ses_i}: {all_verts.shape[1]} trials in betas vs "
-            f"{len(rows)} behavior rows"
-        )
+        if all_verts.shape[1] != len(rows):
+            # ValueError, not assert: under python -O an assert vanishes
+            # and zip() below would silently truncate — betas after the
+            # first missing behavior row would be written under the WRONG
+            # (RUN, TRIAL, KID) filenames
+            raise ValueError(
+                f"session {ses_i}: {all_verts.shape[1]} trials in betas vs "
+                f"{len(rows)} behavior rows"
+            )
         # beta column t pairs with the session's t-th PRESENTATION — a
         # behavior file exported in any other order (e.g. sorted by 73KID)
         # would silently mislabel every trial. (RUN, TRIAL) is the

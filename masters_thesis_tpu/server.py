@@ -262,7 +262,15 @@ def make_caption_server(captioner, host: str = "127.0.0.1", port: int = 0,
             self._reply(200, {"captions": texts, "decoder": decoder,
                               "batched_with": batched_with})
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    try:
+        server = ThreadingHTTPServer((host, port), Handler)
+    except OSError:
+        # bind failure (EADDRINUSE etc.): without this, the batcher's
+        # consumer thread — already started above — leaks with no handle
+        # to close it, pinning the captioner; supervisors that retry
+        # construction would leak one thread per attempt
+        batcher.close()
+        raise
     server.daemon_threads = True
     server.batcher = batcher
     return server

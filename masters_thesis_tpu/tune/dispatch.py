@@ -36,6 +36,7 @@ import json
 import os
 import threading
 import time
+import uuid
 
 PENDING, RUNNING, DONE = "pending", "running", "done"
 
@@ -43,8 +44,12 @@ PENDING, RUNNING, DONE = "pending", "running", "done"
 def _server_now(near_path: str) -> float:
     """The FILESERVER's clock, via a freshly-written probe file's mtime.
     Comparing another file's mtime against local time.time() would let a
-    host with clock skew > the stale threshold break LIVE state."""
-    probe = f"{near_path}.probe.{os.getpid()}"
+    host with clock skew > the stale threshold break LIVE state. The probe
+    name carries host + pid + a random suffix: pid alone collides across
+    hosts sharing the queue (default pid space is 32768), and a colliding
+    contender's unlink would FileNotFoundError our getmtime."""
+    probe = (f"{near_path}.probe.{os.uname().nodename}."
+             f"{os.getpid()}.{uuid.uuid4().hex[:8]}")
     try:
         with open(probe, "w"):
             pass
@@ -58,22 +63,41 @@ def _server_now(near_path: str) -> float:
 
 
 class FileLock:
-    """O_EXCL spin lock. Reentrant-free, crash-tolerant via stale timeout."""
+    """O_EXCL spin lock. Reentrant-free, crash-tolerant via stale timeout.
+
+    A LIVE holder refreshes the lock file's mtime from a daemon thread
+    (every ``stale_s/3``) so a holder merely stalled past ``stale_s`` (NFS
+    server pause, host swap) is not mistaken for a dead one — only a
+    process that actually died stops heartbeating and gets its lock
+    broken. The lock body carries a per-acquire random token and
+    ``__exit__`` unlinks only if the file still holds OUR token, so a
+    holder that WAS (correctly or not) broken cannot delete the next
+    holder's live lock on its way out."""
 
     def __init__(self, path: str, stale_s: float = 30.0, poll_s: float = 0.02):
         self.path = path
         self.stale_s = stale_s
         self.poll_s = poll_s
+        self._token: bytes | None = None
+        self._beat_stop: threading.Event | None = None
+        self._beat_thread: threading.Thread | None = None
 
     def _server_now(self) -> float:
         return _server_now(self.path)
 
     def __enter__(self):
+        token = (f"{os.uname().nodename}:{os.getpid()}:"
+                 f"{uuid.uuid4().hex}").encode()
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token)
                 os.close(fd)
+                self._token = token
+                self._beat_stop = threading.Event()
+                self._beat_thread = threading.Thread(
+                    target=self._beat, daemon=True)
+                self._beat_thread.start()
                 return self
             except FileExistsError:
                 try:
@@ -93,11 +117,29 @@ class FileLock:
                     pass
                 time.sleep(self.poll_s)
 
+    def _beat(self):
+        while not self._beat_stop.wait(self.stale_s / 3.0):
+            try:
+                os.utime(self.path, None)
+            except OSError:
+                return  # lock broken out from under us — stop beating
+
     def __exit__(self, *exc):
+        if self._beat_stop is not None:
+            self._beat_stop.set()
+            self._beat_thread.join(timeout=2.0)
+            self._beat_stop = self._beat_thread = None
         try:
-            os.unlink(self.path)
+            with open(self.path, "rb") as f:
+                still_ours = f.read() == self._token
         except OSError:
-            pass
+            still_ours = False
+        self._token = None
+        if still_ours:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
 
 
 class FileRungs:
@@ -168,8 +210,15 @@ def claim_next(queue_dir: str, worker_id: str) -> dict | None:
             os.utime(dst, None)
         except OSError:
             pass
-        with open(dst) as f:
-            spec = json.load(f)
+        try:
+            with open(dst) as f:
+                spec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            # stolen back by a concurrent requeue_stale (the utime above
+            # lost to another host's stale scan of the preserved enqueue
+            # mtime) — the trial is pending again; move on rather than
+            # crash the worker loop
+            continue
         spec["_claimed"] = dst
         spec["_worker"] = worker_id
         return spec
@@ -213,6 +262,15 @@ def requeue_stale(queue_dir: str, stale_claim_s: float = 60.0) -> int:
             os.rename(src, mine)  # atomic: one contender wins the requeue
         except OSError:
             continue
+        try:
+            # refresh NOW: the rename preserved the dead worker's heartbeat
+            # mtime, which is >= stale_claim_s old by construction — without
+            # this touch the orphan sweep's grace window never protects a
+            # LIVE requeuer and a concurrent sweeper races our rewrite
+            # (claim_next does the same for the same reason)
+            os.utime(mine, None)
+        except OSError:
+            pass
         try:
             with open(mine) as f:
                 spec = json.load(f)
@@ -514,10 +572,6 @@ def _require_fresh_queue(queue_dir: str) -> None:
     means a previous run ended), but leftover done/ or pending/ trial files
     would be mistaken for THIS run's trials (names collide across runs)."""
     init_queue(queue_dir)
-    for name in ("STOP", "rungs.json", "rungs.lock"):
-        p = os.path.join(queue_dir, name)
-        if os.path.exists(p):
-            os.unlink(p)
     stale = {
         sub: [n for n in os.listdir(os.path.join(queue_dir, sub))
               if n.endswith(".json")]
@@ -525,9 +579,19 @@ def _require_fresh_queue(queue_dir: str) -> None:
     }
     bad = {k: len(v) for k, v in stale.items() if v}
     if bad:
+        # refuse BEFORE touching rungs.json/rungs.lock: this error path
+        # tells the user to retry with --resume-queue, and resume
+        # deliberately preserves rungs.json (ASHA state) — deleting it
+        # first would destroy exactly what the suggested retry needs,
+        # and unlinking the lock of a possibly-still-active queue could
+        # free a lock a live worker holds
         raise RuntimeError(
             f"queue dir {queue_dir!r} has leftover trial files {bad} from a "
             "previous run — results would collide; use a fresh directory, "
             "clear pending/, running/ and done/, or pass --resume-queue "
             "(resume=True) to continue that run"
         )
+    for name in ("STOP", "rungs.json", "rungs.lock"):
+        p = os.path.join(queue_dir, name)
+        if os.path.exists(p):
+            os.unlink(p)

@@ -13,6 +13,8 @@ from masters_thesis_tpu.tune.dispatch import (
     FileLock,
     FileRungs,
     _Heartbeat,
+    _require_fresh_queue,
+    _server_now,
     claim_next,
     collect_results,
     enqueue_trials,
@@ -213,6 +215,106 @@ def test_orphaned_requeue_tempfile_is_swept(tmp_path):
     assert requeue_stale(q, stale_claim_s=60.0) == 1
     spec = claim_next(q, "w0")
     assert spec is not None and spec["trial_id"] == 0
+
+
+def test_requeue_intermediate_is_not_born_stale(tmp_path, monkeypatch):
+    """The winning rename in requeue_stale preserves the DEAD worker's
+    heartbeat mtime, so the pending/<name>.requeue.<pid> intermediate is
+    >= stale_claim_s old by construction — without an immediate utime the
+    orphan sweep's grace window never protects a live requeuer and a
+    concurrent sweeper races the rewrite (duplicate trial)."""
+    q = str(tmp_path / "q")
+    enqueue_trials(q, [{"v": 3.0}])
+    dead = claim_next(q, "dead-host")
+    os.utime(dead["_claimed"], (0, 0))  # heartbeat long gone
+    real_rename = os.rename
+
+    def failing_final_rename(src, dst):
+        # strand the intermediate: fail only the mine -> canonical rename
+        if ".requeue." in str(src) and str(dst).endswith(".json"):
+            raise OSError("simulated transient fs error")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_final_rename)
+    assert requeue_stale(q, stale_claim_s=60.0) == 0  # aborted mid-requeue
+    monkeypatch.undo()
+    pending = os.path.join(q, "pending")
+    orphans = [n for n in os.listdir(pending) if ".requeue." in n]
+    assert len(orphans) == 1
+    # the stranded intermediate was utime'd by its (briefly live) requeuer:
+    # the sweep's grace window must now actually protect it
+    assert requeue_stale(q, stale_claim_s=60.0) == 0
+    assert [n for n in os.listdir(pending) if ".requeue." in n] == orphans
+    # once genuinely old, the sweep recovers it as before
+    os.utime(os.path.join(pending, orphans[0]), (0, 0))
+    assert requeue_stale(q, stale_claim_s=60.0) == 1
+    spec = claim_next(q, "w0")
+    assert spec is not None and spec["trial_id"] == 0
+
+
+def test_claim_survives_concurrent_steal(tmp_path, monkeypatch):
+    """If a concurrent host's stale scan steals a just-claimed spec back to
+    pending/ (its rename-preserved enqueue mtime looked stale) before the
+    claimer reads it, claim_next must move on to the next spec instead of
+    crashing the worker loop with FileNotFoundError."""
+    q = str(tmp_path / "q")
+    enqueue_trials(q, [{"v": 1.0}, {"v": 2.0}])
+    real_utime = os.utime
+    stolen = {}
+
+    def stealing_utime(path, *a, **k):
+        if "running" in str(path) and "trial_0000" in str(path) and not stolen:
+            stolen["done"] = True
+            os.rename(path, os.path.join(q, "pending", "trial_0000.json"))
+            raise OSError("simulated: spec stolen before the utime landed")
+        return real_utime(path, *a, **k)
+
+    monkeypatch.setattr(os, "utime", stealing_utime)
+    spec = claim_next(q, "w0")
+    assert spec is not None and spec["trial_id"] == 1
+    assert os.path.exists(os.path.join(q, "pending", "trial_0000.json"))
+
+
+def test_broken_holders_exit_does_not_delete_new_lock(tmp_path):
+    """A holder whose lock was (rightly or wrongly) broken and reacquired
+    by another contender must not unlink the NEW holder's live lock on its
+    way out — __exit__ checks the per-acquire token first."""
+    path = str(tmp_path / "x.lock")
+    a = FileLock(path, stale_s=30.0)
+    a.__enter__()
+    os.unlink(path)  # simulate a's lock being broken by a contender
+    b = FileLock(path, stale_s=30.0)
+    b.__enter__()
+    a.__exit__(None, None, None)  # must leave b's lock alone
+    assert os.path.exists(path)
+    b.__exit__(None, None, None)
+    assert not os.path.exists(path)
+
+
+def test_stalled_live_lock_holder_keeps_lock_fresh(tmp_path):
+    """A live holder stalled past stale_s (GC pause, NFS hiccup) must not
+    get its lock broken: the holder-side heartbeat refreshes the lock
+    mtime, so only an actually-dead holder goes stale."""
+    path = str(tmp_path / "x.lock")
+    with FileLock(path, stale_s=1.0):
+        time.sleep(2.5)  # stall well past stale_s
+        age = _server_now(path) - os.path.getmtime(path)
+        assert age < 1.0, f"lock mtime {age:.2f}s old despite live holder"
+    assert not os.path.exists(path)
+
+
+def test_fresh_queue_refusal_preserves_asha_state(tmp_path):
+    """_require_fresh_queue must refuse BEFORE deleting rungs.json: its
+    error message tells the user to retry with --resume-queue, and resume
+    deliberately preserves rungs.json (cross-host ASHA state)."""
+    q = str(tmp_path / "q")
+    enqueue_trials(q, [{"v": 1.0}])
+    rungs_path = os.path.join(q, "rungs.json")
+    with open(rungs_path, "w") as f:
+        f.write('{"1": [0.5]}')
+    with pytest.raises(RuntimeError, match="resume-queue"):
+        _require_fresh_queue(q)
+    assert os.path.exists(rungs_path)  # the suggested retry still has it
 
 
 def test_resume_refuses_out_of_range_trial_ids(tmp_path):
